@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregates them. */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(CoreQueries, ScoreQueries)
+  private val packs: Seq[QueryPack] =
+    Seq(CoreQueries, ScoreQueries, TextQueries, SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
     * the workload-score composite — the reference's richest dataflow. */

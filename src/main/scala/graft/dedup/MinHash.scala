@@ -1,0 +1,125 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection over word-shingled documents —
+  * the standard shingle → minhash signature → band-bucket join pipeline
+  * used by large-scale training-data dedup.
+  *
+  * All arithmetic is integer and built from codegen'd expressions so the
+  * DuckDB oracle can reproduce it bit-for-bit:
+  *  - shingle → int: first 8 hex chars of md5, mod 100003
+  *  - k hash functions h_i(x) = (a_i·x + b_i) mod 1000003 (products stay
+  *    ≪ 2^63 — both engines are overflow-free)
+  *  - signature = per-doc min of each h_i; bands of `rowsPerBand` hashed
+  *    with md5; candidate pairs share any (band, bandHash) bucket;
+  *    candidates are then verified with EXACT shingle Jaccard.
+  *
+  * Scale: the shingle explode is map-side; the signature groupBy shuffles
+  * one row per (doc, shingle) with map-side combine down to one row per
+  * doc; the bucket self-join is the LSH point — it replaces the quadratic
+  * all-pairs join with per-bucket joins whose size is controlled by band
+  * width. Exact verification touches only candidate pairs.
+  */
+object MinHash {
+  val ShingleMod = 100003L
+  val P = 1000003L
+  val NumHashes = 16
+  val RowsPerBand = 4
+  def numBands: Int = NumHashes / RowsPerBand
+
+  /** Deterministic hash-function constants (shared with the oracle SQL). */
+  val A: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+  val B: Seq[Long] = (0 until NumHashes).map(i => (104729L * i + 12345L) % P)
+
+  /** (id, shingle) rows: distinct word n-grams per document. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+
+  /** Shingle → bounded int (md5-hex8 → long → mod). */
+  def shingleInt(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long") % ShingleMod
+
+  /** Per-document minhash signature columns h0..h{k-1}. */
+  def signatures(shingles: DataFrame, idCol: String): DataFrame = {
+    val x = shingleInt(col("shingle"))
+    val hashed = shingles.select(
+      col(idCol) +: (0 until NumHashes).map(i => ((lit(A(i)) * x + lit(B(i))) % P).as(s"h$i")): _*)
+    hashed.groupBy(col(idCol))
+      .agg(min(col("h0")).as("h0"), (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+  }
+
+  /** (id, band, band_hash) rows from a signature frame. */
+  def bandRows(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
+          .as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bh"))
+      .select(col(idCol), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH bucket. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val bands = bandRows(signatures(shingleRows(docs, idCol, textCol, n), idCol), idCol)
+    val l = bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = bands.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard for given (id_a, id_b) pairs, DRIVEN FROM THE PAIRS:
+    * pairs ⋈ a-shingles (on id_a) ⋈ b-shingles (on id_b, shingle). Work is
+    * |pairs|·|shingles per doc|, never the full inverted-index self-join —
+    * the self-join explodes quadratically on high-frequency shingles, which
+    * is exactly what LSH exists to avoid. Candidate pairs are small, so AQE
+    * broadcasts them. */
+  def verifyJaccard(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
+    val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = pairs.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+  }
+
+  /** Full pipeline: LSH candidates → exact verification → threshold. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    verifyJaccard(candidatePairs(docs, idCol, textCol, n), sh, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dups WITHOUT LSH: inverted-index join of all
+    * co-shingled pairs. Shingles appearing in more than `maxDf` documents
+    * are pruned from BOTH sides of the Jaccard (numerator and sets) —
+    * document-frequency pruning is the standard exact-ish variant that
+    * keeps the inverted-index join linear-ish at corpus scale: without it,
+    * one stop-shingle shared by f docs contributes f² join pairs. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double, maxDf: Int = 20): DataFrame = {
+    val sh0 = shingleRows(docs, idCol, textCol, n)
+    val df = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sh = sh0.join(df.filter(col("df") <= maxDf), Seq("shingle"), "left_semi")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.Tables
+import graft.similarity.Cosine
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings` (64-dim float vectors):
+  * brute-force cosine top-k baseline and the IVF-style cell-pruned
+  * near-dup pair scan. Dot products fold left-to-right in double on both
+  * engines; displayed sims rounded to 6 decimals. */
+object SimilarityQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // ---- X1: brute-force cosine top-k (query side broadcast)
+    "x1_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- X2: IVF-style near-dup pairs within coarse cells (label = cell id)
+    "x2_cosine_cell_pairs" -> ((s, dir) => {
+      Cosine.cellPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          threshold = 0.4)
+        .orderBy(col("label"), col("id_a"), col("id_b"))
+    }))
+
+  private val vCte =
+    """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, list_dot_product(emb, emb) AS nsq FROM v)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x1_cosine_topk" ->
+      s"""WITH $vCte,
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x2_cosine_cell_pairs" ->
+      s"""WITH $vCte
+         |SELECT label, id_a, id_b, ROUND(sim, 6) AS sim FROM (
+         |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS sim
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
+         |WHERE sim >= 0.4 ORDER BY label, id_a, id_b""".stripMargin)
+}

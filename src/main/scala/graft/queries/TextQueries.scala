@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{MinHash, SimHash}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over `documents`: token stats, language ID,
+  * quality scoring, fingerprinting, and the dedup family (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash) — each with a DuckDB oracle that
+  * reproduces the integer/md5-based hashing bit-for-bit. */
+object TextQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // ---- token counting (whitespace + BPE-ish regex)
+    "t1_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language ID: stopword-marker argmax heuristic
+    "t2_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"), col("lang"))
+        .withColumn("matches_label", col("lang_pred") === col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring: length/punct/stopword bands
+    "t3_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- D1: exact dedup by normalized-content fingerprint
+    "d1_exact_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy(col("fingerprint"))
+    }),
+
+    // ---- D2: exact word-2gram Jaccard near-dups (inverted-index join,
+    //      document-frequency-pruned so stop-shingles can't go quadratic)
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 2, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- D3: MinHash signatures → LSH banding → verified Jaccard
+    "d3_minhash_lsh" -> ((s, dir) => {
+      MinHash.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+          n = 2, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- D4: SimHash 32-bit fingerprints
+    "d4_simhash" -> ((s, dir) => {
+      SimHash.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }))
+
+  // ------------------------------------------------------------------ oracle
+
+  /** Word-2gram distinct shingles per doc (count parity with
+    * TextAnalysis.shingles incl. the <n-token edge case). */
+  private val shinglesCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))])) AS shingle
+      |  FROM w)""".stripMargin
+
+  private def jaccardTail(shRel: String, thresh: String) =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM $shRel GROUP BY doc_id)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $thresh
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash hash-function constants as a VALUES list — generated from the
+    * same Scala arrays the Spark pipeline uses, so they cannot drift. */
+  private val constsValues = (0 until MinHash.NumHashes)
+    .map(i => s"(${i}, ${MinHash.A(i)}, ${MinHash.B(i)})").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_langid" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['el','la','de','y','es'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','les','du','et','est'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred,
+        |  lang, (CASE WHEN s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) AND s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END) = lang AS matches_label
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t3_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS pr,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS sr
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stopword_ratio,
+        |  ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS fingerprint,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |shp AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)
+         |        WHERE df <= 20),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |${jaccardTail("shp", "0.8")}""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % ${MinHash.ShingleMod} AS x
+         |  FROM sh),
+         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+         |  md5(string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)) AS band_hash
+         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+         |  GROUP BY 1, 2),
+         |${jaccardTail("sh", "0.7")}""".stripMargin,
+    "d4_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS x FROM t),
+        |bits AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

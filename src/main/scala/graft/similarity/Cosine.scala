@@ -1,0 +1,62 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the baseline,
+  * with a partition-pruned (IVF-style) variant as the scale path.
+  *
+  * Dot products are computed with `zip_with` + `aggregate` — a sequential
+  * left fold in double precision, fully codegen-compatible, no UDF. Vectors
+  * are cast float→double BEFORE multiplying so precision matches an oracle
+  * computing in double.
+  *
+  * Scale: brute-force is O(|queries|·|corpus|·dim) — right when queries are
+  * few (the query side is broadcast, corpus streams). For corpus×corpus
+  * near-dup the quadratic join is replaced by a coarse-quantizer bucket
+  * join (`label` here plays the IVF cell id): shuffle both sides on the
+  * cell, pairs only within cells.
+  */
+object Cosine {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
+    dot(a, b) / (sqrt(normSqA) * sqrt(normSqB))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * rows of `corpus` (self-matches excluded). Output: query_id, rank,
+    * neighbor_id, sim. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+           k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style near-duplicate pairs: only pairs sharing a coarse cell
+    * (`cellCol`) are compared — the quadratic join never materializes. */
+  def cellPairs(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+                threshold: Double): DataFrame = {
+    val v = corpus.select(col(cellCol), col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", normSq(col("v")))
+    val a = v.select(col(cellCol), col(idCol).as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col(cellCol), col(idCol).as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq(cellCol)).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col(cellCol), col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, language ID, quality scoring, fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst expressions (no UDFs),
+  * so the operators inline into whole-stage codegen and run as a map-only
+  * stage over the corpus — the shape you want when the corpus is 100 TB:
+  * no shuffle, no driver involvement, trivially partition-parallel.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: word pieces plus standalone punctuation
+    * (`\w+|[^\w\s]` — a rough stand-in for a real tokenizer's segment
+    * count). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Occurrences (with multiplicity) of any of `words` as whole tokens. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(set, w)))
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword language-ID
+    * heuristic. Tiny and disjoint by construction. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "du", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language-ID: argmax of per-language stopword hit counts, ties broken by
+    * the fixed order of `langMarkers` (a deterministic heuristic — a real
+    * pipeline would plug a model here; the operator shape is the point). */
+  def languageId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"))
+
+  /** Stopword ratio against the English marker list (a cheap fluency
+    * signal). */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, langMarkers.head._2).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length band + punctuation band +
+    * stopword presence, equally weighted. Mirrors the reference's
+    * rule-based validation checks (P10, `table_bases.py:1171-1230`) recast
+    * as a soft score. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 5000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0, 1.0).otherwise(0.0)
+    round((lenOk + punctOk + stopOk) / 3.0, 6)
+  }
+
+  /** Normalization for fingerprinting: lowercase, strip punctuation,
+    * collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (document-level exact
+    * dedup key; the rolling-hash variant is in [[graft.dedup]]). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Distinct word n-gram shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+}
