@@ -273,7 +273,7 @@ object CoreQueries extends QueryPack {
         lit("gear"), lit("Memory optimized"), lit("cog"), lit("Storage optimized"))
       Tables.part(s, dir)
         .withColumn("family", regexp_extract(col("p_name"), "([a-z]+)$", 1))
-        .withColumn("family_desc", coalesce(element_at(famDesc, col("family")), lit("Other")))
+        .withColumn("family_desc", coalesce(try_element_at(famDesc, col("family")), lit("Other")))
         .select(col("p_partkey"), col("p_name"), col("family"), col("family_desc"))
         .orderBy(col("p_partkey"))
     }),

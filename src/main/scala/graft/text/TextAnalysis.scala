@@ -91,8 +91,10 @@ object TextAnalysis {
   /** Distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
+    // try_element_at: ANSI mode (Spark 4 default) makes element_at throw
+    // past the end; short docs (< n tokens) yield one partial shingle
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+        i => concat_ws(" ", (0 until n).map(k => try_element_at(toks, i + k + 1)): _*)))
   }
 }

@@ -1,0 +1,85 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Numeric semantics of the composite score, mirroring the reference's
+  * exact-value tests (`tests/test_workload_profile_scores.py:94-404`):
+  * at-median ⇒ 1.0, 2× median with weight 0.6 ⇒ 2^0.6, orientation for
+  * lower-is-better, and the ignore / penalize / require policies. */
+class WorkloadScoresSpec extends SparkSpec {
+
+  private def entries(policy: String) = WorkloadScores.entriesDf(spark, Seq(
+    ("wl", 0, "b1", 0.6, true, "ignore", 1e-4),
+    ("wl", 1, "b2", 0.4, true, policy, 1e-4)))
+
+  private def scores(rows: Seq[(String, String, Double)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("unit", "benchmark_id", "score")
+  }
+
+  // medians: b1 over {10,20,10} = 10; b2 over {100,100} = 100
+  private val base = Seq(
+    ("s1", "b1", 10.0), ("s1", "b2", 100.0),
+    ("s2", "b1", 20.0), ("s2", "b2", 100.0),
+    ("s3", "b1", 10.0))
+
+  private def resultMap(policy: String, sigFig: Boolean = false): Map[String, Option[Double]] =
+    WorkloadScores.compute(scores(base), entries(policy), Seq("unit"), sigFigRound = sigFig)
+      .collect().map { r: Row =>
+        r.getAs[String]("unit") ->
+          (if (r.isNullAt(r.fieldIndex("score"))) None else Some(r.getAs[Double]("score")))
+      }.toMap
+
+  test("at-median unit scores exactly 1.0; 2x-median scores 2^0.6") {
+    val m = resultMap("ignore")
+    assert(math.abs((m("s1").get) - (1.0)) < 1e-12)
+    assert(math.abs((m("s2").get) - (math.pow(2, 0.6))) < 1e-12)
+  }
+
+  test("ignore policy renormalizes weights for missing component") {
+    // s3 has only b1 (= median): 2^(0.6*log2(1)/0.6) = 1.0
+    assert(math.abs((resultMap("ignore")("s3").get) - (1.0)) < 1e-12)
+  }
+
+  test("penalize policy substitutes the penalty floor, keeping weight") {
+    // 2^((0.6*log2(1) + 0.4*log2(1e-4)) / 1.0) = (1e-4)^0.4
+    assert(math.abs((resultMap("penalize")("s3").get) - (math.pow(1e-4, 0.4))) < 1e-12)
+  }
+
+  test("require policy suppresses units missing a required component") {
+    val m = resultMap("require")
+    assert(m("s3").isEmpty)
+    assert(math.abs((m("s1").get) - (1.0)) < 1e-12)
+  }
+
+  test("lower-is-better entries invert normalization") {
+    val e = WorkloadScores.entriesDf(spark, Seq(("wl", 0, "lat", 1.0, false, "ignore", 1e-4)))
+    // latencies 5,10,20: median 10; best=min per unit
+    val s = scores(Seq(("u1", "lat", 5.0), ("u2", "lat", 10.0), ("u3", "lat", 20.0)))
+    val m = WorkloadScores.compute(s, e, Seq("unit"), sigFigRound = false)
+      .collect().map(r => r.getAs[String]("unit") -> r.getAs[Double]("score")).toMap
+    assert(math.abs((m("u1")) - (2.0)) < 1e-12) // half the median latency ⇒ 2x score
+    assert(math.abs((m("u2")) - (1.0)) < 1e-12)
+    assert(math.abs((m("u3")) - (0.5)) < 1e-12)
+  }
+
+  test("sig-fig rounding: 3 significant figures, integers at |x| >= 1000") {
+    assert(WorkloadScores.roundSigFigs(2.0 - 1e-13) === 2.0)
+    assert(WorkloadScores.roundSigFigs(1.5157165665103982) === 1.52)
+    assert(WorkloadScores.roundSigFigs(0.012345) === 0.0123)
+    assert(WorkloadScores.roundSigFigs(123.456) === 123.0)
+    assert(WorkloadScores.roundSigFigs(1234.567) === 1235.0)
+    assert(WorkloadScores.roundSigFigs(0.0) === 0.0)
+  }
+
+  test("exact median uses even-count midpoint (python statistics.median)") {
+    val sp = spark; import sp.implicits._
+    val e = WorkloadScores.entriesDf(spark, Seq(("wl", 0, "b", 1.0, true, "ignore", 1e-4)))
+    val s = Seq(("u1", "b", 1.0), ("u2", "b", 2.0), ("u3", "b", 4.0), ("u4", "b", 8.0))
+      .toDF("unit", "benchmark_id", "score")
+    val med = WorkloadScores.fleetMedians(WorkloadScores.bestScores(s, e, Seq("unit")))
+      .collect().head.getAs[Double]("fleet_median")
+    assert(math.abs(med - 3.0) < 1e-12)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MinHashSpec extends SparkSpec {
+
+  private def docs = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark catalyst optimizer and shuffles here"))
+      .toDF("doc_id", "text")
+  }
+
+  test("identical texts produce identical signatures") {
+    val sp = spark; import sp.implicits._
+    val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sig = MinHash.signatures(MinHash.shingleRows(two, "doc_id", "text", 2), "doc_id")
+      .drop("doc_id").collect()
+    assert(sig(0) == sig(1))
+  }
+
+  test("LSH finds the planted near-dup pair and verifies exact jaccard") {
+    val out = MinHash.nearDuplicates(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // 14 tokens -> 13 distinct shingles each, 12 shared: j = 12/14
+    assert(math.abs((r.getDouble(2)) - (12.0 / 14)) < 1e-6)
+  }
+
+  test("exact jaccard pairs agree with LSH on this corpus") {
+    val exact = MinHash.exactJaccardPairs(docs, "doc_id", "text", 2, 0.5, maxDf = 1000)
+      .collect()
+    assert(exact.length == 1 && exact.head.getLong(0) == 1L)
+  }
+}
+
+class SimHashSpec extends SparkSpec {
+
+  test("fingerprints are deterministic and identical for identical text") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "omega psi chi totally other")).toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L) >= 0 && fp(1L) < (1L << 32))
+  }
+
+  test("near pairs by hamming blocks") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val pairs = SimHash.nearPairs(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+}
+
+class CosineSpec extends SparkSpec {
+
+  test("cosine of known vectors") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.Cosine.topK(df.filter(col("vec_id") === 1), df,
+        "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // neighbor 3 at cos 1/sqrt(2), neighbor 2 at cos 0
+    assert(out.toSeq == Seq((1, 3L, math.rint(1 / math.sqrt(2) * 1e6) / 1e6), (2, 2L, 0.0)))
+  }
+
+  test("cell pairs only compare within cells") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.Cosine.cellPairs(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 2L))) // (1,3) identical but cross-cell
+  }
+}

@@ -1,0 +1,45 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    val sp = spark; import sp.implicits._
+    Seq(Tuple1(text)).toDF("text").select(c.as("v")).collect().head.get(0)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    assert(one(TextAnalysis.tokenCount(col("text")), "the cat, sat!") == 3)
+    assert(one(TextAnalysis.bpeTokenCount(col("text")), "the cat, sat!") == 5)
+  }
+
+  test("language id picks the dominant marker language") {
+    assert(one(TextAnalysis.languageId(col("text")), "the cat is on the mat") == "en")
+    assert(one(TextAnalysis.languageId(col("text")), "el perro y la casa") == "es")
+    assert(one(TextAnalysis.languageId(col("text")), "xyz qqq") == "und")
+    // tie broken by fixed marker order (en before es)
+    assert(one(TextAnalysis.languageId(col("text")), "the la") == "en")
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace") {
+    val a = one(TextAnalysis.fingerprint(col("text")), "Hello,  World!")
+    val b = one(TextAnalysis.fingerprint(col("text")), "hello world")
+    assert(a == b)
+  }
+
+  test("shingles: distinct word n-grams with short-doc edge case") {
+    assert(one(TextAnalysis.shingles(col("text"), 2), "a b c a b")
+      .asInstanceOf[scala.collection.Seq[String]].toSet == Set("a b", "b c", "c a"))
+    assert(one(TextAnalysis.shingles(col("text"), 2), "solo")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("solo"))
+  }
+
+  test("quality score bands") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    assert(one(TextAnalysis.qualityScore(col("text")), good) == 1.0)
+    val bad = "!!! ??? ..."
+    assert(one(TextAnalysis.qualityScore(col("text")), bad).asInstanceOf[Double] < 0.5)
+  }
+}
