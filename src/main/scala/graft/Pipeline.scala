@@ -1,0 +1,97 @@
+package graft
+
+import graft.ingest.SeedTables
+import graft.ops.{CanonicalJson, HashDiff}
+import graft.schema.Schemas
+import graft.sinks.{DdlGen, Upsert}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.sql.DriverManager
+
+/** End-to-end lifecycle demo main mirroring the reference's `pull` + `sync`
+  * entry points (SURVEY §3.1-3.2) against embedded Derby:
+  *
+  *   seeds → validate/conform → DDL create → bulk upsert (K1)
+  *   → second run with changed rows → row hashes (A10) → snapshot diff (E1)
+  *   → soft-delete sweep (K3) → re-upsert → SCD twin append.
+  *
+  * Run: `sbt "runMain graft.Pipeline"` — prints a stage-by-stage summary.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val url = "jdbc:derby:memory:graftdemo;create=true"
+    val conn = DriverManager.getConnection(url)
+    val tables = Seq("country", "compliance_framework")
+    tables.foreach { t =>
+      val (schema, pks) = Schemas.tables(t)
+      conn.createStatement().execute(DdlGen.createTable(t, schema, pks, DdlGen.Derby))
+      conn.createStatement().execute(
+        DdlGen.createTable(s"${t}_scd", schema, Schemas.scdKey(t), DdlGen.Derby))
+    }
+    conn.close()
+    println(s"[pipeline] created ${tables.size} tables + scd twins (Derby)")
+
+    // ---- run 1: seed upsert (stable observed_at for idempotent demo)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val countries = SeedTables.countries(spark).withColumn("observed_at", lit(t0))
+    Upsert.writeJdbc(countries, url, "country", Seq("country_id"), DdlGen.Derby)
+    println(s"[pipeline] upserted ${countries.count()} countries")
+
+    // ---- run 2: a changed row + a new row + a vanished row
+    val changed = countries
+      .withColumn("continent",
+        when(col("country_id") === "US", lit("NORTH AMERICA")).otherwise(col("continent")))
+      .filter(col("country_id") =!= "ZA")
+      .unionByName(countries.filter(col("country_id") === "US")
+        .withColumn("country_id", lit("XX")))
+
+    // ---- hash + diff (A10 + E1)
+    val oldH = CanonicalJson.tableHash(countries, Seq("country_id"))
+    val newH = CanonicalJson.tableHash(changed, Seq("country_id"))
+    val diff = HashDiff.diff(newH, oldH, Seq("country_id"))
+    val byChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[pipeline] diff: $byChange")
+    assert(byChange.get("new").contains(1L), "expected 1 new row (XX)")
+    assert(byChange.get("update").contains(1L), "expected 1 updated row (US)")
+    assert(byChange.get("deleted").contains(1L), "expected 1 deleted row (ZA)")
+
+    // ---- soft-delete sweep + re-upsert (K3 + K1)
+    val swept = HashDiff.softDeleteSweep(countries, changed, Seq("country_id"))
+      .filter(col("status") === "inactive")
+    val merged = changed.unionByName(swept)
+    Upsert.writeJdbc(merged, url, "country", Seq("country_id"), DdlGen.Derby)
+
+    // ---- SCD append for changed/new keys only
+    val changedKeys = diff.filter(col("change").isin("new", "update"))
+    val scdRows = changed.join(changedKeys.select("country_id"), "country_id")
+      .withColumn("observed_at", lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+    Upsert.writeJdbc(scdRows, url, "country_scd", Schemas.scdKey("country"), DdlGen.Derby)
+
+    // ---- verify final DB state through JDBC read-back
+    val c2 = DriverManager.getConnection(url)
+    def q(sql: String): Long = {
+      val rs = c2.createStatement().executeQuery(sql)
+      rs.next(); rs.getLong(1)
+    }
+    val total = q("SELECT COUNT(*) FROM country")
+    val inactive = q("SELECT COUNT(*) FROM country WHERE status = 'inactive'")
+    val us = {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT continent FROM country WHERE country_id = 'US'")
+      rs.next(); rs.getString(1)
+    }
+    val scd = q("SELECT COUNT(*) FROM country_scd")
+    c2.close()
+    println(s"[pipeline] final: $total countries ($inactive inactive), US → $us, $scd scd rows")
+    assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 2)
+    println("[pipeline] OK")
+    spark.stop()
+  }
+}
