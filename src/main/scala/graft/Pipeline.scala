@@ -91,7 +91,49 @@ object Pipeline {
     c2.close()
     println(s"[pipeline] final: $total countries ($inactive inactive), US → $us, $scd scd rows")
     assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 2)
+
+    streamingStage(spark)
+    multimodalStage(spark)
     println("[pipeline] OK")
     spark.stop()
+  }
+
+  /** Streaming stage: spot-price-style observations through watermarked
+    * dedup + change detection, driven by a MemoryStream source. */
+  private def streamingStage(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.streaming.PriceStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PriceStream.PriceObs]
+    val q = PriceStream.priceChanges(mem.toDS()).writeStream
+      .format("memory").queryName("pipeline_changes").outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData(PriceStream.PriceObs("m5.large/us-east-1a", ts(1), 0.096),
+      PriceStream.PriceObs("m5.large/us-east-1a", ts(2), 0.096),
+      PriceStream.PriceObs("m5.large/us-east-1a", ts(3), 0.104))
+    q.processAllAvailable()
+    q.stop()
+    val changes = spark.sql("SELECT COUNT(*) FROM pipeline_changes").collect().head.getLong(0)
+    println(s"[pipeline] streaming price-change rows: $changes (from 3 observations)")
+    assert(changes == 2, "expected 2 price changes (initial + one move)")
+  }
+
+  /** Multimodal stage: binary media rows → stub decode → stub features →
+    * cosine neighbors, exercising the batch plumbing end to end. */
+  private def multimodalStage(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = (1L to 8L).map(i =>
+      Multimodal.MediaRow(i, if (i % 2 == 0) "image" else "video",
+        s"payload-$i".getBytes)).toDS()
+    val decoded = Multimodal.decodeStub(media)
+    val feats = Multimodal.featureStub(media).toDF()
+    val knn = graft.similarity.Cosine.topK(
+      feats.filter(org.apache.spark.sql.functions.col("media_id") === 1L),
+      feats, "media_id", "feature", k = 3)
+    val frames = Multimodal.frameSamplePlan(decoded, everyN = 30)
+    println(s"[pipeline] multimodal: decoded=${decoded.count()} knn=${knn.count()} " +
+      s"sampled_frames=${frames.count()}")
+    assert(decoded.count() == 8 && knn.count() == 3 && frames.count() > 0)
   }
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class PriceStreamSpec extends SparkSpec {
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("watermarked dedup drops duplicate (key, ts) observations") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[PriceStream.PriceObs]
+    val q = PriceStream.dedupedObservations(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(
+      PriceStream.PriceObs("a", ts(1), 1.0),
+      PriceStream.PriceObs("a", ts(1), 1.0), // duplicate
+      PriceStream.PriceObs("a", ts(2), 2.0))
+    q.processAllAvailable()
+    val out = sp.sql("SELECT * FROM dedup_out").collect()
+    q.stop()
+    assert(out.length == 2)
+  }
+
+  test("windowed stats aggregate per tumbling window") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[PriceStream.PriceObs]
+    val q = PriceStream.windowedStats(mem.toDF(), windowLen = "5 minutes").writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    mem.addData(
+      PriceStream.PriceObs("a", ts(1), 1.0),
+      PriceStream.PriceObs("a", ts(2), 3.0),
+      PriceStream.PriceObs("a", ts(7), 10.0))
+    q.processAllAvailable()
+    val out = sp.sql("SELECT * FROM win_out ORDER BY window_start").collect()
+    q.stop()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("min_price") == 1.0)
+    assert(out(0).getAs[Double]("max_price") == 3.0)
+    assert(out(0).getAs[Long]("n_obs") == 2L)
+    assert(out(1).getAs[Double]("max_price") == 10.0)
+  }
+
+  test("flatMapGroupsWithState emits only price changes across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[PriceStream.PriceObs]
+    val q = PriceStream.priceChanges(mem.toDS()).writeStream
+      .format("memory").queryName("chg_out").outputMode("append").start()
+    mem.addData(
+      PriceStream.PriceObs("a", ts(1), 1.0),
+      PriceStream.PriceObs("a", ts(2), 1.0), // unchanged → suppressed
+      PriceStream.PriceObs("a", ts(3), 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      PriceStream.PriceObs("a", ts(4), 2.0), // still unchanged across batch
+      PriceStream.PriceObs("a", ts(5), 3.0))
+    q.processAllAvailable()
+    val out = sp.sql("SELECT * FROM chg_out ORDER BY ts").collect()
+      .map(r => (r.getAs[Double]("price"), Option(r.getAs[Double]("prevPrice"))))
+    q.stop()
+    assert(out.length == 3)
+    assert(out.map(_._1).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("foreachBatch scd merge dedups within batch before writing") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[PriceStream.PriceObs]
+    var written = Seq.empty[(String, Double)]
+    val q = PriceStream.scdMergeWriter(mem.toDF(), Seq("key"), "ts") { batch =>
+      written = written ++ batch.collect().map(r =>
+        (r.getAs[String]("key"), r.getAs[Double]("price")))
+    }.start()
+    mem.addData(
+      PriceStream.PriceObs("a", ts(1), 1.0),
+      PriceStream.PriceObs("a", ts(2), 5.0), // keep-last wins
+      PriceStream.PriceObs("b", ts(1), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(written.toSet == Set("a" -> 5.0, "b" -> 7.0))
+  }
+}
