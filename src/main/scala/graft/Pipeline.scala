@@ -92,10 +92,67 @@ object Pipeline {
     println(s"[pipeline] final: $total countries ($inactive inactive), US → $us, $scd scd rows")
     assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 2)
 
+    vendorStage(spark, url)
     streamingStage(spark)
     multimodalStage(spark)
     println("[pipeline] OK")
     spark.stop()
+  }
+
+  /** Vendor-inventory stage (reference §3.1 `inventory_server_prices`):
+    * raw priced-product payloads → terms-JSON price extraction (P6) →
+    * region alias resolution (J1) → zone fan-out (J3) → instance
+    * annotation (P3) → conform to the server_price schema (P1) → upsert. */
+  private def vendorStage(spark: SparkSession, url: String): Unit = {
+    import spark.implicits._
+    import graft.ingest.VendorIngest
+    import graft.schema.Validate
+
+    val conn2 = DriverManager.getConnection(url)
+    val (spSchema, spPks) = Schemas.tables("server_price")
+    conn2.createStatement().execute(
+      DdlGen.createTable("server_price", spSchema, spPks, DdlGen.Derby))
+    conn2.close()
+
+    def terms(p: String) =
+      s"""{"OnDemand": {"t": {"priceDimensions": {"d": {"pricePerUnit": {"USD": "$p"}}}}}}"""
+    val products = Seq(
+      ("m5.large", "US East", terms("0.096")),
+      ("m5d.2xlarge", "us-east-1", terms("0.452")),
+      ("r6g.large", "EU Dublin", terms("0.1008"))).toDF("instance_type", "location", "terms")
+    val regions = Seq(
+      ("us-east-1", Seq("N. Virginia", "US East")),
+      ("eu-west-1", Seq("EU Dublin"))).toDF("name", "aliases")
+      .withColumn("region_id", col("name"))
+    val offerings = Seq(
+      ("m5.large", "us-east-1", "use1-az1"), ("m5.large", "us-east-1", "use1-az2"),
+      ("m5d.2xlarge", "us-east-1", "use1-az1"), ("r6g.large", "eu-west-1", "euw1-az3"))
+      .toDF("instance_type", "region_id", "zone_id")
+
+    val priced = VendorIngest.joinRegionByAlias(products, regions, "location")
+      .withColumn("price", VendorIngest.extractOnDemandPrice(col("terms")))
+      .withColumn("currency", VendorIngest.extractCurrency(col("terms")))
+    val fanned = VendorIngest.zoneFanout(priced, offerings)
+      .withColumn("anno", VendorIngest.annotateInstanceType(col("instance_type")))
+      .select(lit("aws").as("vendor_id"), col("region_id"), col("zone_id"),
+        col("instance_type").as("server_id"), lit("linux").as("operating_system"),
+        lit("ondemand").as("allocation"), lit("hour").as("unit"),
+        col("price"), col("currency"), col("anno.description").as("__desc"))
+    val conformed = Validate.conform(fanned, spSchema,
+      Map("status" -> "active"))
+      .withColumn("observed_at", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val (valid, invalid) = Validate.partition(conformed, spSchema)
+    Upsert.writeJdbc(valid, url, "server_price", spPks, DdlGen.Derby)
+
+    val c3 = DriverManager.getConnection(url)
+    val rs = c3.createStatement().executeQuery(
+      "SELECT COUNT(*), MIN(price), MAX(price) FROM server_price")
+    rs.next()
+    val (n, minP, maxP) = (rs.getLong(1), rs.getDouble(2), rs.getDouble(3))
+    c3.close()
+    println(s"[pipeline] vendor: $n server_price rows (invalid=${invalid.count()}), " +
+      s"price range $minP..$maxP")
+    assert(n == 4 && minP == 0.096 && maxP == 0.452)
   }
 
   /** Streaming stage: spot-price-style observations through watermarked
