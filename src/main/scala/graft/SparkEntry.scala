@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CoreQueries, ScoreQueries, TextQueries, SimilarityQueries, ReshapeQueries)
+    Seq(CoreQueries, ScoreQueries, TextQueries, SimilarityQueries,
+      ReshapeQueries, MiscQueries)
 
   /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
     * the workload-score composite — the reference's richest dataflow. */

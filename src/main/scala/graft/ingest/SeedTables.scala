@@ -67,6 +67,11 @@ object SeedTables {
     ("general", 1, "bw_mem:rd", 1.0, true, "ignore", 1e-4),
     ("general", 2, "static_web:rps", 1.0, true, "ignore", 1e-4))
 
+  /** Country seeds as a SQL VALUES list for the DuckDB oracle — generated
+    * from the same rows, so engine and oracle cannot drift. */
+  def countryValuesSql: String =
+    countryRows.map { case (id, cont) => s"('$id', '$cont')" }.mkString(", ")
+
   def countries(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Validate.conform(

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.ingest.SeedTables
+import graft.schema.{Schemas, Validate}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 operators with SQL-expressible semantics: static
+  * seed scan (S5), full-table scan (S6), schema conform/validate (P1),
+  * membership check (E3), global top-k (O3/O4 at table scope). */
+object MiscQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // ---- S5: compiled-in static seed table (countries)
+    "s5_seed_countries" -> ((s, _) => {
+      SeedTables.countries(s)
+        .select(col("country_id"), col("continent"), col("status"))
+        .orderBy(col("country_id"))
+    }),
+
+    // ---- S6: full-table scan (hash/copy/dump input shape)
+    "s6_table_scan" -> ((s, dir) => {
+      Tables.region(s, dir).orderBy(col("r_regionkey"))
+    }),
+
+    // ---- P1: validation conform — add missing cols, cast, fill defaults
+    "p1_conform" -> ((s, dir) => {
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_comment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType)))
+      Validate.conform(Tables.nation(s, dir), target, Map("status" -> "active"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // ---- E3: membership check both directions (known-set reconciliation)
+    "e3_membership" -> ((s, dir) => {
+      val present = Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey")).distinct()
+      val all = Tables.part(s, dir).select(col("p_partkey"))
+      val unknown = present.join(all, Seq("p_partkey"), "left_anti")
+        .withColumn("side", lit("unknown_key"))
+      val unused = all.join(present, Seq("p_partkey"), "left_anti")
+        .withColumn("side", lit("unused_part"))
+      unknown.unionByName(unused).orderBy(col("side"), col("p_partkey"))
+    }),
+
+    // ---- O3: global top-k (TakeOrderedAndProject at scale, not a sort)
+    "o3_global_topk" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("rank"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // seed VALUES generated from the same Scala rows the engine compiles
+    // in (cannot drift)
+    "s5_seed_countries" ->
+      s"""SELECT country_id, continent, 'active' AS status
+         |FROM (VALUES ${SeedTables.countryValuesSql}) t(country_id, continent)
+         |ORDER BY country_id""".stripMargin,
+    "s6_table_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "p1_conform" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(NULL AS VARCHAR) AS n_comment, 'active' AS status
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "e3_membership" ->
+      """SELECT p_partkey, side FROM (
+        |  SELECT DISTINCT l_partkey AS p_partkey, 'unknown_key' AS side FROM lineitem
+        |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL
+        |  SELECT p_partkey, 'unused_part' AS side FROM part
+        |  WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem))
+        |ORDER BY side, p_partkey""".stripMargin,
+    "o3_global_topk" ->
+      """SELECT rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin)
+}
