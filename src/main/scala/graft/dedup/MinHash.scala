@@ -38,14 +38,24 @@ object MinHash {
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
 
-  /** Shingle → bounded int (md5-hex8 → long → mod). */
-  def shingleInt(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long") % ShingleMod
+  /** (id, shash) rows: shingles as 60-bit md5-derived longs. Set joins
+    * (intersection counting) shuffle 8-byte keys instead of shingle
+    * strings — same result on both engines since the oracle derives the
+    * identical hash; collisions are ~2^-60 and, crucially, identical on
+    * both sides. */
+  def hashedShingleRows(shingles: DataFrame, idCol: String): DataFrame =
+    // shingles are already distinct per doc (array_distinct upstream), so
+    // no extra distinct shuffle; a within-doc hash collision would merge
+    // two shingles identically on engine and oracle
+    shingles.select(col(idCol),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
 
-  /** Per-document minhash signature columns h0..h{k-1}. */
-  def signatures(shingles: DataFrame, idCol: String): DataFrame = {
-    val x = shingleInt(col("shingle"))
-    val hashed = shingles.select(
+  /** Per-document minhash signature columns h0..h{k-1}, computed from the
+    * hashed-shingle rows (x = shash mod ShingleMod) so the md5 per shingle
+    * is paid once for the whole LSH pipeline. */
+  def signatures(hashedShingles: DataFrame, idCol: String): DataFrame = {
+    val x = col("shash") % ShingleMod
+    val hashed = hashedShingles.select(
       col(idCol) +: (0 until NumHashes).map(i => ((lit(A(i)) * x + lit(B(i))) % P).as(s"h$i")): _*)
     hashed.groupBy(col(idCol))
       .agg(min(col("h0")).as("h0"), (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
@@ -63,8 +73,8 @@ object MinHash {
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH bucket. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val bands = bandRows(signatures(shingleRows(docs, idCol, textCol, n), idCol), idCol)
+  def candidatePairs(hashedShingles: DataFrame, idCol: String): DataFrame = {
+    val bands = bandRows(signatures(hashedShingles, idCol), idCol)
     val l = bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val r = bands.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
@@ -77,11 +87,11 @@ object MinHash {
     * the self-join explodes quadratically on high-frequency shingles, which
     * is exactly what LSH exists to avoid. Candidate pairs are small, so AQE
     * broadcasts them. */
-  def verifyJaccard(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
-    val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = pairs.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+  def verifyJaccard(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame = {
+    val sizes = hs.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = hs.select(col(idCol).as("id_a"), col("shash"))
+    val b = hs.select(col(idCol).as("id_b"), col("shash"))
+    val inter = pairs.join(a, "id_a").join(b, Seq("id_b", "shash"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -90,11 +100,15 @@ object MinHash {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
   }
 
-  /** Full pipeline: LSH candidates → exact verification → threshold. */
+  /** Full pipeline: LSH candidates → exact verification → threshold. The
+    * hashed-shingle frame feeds signatures, sizes, and both verification
+    * sides, so it is persisted for the duration of the query (memory+disk,
+    * LRU-evicted; one md5-explode pass instead of four). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
-    verifyJaccard(candidatePairs(docs, idCol, textCol, n), sh, idCol)
+    val hs = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(candidatePairs(hs, idCol), hs, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -107,13 +121,15 @@ object MinHash {
     * one stop-shingle shared by f docs contributes f² join pairs. */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 20): DataFrame = {
-    val sh0 = shingleRows(docs, idCol, textCol, n)
-    val df = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sh = sh0.join(df.filter(col("df") <= maxDf), Seq("shingle"), "left_semi")
+    val sh0 = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
+    // document frequency in one pass (window count needs no ordering)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shash"))
+    val sh = sh0.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf).drop("df")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+    val a = sh.select(col(idCol).as("id_a"), col("shash"))
+    val b = sh.select(col(idCol).as("id_b"), col("shash"))
+    val inter = a.join(b, "shash").filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

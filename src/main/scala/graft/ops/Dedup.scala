@@ -30,6 +30,17 @@ object Dedup {
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     ranked(df, keys, order.map(_.asc))
 
+  /** Keep-last as an AGGREGATION instead of a window: max of a struct is
+    * lexicographic over its fields, so `max(struct(orderCols ++ payload))`
+    * picks the row that sorts last — with map-side combine and no per-key
+    * sort, this beats the window form wherever the whole ordering chain is
+    * descending and columns are non-null. Returns keys + the struct fields. */
+  def keepLastByMax(df: DataFrame, keys: Seq[String], ordered: Seq[String]): DataFrame = {
+    val m = df.groupBy(keys.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__m"))
+    m.select(keys.map(col) ++ ordered.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** Count of surplus duplicate rows per the reference's logging
     * (A9, `insert.py:51-61`): total rows minus distinct keys. */
   def duplicateCount(df: DataFrame, keys: Seq[String]): Long = {

@@ -193,9 +193,13 @@ object CoreQueries extends QueryPack {
     //      (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
     //      so the "input order" is a full deterministic tie-break chain.
     "a11_dedup_keep_last" -> ((s, dir) => {
-      Dedup.keepLast(Tables.lineitem(s, dir),
+      // aggregation-form keep-last: max(struct) with map-side combine —
+      // no per-key sort, shuffles only the projected columns
+      Dedup.keepLastByMax(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_partkey",
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_suppkey"),
           Seq("l_orderkey", "l_partkey"),
-          Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"), col("l_suppkey")))
+          Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_suppkey"))
         .select(col("l_orderkey"), col("l_partkey"),
           col("l_linenumber").as("last_line"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_partkey"))

@@ -72,12 +72,15 @@ object TextQueries extends QueryPack {
   // ------------------------------------------------------------------ oracle
 
   /** Word-2gram distinct shingles per doc (count parity with
-    * TextAnalysis.shingles incl. the <n-token edge case). */
+    * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
+    * md5-derived hash rows the engine joins on. */
   private val shinglesCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |  [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))])) AS shingle
-      |  FROM w)""".stripMargin
+      |  FROM w),
+      |shh AS (SELECT doc_id,
+      |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh)""".stripMargin
 
   private def jaccardTail(shRel: String, thresh: String) =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM $shRel GROUP BY doc_id)
@@ -144,20 +147,18 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         |shp AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)
+         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
          |        WHERE df <= 20),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |${jaccardTail("shp", "0.8")}""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |consts(i, a, b) AS (VALUES $constsValues),
-         |xi AS (SELECT doc_id,
-         |  CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % ${MinHash.ShingleMod} AS x
-         |  FROM sh),
+         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
          |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
          |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
          |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
@@ -168,10 +169,10 @@ object TextQueries extends QueryPack {
          |    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
          |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
          |  GROUP BY 1, 2),
-         |${jaccardTail("sh", "0.7")}""".stripMargin,
+         |${jaccardTail("shh", "0.7")}""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |           FROM documents),

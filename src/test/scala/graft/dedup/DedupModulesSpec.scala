@@ -18,7 +18,8 @@ class MinHashSpec extends SparkSpec {
     val sp = spark; import sp.implicits._
     val two = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
-    val sig = MinHash.signatures(MinHash.shingleRows(two, "doc_id", "text", 2), "doc_id")
+    val sig = MinHash.signatures(
+      MinHash.hashedShingleRows(MinHash.shingleRows(two, "doc_id", "text", 2), "doc_id"), "doc_id")
       .drop("doc_id").collect()
     assert(sig(0) == sig(1))
   }
