@@ -51,9 +51,10 @@ object Pipeline {
       .unionByName(countries.filter(col("country_id") === "US")
         .withColumn("country_id", lit("XX")))
 
-    // ---- hash + diff (A10 + E1)
-    val oldH = CanonicalJson.tableHash(countries, Seq("country_id"))
-    val newH = CanonicalJson.tableHash(changed, Seq("country_id"))
+    // ---- hash + diff (A10 + E1) via the native canonical_json expression
+    graft.plans.GraftExtensions.register(spark)
+    val oldH = CanonicalJson.tableHashNative(countries, Seq("country_id"))
+    val newH = CanonicalJson.tableHashNative(changed, Seq("country_id"))
     val diff = HashDiff.diff(newH, oldH, Seq("country_id"))
     val byChange = diff.groupBy("change").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

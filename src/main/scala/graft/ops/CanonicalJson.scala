@@ -139,4 +139,17 @@ object CanonicalJson {
     df.withColumn("__key", canonical(pks.map(n => n -> col(n))))
       .withColumn("__hash", rowHash(valueCols.map(n => n -> col(n))))
   }
+
+  /** [[tableHash]] via the native Catalyst expression
+    * ([[graft.plans.CanonicalJsonExpr]], registered by
+    * [[graft.plans.GraftExtensions]]) — same bytes, no UDF row conversion.
+    * Requires the functions to be registered on the session. */
+  def tableHashNative(df: DataFrame, pks: Seq[String],
+                      exclude: Seq[String] = Seq("observed_at")): DataFrame = {
+    def structSql(cols: Seq[String]) =
+      cols.map(c => s"`$c`").mkString("struct(", ", ", ")")
+    val valueCols = df.columns.filterNot(c => pks.contains(c) || exclude.contains(c)).toSeq
+    df.withColumn("__key", expr(s"canonical_json(${structSql(pks)})"))
+      .withColumn("__hash", expr(s"canonical_row_hash(${structSql(valueCols)})"))
+  }
 }
