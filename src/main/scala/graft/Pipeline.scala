@@ -94,6 +94,7 @@ object Pipeline {
     assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 2)
 
     vendorStage(spark, url)
+    pullStage(spark)
     streamingStage(spark)
     multimodalStage(spark)
     println("[pipeline] OK")
@@ -154,6 +155,17 @@ object Pipeline {
     println(s"[pipeline] vendor: $n server_price rows (invalid=${invalid.count()}), " +
       s"price range $minP..$maxP")
     assert(n == 4 && minP == 0.096 && maxP == 0.452)
+  }
+
+  /** Full `pull` over the 13-record-type vendor contract
+    * (reference §3.1) through the conform→dedup→sink orchestrator. */
+  private def pullStage(spark: SparkSession): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-pull").toString
+    val counts = graft.ingest.Pull.pull(spark, new graft.ingest.DemoVendor,
+      graft.ingest.Pull.parquetSink(dir))
+    println(s"[pipeline] pull: ${counts.size} record types, " +
+      s"${counts.values.sum} rows (server_price=${counts("server_price")})")
+    assert(counts.size == 13 && counts("server_price") == 4)
   }
 
   /** Streaming stage: spot-price-style observations through watermarked
