@@ -63,6 +63,11 @@ object Pipeline {
     assert(byChange.get("update").contains(1L), "expected 1 updated row (US)")
     assert(byChange.get("deleted").contains(1L), "expected 1 deleted row (ZA)")
 
+    // ---- sync orchestrator (§3.2): same comparison, one call
+    val syncR = graft.ops.Sync.sync(changed, countries, Seq("country_id"))
+    println(s"[pipeline] sync: stats=${syncR.stats} standard_rows=${syncR.standard.count()}")
+    assert(syncR.stats == byChange && syncR.standard.count() == 3)
+
     // ---- soft-delete sweep + re-upsert (K3 + K1)
     val swept = HashDiff.softDeleteSweep(countries, changed, Seq("country_id"))
       .filter(col("status") === "inactive")
