@@ -23,7 +23,21 @@ object SimilarityQueries extends QueryPack {
       Cosine.cellPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           threshold = 0.4)
         .orderBy(col("label"), col("id_a"), col("id_b"))
+    }),
+
+    // ---- X3: SRP-LSH near-dup pairs (general scale path, no cell column)
+    "x3_cosine_srp_pairs" -> ((s, dir) => {
+      Cosine.srpPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.3, nPlanes = 4)
+        .orderBy(col("bucket"), col("id_a"), col("id_b"))
     }))
+
+  /** The same deterministic SRP hyperplanes the engine uses, as SQL array
+    * literals (generated, cannot drift). */
+  private def srpBucketSql: String =
+    Cosine.hyperplanes(4, 64).zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(emb, [${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   private val vCte =
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -51,5 +65,14 @@ object SimilarityQueries extends QueryPack {
          |    list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS sim
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
-         |WHERE sim >= 0.4 ORDER BY label, id_a, id_b""".stripMargin)
+         |WHERE sim >= 0.4 ORDER BY label, id_a, id_b""".stripMargin,
+    "x3_cosine_srp_pairs" ->
+      s"""WITH $vCte,
+         |bk AS (SELECT vec_id, emb, $srpBucketSql AS bucket FROM v)
+         |SELECT bucket, id_a, id_b, ROUND(sim, 6) AS sim FROM (
+         |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS sim
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
+         |WHERE sim >= 0.3 ORDER BY bucket, id_a, id_b""".stripMargin)
 }

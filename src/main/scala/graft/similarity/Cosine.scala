@@ -46,6 +46,39 @@ object Cosine {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Deterministic pseudo-random hyperplanes for signed-random-projection
+    * LSH: component (i,j) = ((md5int("i:j") mod 2001) - 1000) / 1000 ∈
+    * [-1, 1]. Deterministic so an external oracle can reproduce bucketing
+    * exactly. */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { i =>
+      (0 until dim).map { j =>
+        val hex = graft.ops.CanonicalJson.sha1Hex(s"$i:$j").substring(0, 8)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** SRP-LSH near-duplicate pairs: bucket = sign bits of `nPlanes` random
+    * projections; only same-bucket pairs are compared. The general scale
+    * path when no coarse cell id exists — recall is tunable via nPlanes
+    * (fewer planes → bigger buckets → higher recall, more compute). */
+  def srpPairs(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nPlanes: Int = 8): DataFrame = {
+    val v0 = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val dim = v0.select(size(col("v"))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (h, i) =>
+      when(dot(col("v"), array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val v = v0.withColumn("bucket", bucket).withColumn("n", normSq(col("v")))
+    val a = v.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("bucket"), col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style near-duplicate pairs: only pairs sharing a coarse cell
     * (`cellCol`) are compared — the quadratic join never materializes. */
   def cellPairs(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
