@@ -34,6 +34,23 @@ object ScoreQueries extends QueryPack {
         .orderBy(col("user_id"), col("workload"))
     }),
 
+    // A3 with all three missing-component policies live in one workload:
+    // signup REQUIRED (absent → row suppressed), view PENALIZED (absent →
+    // norm floor 1e-2), purchase IGNORE (absent → weight renormalizes)
+    "a3_geomean_policies" -> ((s, dir) => {
+      val scores = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("benchmark_id"), col("value").as("score"))
+      val entries = WorkloadScores.entriesDf(s, Seq(
+        ("engagement", 0, "signup", 1.0, true, "require", 1e-4),
+        ("engagement", 1, "purchase", 2.0, true, "ignore", 1e-4),
+        ("engagement", 2, "view", 1.0, true, "penalize", 1e-2)))
+      WorkloadScores.compute(scores, entries, Seq("user_id"), sigFigRound = false)
+        .filter(col("score").isNotNull)
+        .select(col("user_id"), col("workload"),
+          round(col("score"), 6).as("score"), round(col("coverage"), 6).as("coverage"))
+        .orderBy(col("user_id"))
+    }),
+
     // A2 on its own: the fleet-median normalization reference (exact median)
     "a2_fleet_median" -> ((s, dir) => {
       val scores = Tables.events(s, dir)
@@ -75,5 +92,46 @@ object ScoreQueries extends QueryPack {
     "a2_fleet_median" ->
       s"""WITH $entriesCte
          |SELECT workload, entry_idx, ROUND(fleet_median, 6) AS fleet_median
-         |FROM med ORDER BY workload, entry_idx""".stripMargin)
+         |FROM med ORDER BY workload, entry_idx""".stripMargin,
+    "a3_geomean_policies" ->
+      """WITH entries(workload, entry_idx, benchmark_id, weight, hib, policy, penalty) AS (
+        |  VALUES ('engagement', 0, 'signup', 1.0, true, 'require', 0.0001),
+        |         ('engagement', 1, 'purchase', 2.0, true, 'ignore', 0.0001),
+        |         ('engagement', 2, 'view', 1.0, true, 'penalize', 0.01)),
+        |best AS (
+        |  SELECT e.workload, e.entry_idx, e.weight, e.hib, e.policy, e.penalty,
+        |    ev.user_id, MAX(ev.value) AS best
+        |  FROM events ev JOIN entries e ON ev.event_type = e.benchmark_id
+        |  GROUP BY e.workload, e.entry_idx, e.weight, e.hib, e.policy, e.penalty, ev.user_id),
+        |med AS (
+        |  SELECT workload, entry_idx, MEDIAN(best) AS fleet_median
+        |  FROM best GROUP BY workload, entry_idx),
+        |units AS (SELECT DISTINCT user_id FROM best),
+        |grid AS (SELECT u.user_id, e.* FROM units u CROSS JOIN entries e),
+        |norm AS (
+        |  SELECT g.user_id, g.workload, g.weight, g.policy, g.penalty,
+        |    CASE WHEN b.best IS NULL THEN NULL
+        |         WHEN (CASE WHEN g.hib THEN b.best / m.fleet_median
+        |                    ELSE m.fleet_median / b.best END) <= 0 THEN NULL
+        |         WHEN g.hib THEN b.best / m.fleet_median
+        |         ELSE m.fleet_median / b.best END AS norm
+        |  FROM grid g
+        |  LEFT JOIN best b ON b.user_id = g.user_id AND b.workload = g.workload
+        |    AND b.entry_idx = g.entry_idx
+        |  JOIN med m ON m.workload = g.workload AND m.entry_idx = g.entry_idx),
+        |agg AS (
+        |  SELECT user_id, workload,
+        |    SUM(CASE WHEN norm IS NOT NULL THEN weight * LOG2(norm)
+        |             WHEN policy = 'penalize' THEN weight * LOG2(penalty) END) AS wlog,
+        |    SUM(CASE WHEN norm IS NOT NULL OR policy = 'penalize' THEN weight END) AS w_eff,
+        |    MAX(CASE WHEN policy = 'require' AND norm IS NULL THEN 1 ELSE 0 END) AS missing_req,
+        |    SUM(CASE WHEN norm IS NOT NULL THEN weight END) AS w_present,
+        |    SUM(weight) AS w_total
+        |  FROM norm GROUP BY user_id, workload)
+        |SELECT user_id, workload,
+        |  ROUND(POWER(2.0, wlog / w_eff), 6) AS score,
+        |  ROUND(w_present / w_total, 6) AS coverage
+        |FROM agg
+        |WHERE missing_req = 0 AND w_eff IS NOT NULL AND w_eff <> 0
+        |ORDER BY user_id""".stripMargin)
 }
