@@ -162,15 +162,39 @@ object Pipeline {
     assert(n == 4 && minP == 0.096 && maxP == 0.452)
   }
 
-  /** Full `pull` over the 13-record-type vendor contract
-    * (reference §3.1) through the conform→dedup→sink orchestrator. */
+  /** Full `pull` over the 13-record-type vendor contract (reference §3.1)
+    * through the conform→dedup→sink orchestrator, followed by the
+    * workload-score recompute over the freshly-written benchmark scores
+    * (the reference's final pull step) and the `_metadata` release-info
+    * upsert (K6, `cli.py:242-319`). */
   private def pullStage(spark: SparkSession): Unit = {
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-pull").toString
     val counts = graft.ingest.Pull.pull(spark, new graft.ingest.DemoVendor,
       graft.ingest.Pull.parquetSink(dir))
     println(s"[pipeline] pull: ${counts.size} record types, " +
       s"${counts.values.sum} rows (server_price=${counts("server_price")})")
     assert(counts.size == 13 && counts("server_price") == 4)
+
+    // recompute workload scores from the written benchmark_score table
+    val scores = spark.read.parquet(s"$dir/benchmark_score")
+      .filter(col("status") === "active")
+      .select(concat_ws("/", col("vendor_id"), col("server_id")).as("unit_id"),
+        col("benchmark_id"), col("score"))
+    val entries = graft.analytics.WorkloadScores.entriesDf(spark, Seq(
+      ("mem_bandwidth", 0, "bw_mem:rd", 2.0, true, "ignore", 1e-4),
+      ("mem_bandwidth", 1, "bw_mem:wr", 1.0, true, "ignore", 1e-4)))
+    val wl = graft.analytics.WorkloadScores.compute(scores, entries, Seq("unit_id"))
+    println(s"[pipeline] workload recompute: ${wl.count()} composite rows")
+    assert(wl.count() == 1) // one unit in the demo fixture
+
+    // K6: metadata release info
+    val meta = Seq(("engine_version", "0.1.0"), ("published_by", "pipeline-demo"))
+      .toDF("key", "value")
+      .withColumn("status", lit("active"))
+      .withColumn("observed_at", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    meta.write.mode("overwrite").parquet(s"$dir/_metadata")
+    println(s"[pipeline] metadata: ${spark.read.parquet(s"$dir/_metadata").count()} keys")
   }
 
   /** Streaming stage: spot-price-style observations through watermarked
