@@ -33,7 +33,14 @@ object CanonicalJson {
     * reference stores (prices, scores, sizes). Java's shortest-roundtrip
     * `Double.toString` matches CPython for plain decimals; the engines only
     * disagree on when to switch to scientific notation (Java at 1e7, CPython
-    * at 1e16) and on exponent formatting, both normalized here. */
+    * at 1e16) and on exponent formatting, both normalized here.
+    *
+    * Caveat: before JDK 19 (JDK-4511638) `Double.toString` is
+    * roundtrip-safe but not always MINIMAL, so pathological doubles (e.g.
+    * subnormals) can render with more digits than CPython's repr. The
+    * reference's stored domain — 4-decimal prices, 3-sig-fig scores,
+    * integral sizes — is unaffected (verified by the CPython fixture
+    * hashes in CanonicalJsonSpec). */
   def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d.isPosInfinity) return "Infinity"
