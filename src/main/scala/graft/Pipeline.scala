@@ -184,9 +184,15 @@ object Pipeline {
     val entries = graft.analytics.WorkloadScores.entriesDf(spark, Seq(
       ("mem_bandwidth", 0, "bw_mem:rd", 2.0, true, "ignore", 1e-4),
       ("mem_bandwidth", 1, "bw_mem:wr", 1.0, true, "ignore", 1e-4)))
-    val wl = graft.analytics.WorkloadScores.compute(scores, entries, Seq("unit_id"))
-    println(s"[pipeline] workload recompute: ${wl.count()} composite rows")
-    assert(wl.count() == 1) // one unit in the demo fixture
+    val wl = graft.analytics.WorkloadScores.compute(scores, entries, Seq("unit_id"),
+      withBreakdown = true)
+    val row = wl.collect().head
+    val comps = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("breakdown"))
+    println(s"[pipeline] workload recompute: ${wl.count()} composite rows, " +
+      s"score=${row.getAs[Double]("score")} components=${comps.size} " +
+      s"shares=${comps.map(_.getAs[Double]("weight_share")).sum}")
+    assert(wl.count() == 1 && comps.size == 2 &&
+      math.abs(comps.map(_.getAs[Double]("weight_share")).sum - 1.0) < 1e-12)
 
     // K6: metadata release info
     val meta = Seq(("engine_version", "0.1.0"), ("published_by", "pipeline-demo"))

@@ -95,9 +95,13 @@ object WorkloadScores {
       .agg(median(col("best")).as("fleet_median"))
 
   /** Full composite — steps 1–5. Output: unitCols..., workload, score,
-    * coverage, n_components. */
+    * coverage, n_components (+ `breakdown` when `withBreakdown`:
+    * array<struct> of per-component entry/benchmark/raw/norm/weight/
+    * weight_share/impact_pct, reference `workload_profile_scores.py:60-76,
+    * 279-371` — impact = (norm^share − 1)·100, and the product of
+    * norm^share over components reconstructs the composite exactly). */
   def compute(scores: DataFrame, entries: DataFrame, unitCols: Seq[String],
-              sigFigRound: Boolean = true): DataFrame = {
+              sigFigRound: Boolean = true, withBreakdown: Boolean = false): DataFrame = {
     val best = bestScores(scores, entries, unitCols)
     val medians = fleetMedians(best)
 
@@ -119,15 +123,26 @@ object WorkloadScores {
       .withColumn("norm", when(col("norm") > 0, col("norm")))
 
     val present = col("norm").isNotNull
+    // effective norm a component contributes: its norm when present, the
+    // penalty floor when missing-but-penalized, nothing otherwise
+    val effNorm = when(present, col("norm"))
+      .when(col("policy") === "penalize", col("penalty"))
+    val aggs = Seq(
+      sum(when(present, col("weight") * log2(col("norm")))
+        .when(col("policy") === "penalize", col("weight") * log2(col("penalty")))).as("wlog"),
+      sum(when(present || col("policy") === "penalize", col("weight"))).as("w_eff"),
+      max(when(col("policy") === "require" && !present, 1).otherwise(0)).as("missing_required"),
+      sum(when(present, col("weight"))).as("w_present"),
+      sum(col("weight")).as("w_total"),
+      count(when(present, lit(1))).as("n_components")) ++
+      (if (withBreakdown) Seq(
+        sort_array(collect_list(when(effNorm.isNotNull, struct(
+          col("entry_idx"), col("benchmark_id"), col("weight"),
+          col("best").as("raw"), effNorm.as("norm"),
+          (!present).as("penalized"))))).as("__comps"))
+       else Nil)
     val agged = joined.groupBy((unitCols :+ "workload").map(col): _*)
-      .agg(
-        sum(when(present, col("weight") * log2(col("norm")))
-          .when(col("policy") === "penalize", col("weight") * log2(col("penalty")))).as("wlog"),
-        sum(when(present || col("policy") === "penalize", col("weight"))).as("w_eff"),
-        max(when(col("policy") === "require" && !present, 1).otherwise(0)).as("missing_required"),
-        sum(when(present, col("weight"))).as("w_present"),
-        sum(col("weight")).as("w_total"),
-        count(when(present, lit(1))).as("n_components"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("raw_score",
         when(col("missing_required") === 1 || col("w_eff").isNull || col("w_eff") === 0, lit(null))
           .otherwise(pow(lit(2.0), col("wlog") / col("w_eff"))))
@@ -136,7 +151,20 @@ object WorkloadScores {
     val scored =
       if (sigFigRound) agged.withColumn("score", roundSigFigsUdf(col("raw_score")))
       else agged.withColumn("score", col("raw_score"))
-    scored.select((unitCols :+ "workload").map(col) ++
-      Seq(col("score"), col("coverage"), col("n_components")): _*)
+    val outCols = (unitCols :+ "workload").map(col) ++
+      Seq(col("score"), col("coverage"), col("n_components"))
+    if (!withBreakdown) scored.select(outCols: _*)
+    else scored
+      .withColumn("breakdown", transform(col("__comps"), c => struct(
+        c.getField("entry_idx").as("entry_idx"),
+        c.getField("benchmark_id").as("benchmark_id"),
+        c.getField("raw").as("raw"),
+        c.getField("norm").as("norm"),
+        c.getField("weight").as("weight"),
+        (c.getField("weight") / col("w_eff")).as("weight_share"),
+        ((pow(c.getField("norm"), c.getField("weight") / col("w_eff")) - 1) * 100)
+          .as("impact_pct"),
+        c.getField("penalized").as("penalized"))))
+      .select(outCols :+ col("breakdown"): _*)
   }
 }

@@ -73,6 +73,27 @@ class WorkloadScoresSpec extends SparkSpec {
     assert(WorkloadScores.roundSigFigs(0.0) === 0.0)
   }
 
+  test("breakdown reconstructs the composite and shares sum to 1") {
+    val out = WorkloadScores.compute(scores(base), entries("penalize"), Seq("unit"),
+      sigFigRound = false, withBreakdown = true)
+    val rows = out.collect().map(r => r.getAs[String]("unit") -> r).toMap
+    // s2: present components (b1 norm 2 w .6, b2 norm 1 w .4)
+    val s2 = rows("s2")
+    val comps = s2.getSeq[Row](s2.fieldIndex("breakdown"))
+    assert(comps.map(_.getAs[Double]("weight_share")).sum === 1.0)
+    val reconstructed = comps.map(c =>
+      math.pow(c.getAs[Double]("norm"), c.getAs[Double]("weight_share"))).product
+    assert(math.abs(reconstructed - s2.getAs[Double]("score")) < 1e-9)
+    // s3: missing b2 is penalized — flagged, with norm = penalty floor
+    val s3c = rows("s3").getSeq[Row](rows("s3").fieldIndex("breakdown"))
+    val pen = s3c.find(_.getAs[Boolean]("penalized")).get
+    assert(pen.getAs[String]("benchmark_id") == "b2")
+    assert(pen.getAs[Double]("norm") == 1e-4)
+    // impact of an at-median present component is 0%
+    val atMedian = s3c.find(!_.getAs[Boolean]("penalized")).get
+    assert(math.abs(atMedian.getAs[Double]("impact_pct")) < 1e-9)
+  }
+
   test("exact median uses even-count midpoint (python statistics.median)") {
     val sp = spark; import sp.implicits._
     val e = WorkloadScores.entriesDf(spark, Seq(("wl", 0, "b", 1.0, true, "ignore", 1e-4)))
