@@ -43,6 +43,24 @@ object ReshapeQueries extends QueryPack {
       measured.unionByName(derived).orderBy(col("event_id"), col("kind"))
     }),
 
+    // ---- W2: gap-based sessionization (30-min inactivity gap): lag diff
+    //      flags session starts, running sum numbers them — two windows,
+    //      both partitioned by user, no global sort
+    "w2_sessionize" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(byUser))
+        .groupBy(col("user_id"), col("session_id")).agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- U5: first-crossing synthesis (membench RAM-scope shape): per
     //      user, the first event whose running total value crosses 1000
     "u5_first_crossing" -> ((s, dir) => {
@@ -60,6 +78,22 @@ object ReshapeQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    "w2_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events FROM (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events FROM (
+        |    SELECT user_id, event_id,
+        |      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    FROM (
+        |      SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |               IS NULL THEN 1
+        |             WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |               THEN 1 ELSE 0 END AS new_session
+        |      FROM events))
+        |  GROUP BY user_id, session_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "u1_stack_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
