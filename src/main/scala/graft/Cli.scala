@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.{CanonicalJson, Sync}
+import graft.schema.Schemas
+import graft.sinks.{DdlGen, JsonDump}
+import org.apache.spark.sql.SparkSession
+
+/** Command facade mirroring the reference CLI's surface (`cli.py`
+  * sub-apps: pull / sync / hash / dump / schemas), plus `sql` for ad-hoc
+  * queries over the harness tables. Usage:
+  *
+  *   runMain graft.Cli schemas [sqlite|postgres|derby] [--scd]
+  *   runMain graft.Cli pull <outDir>
+  *   runMain graft.Cli sync <sourceDir> <targetDir> <table> <pk[,pk...]>
+  *   runMain graft.Cli hash <sfDir> <table> <pk[,pk...]>
+  *   runMain graft.Cli dump <sfDir> <table> <pk[,pk...]> <outDir>
+  *   runMain graft.Cli sql <sfDir> "<query>"
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(s)
+    s
+  }
+
+  private def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { t =>
+      try Tables(spark, dir, t).createOrReplaceTempView(t)
+      catch { case _: Throwable => () } // missing files are fine
+    }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "schemas" :: rest =>
+      val dialect = rest.headOption.getOrElse("sqlite") match {
+        case "postgres" => DdlGen.Postgres
+        case "derby" => DdlGen.Derby
+        case _ => DdlGen.Sqlite
+      }
+      DdlGen.allTables(dialect, scd = rest.contains("--scd")).foreach(d => println(d + ";\n"))
+
+    case "pull" :: outDir :: Nil =>
+      val spark = session()
+      val counts = ingest.Pull.pull(spark, new ingest.DemoVendor, ingest.Pull.parquetSink(outDir))
+      counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"$t%-24s $n%6d rows") }
+      spark.stop()
+
+    case "sync" :: src :: tgt :: table :: pks :: Nil =>
+      val spark = session()
+      val r = Sync.sync(spark.read.parquet(s"$src/$table"),
+        spark.read.parquet(s"$tgt/$table"), pks.split(",").toSeq)
+      println(s"sync $table: ${r.stats}")
+      spark.stop()
+
+    case "hash" :: dir :: table :: pks :: Nil =>
+      val spark = session()
+      CanonicalJson.tableHashNative(Tables(spark, dir, table), pks.split(",").toSeq)
+        .select("__key", "__hash").orderBy("__key")
+        .collect().take(20).foreach(r => println(s"${r.getString(0)} -> ${r.getString(1)}"))
+      spark.stop()
+
+    case "dump" :: dir :: table :: pks :: outDir :: Nil =>
+      val spark = session()
+      JsonDump.dump(Tables(spark, dir, table), outDir, table, pks.split(",").toSeq)
+      println(s"dumped $table to $outDir/$table")
+      spark.stop()
+
+    case "sql" :: dir :: query :: Nil =>
+      val spark = session()
+      registerTables(spark, dir)
+      spark.sql(query).show(50, truncate = false)
+      spark.stop()
+
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("commands: schemas | pull | sync | hash | dump | sql")
+      sys.exit(2)
+  }
+}
