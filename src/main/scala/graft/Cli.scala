@@ -68,6 +68,14 @@ object Cli {
       println(s"dumped $table to $outDir/$table")
       spark.stop()
 
+    case "fetch" :: regions :: Nil =>
+      val spark = session()
+      val df = spark.read.format("graft.sources.VendorApiSource")
+        .option("regions", regions).option("rowsPerRegion", "5").load()
+      println(s"partitions=${df.rdd.getNumPartitions}")
+      df.show(20, truncate = false)
+      spark.stop()
+
     case "sql" :: dir :: query :: Nil =>
       val spark = session()
       registerTables(spark, dir)
@@ -76,7 +84,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: schemas | pull | sync | hash | dump | sql")
+      System.err.println("commands: schemas | pull | sync | hash | dump | sql | fetch")
       sys.exit(2)
   }
 }

@@ -112,6 +112,60 @@ object InspectorParsers {
     measured.unionByName(ram)
   }
 
+  private val compressionSchema = MapType(StringType,
+    MapType(StringType, ArrayType(new StructType()
+      .add("ratio", DoubleType)
+      .add("compression_speed", DoubleType)
+      .add("decompression_speed", DoubleType))))
+
+  /** compression matrix `{algo: {level: [runs]}}` × 3 measurements → one
+    * keep-best row per (algo, level, measurement) (U3, reference
+    * `inspector.py:373-401`). */
+  def parseCompression(raw: DataFrame): DataFrame = {
+    val runs = raw
+      .select(keyCols :+ explode(from_json(col("content"), compressionSchema))
+        .as(Seq("algo", "levels")): _*)
+      .select(keyCols ++ Seq(col("algo"), explode(col("levels")).as(Seq("level", "runs"))): _*)
+      .select(keyCols ++ Seq(col("algo"), col("level"), explode(col("runs")).as("run")): _*)
+    val stacked = runs.select(keyCols ++ Seq(col("algo"), col("level"),
+      expr("stack(3, 'ratio', run.ratio, 'compress', run.compression_speed, " +
+        "'decompress', run.decompression_speed)").as(Seq("measurement", "value"))): _*)
+    stacked.groupBy(keyCols ++ Seq(col("algo"), col("level"), col("measurement")): _*)
+      .agg(max(col("value")).as("score"))
+      .select(keyCols ++ Seq(
+        concat_ws(":", lit("compression"), col("algo"), col("measurement")).as("benchmark_id"),
+        map(lit("algo"), col("algo"), lit("level"), col("level"),
+          lit("measurement"), col("measurement")).as("config"),
+        col("score")): _*)
+  }
+
+  /** nvidia-smi XML → per-GPU rows (S3's XML shape, reference
+    * `inspector.py:137-229`): JDK DOM parsing inside a UDF — the one
+    * genuinely procedural parser (XML has no from_json equivalent). */
+  private val parseGpuXmlUdf = udf { (xml: String) =>
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+      val gpus = doc.getElementsByTagName("gpu")
+      (0 until gpus.getLength).map { i =>
+        val g = gpus.item(i).asInstanceOf[org.w3c.dom.Element]
+        def text(tag: String): String = {
+          val ns = g.getElementsByTagName(tag)
+          if (ns.getLength > 0) ns.item(0).getTextContent.trim else null
+        }
+        (text("product_name"), text("fb_memory_usage_total"), text("graphics_clock"))
+      }
+    } catch { case _: Throwable => Seq.empty[(String, String, String)] }
+  }
+
+  def parseNvidiaSmi(raw: DataFrame): DataFrame =
+    raw.select(keyCols :+ explode(parseGpuXmlUdf(col("content"))).as("gpu"): _*)
+      .select(keyCols ++ Seq(
+        col("gpu._1").as("gpu_model"),
+        regexp_extract(col("gpu._2"), "([0-9]+)", 1).cast("long").as("memory_mib"),
+        regexp_extract(col("gpu._3"), "([0-9]+)", 1).cast("int").as("graphics_clock_mhz")): _*)
+
   private val llmSchema = new StructType()
     .add("model_filename", StringType).add("n_prompt", LongType)
     .add("n_gen", LongType).add("avg_ts", DoubleType)

@@ -50,6 +50,39 @@ class InspectorParsersSpec extends SparkSpec {
     assert(out.contains(Map("operation" -> "read", "scope" -> "RAM") -> 30000.0))
   }
 
+  test("compression matrix flattens to keep-best per algo/level/measurement") {
+    val json =
+      """{"gzip": {"1": [{"ratio": 2.5, "compression_speed": 100.0, "decompression_speed": 400.0},
+        |               {"ratio": 2.5, "compression_speed": 110.0, "decompression_speed": 390.0}],
+        |          "9": [{"ratio": 3.1, "compression_speed": 20.0, "decompression_speed": 410.0}]}}""".stripMargin
+    val out = InspectorParsers.parseCompression(raw(json))
+      .collect().map(r => (r.getString(2),
+        r.getMap[String, String](3).get("level").get, r.getDouble(4)))
+    assert(out.length == 6) // 2 levels x 3 measurements
+    assert(out.contains(("compression:gzip:compress", "1", 110.0))) // best of 2 runs
+    assert(out.contains(("compression:gzip:ratio", "9", 3.1)))
+  }
+
+  test("nvidia-smi XML parses per-GPU rows") {
+    val xml =
+      """<nvidia_smi_log><gpu id="0">
+        |  <product_name>NVIDIA A10G</product_name>
+        |  <fb_memory_usage_total>23028 MiB</fb_memory_usage_total>
+        |  <graphics_clock>1710 MHz</graphics_clock>
+        |</gpu><gpu id="1">
+        |  <product_name>NVIDIA A10G</product_name>
+        |  <fb_memory_usage_total>23028 MiB</fb_memory_usage_total>
+        |  <graphics_clock>1710 MHz</graphics_clock>
+        |</gpu></nvidia_smi_log>""".stripMargin
+    val out = InspectorParsers.parseNvidiaSmi(raw(xml)).collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[String]("gpu_model") == "NVIDIA A10G")
+    assert(out.head.getAs[Long]("memory_mib") == 23028L)
+    assert(out.head.getAs[Int]("graphics_clock_mhz") == 1710)
+    // malformed xml degrades to zero rows, not an exception
+    assert(InspectorParsers.parseNvidiaSmi(raw("<broken")).count() == 0)
+  }
+
   test("llm_speed JSONL classifies prompt vs generation") {
     val jsonl =
       """{"model_filename": "llama7b.gguf", "n_prompt": 512, "n_gen": 0, "avg_ts": 123.4}
