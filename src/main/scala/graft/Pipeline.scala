@@ -174,7 +174,7 @@ object Pipeline {
       graft.ingest.Pull.parquetSink(dir))
     println(s"[pipeline] pull: ${counts.size} record types, " +
       s"${counts.values.sum} rows (server_price=${counts("server_price")})")
-    assert(counts.size == 13 && counts("server_price") == 4)
+    assert(counts.size == 19 && counts("server_price") == 4)
 
     // recompute workload scores from the written benchmark_score table
     val scores = spark.read.parquet(s"$dir/benchmark_score")

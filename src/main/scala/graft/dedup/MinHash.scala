@@ -61,12 +61,20 @@ object MinHash {
       .agg(min(col("h0")).as("h0"), (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
   }
 
-  /** (id, band, band_hash) rows from a signature frame. */
+  /** Band-mix modulus and multiplier: acc stays < MixMod ≈ 1e9, so each
+    * fold step peaks ≈ 1e12 — overflow-free under ANSI on both engines.
+    * An 8-byte join key instead of an md5 string; mix collisions only cost
+    * extra (exactly-verified) candidates, never correctness. */
+  val MixMod = 1000000007L
+  val MixMul = 1009L
+
+  /** (id, band, band_hash) rows from a signature frame: band hash is a
+    * mod-reduced polynomial fold of the band's minhashes. */
   def bandRows(sig: DataFrame, idCol: String): DataFrame = {
     val bands = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("_", (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
-          .as("band_hash"))
+      val mix = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        .reduce((acc, h) => (acc * lit(MixMul) + h) % lit(MixMod))
+      struct(lit(b).as("band"), mix.as("band_hash"))
     }
     sig.select(col(idCol), explode(array(bands: _*)).as("bh"))
       .select(col(idCol), col("bh.band"), col("bh.band_hash"))

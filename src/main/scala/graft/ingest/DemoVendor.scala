@@ -147,6 +147,43 @@ class DemoVendor extends VendorInventory {
       .withColumn("unit", lit("hour")).withColumn("currency", lit("USD")))
   }
 
+  override def inventoryVendors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((vendorId, "Demo Cloud", "US", 2026)).toDF("vendor_id", "name", "country_id", "founding_year")
+  }
+
+  override def inventoryVendorComplianceLinks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((vendorId, "hipaa"), (vendorId, "soc2t2"))
+      .toDF("vendor_id", "compliance_framework_id")
+  }
+
+  override def inventoryServerDescriptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    withVendor(Seq(("s1.large",
+      Seq("A balanced general-purpose instance for everyday workloads."),
+      Seq("2 vCPUs", "8 GB memory", "up to 10 Gbps network"),
+      Seq("processing")))
+      .toDF("server_id", "page", "bullet_points", "categories"))
+  }
+
+  override def inventoryDatabaseStorages(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    withVendor(Seq(("db-ssd", "Database SSD", "ssd", 12000L, 500L, 20L, 4096L))
+      .toDF("database_storage_id", "name", "storage_type", "max_iops",
+        "max_throughput", "min_size", "max_size"))
+  }
+
+  override def inventoryDatabaseStoragePrices(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    withVendor(Seq(("dc-east", "db-ssd", 0.115))
+      .toDF("region_id", "database_storage_id", "price")
+      .withColumn("unit", lit("gb_month")).withColumn("currency", lit("USD")))
+  }
+
+  override def inventoryBenchmarks(spark: SparkSession): DataFrame =
+    SeedTables.benchmarks(spark)
+
   def inventoryBenchmarkScores(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val raw = Seq(

@@ -30,21 +30,50 @@ trait VendorInventory {
   def inventoryIpv4Prices(spark: SparkSession): DataFrame
   def inventoryBenchmarkScores(spark: SparkSession): DataFrame
 
-  /** record-type → (table name, frame) for the pull orchestrator. */
+  /** The remaining record types default to empty (not every vendor ships
+    * them — mirrors the reference's optional record-type flags). */
+  def inventoryVendors(spark: SparkSession): DataFrame =
+    VendorInventory.empty(spark, "vendor")
+  def inventoryVendorComplianceLinks(spark: SparkSession): DataFrame =
+    VendorInventory.empty(spark, "vendor_compliance_link")
+  def inventoryServerDescriptions(spark: SparkSession): DataFrame =
+    VendorInventory.empty(spark, "server_description")
+  def inventoryDatabaseStorages(spark: SparkSession): DataFrame =
+    VendorInventory.empty(spark, "database_storage")
+  def inventoryDatabaseStoragePrices(spark: SparkSession): DataFrame =
+    VendorInventory.empty(spark, "database_storage_price")
+  def inventoryBenchmarks(spark: SparkSession): DataFrame =
+    VendorInventory.empty(spark, "benchmark")
+
+  /** record-type → (table name, frame) for the pull orchestrator — all 19
+    * registry tables. */
   def all(spark: SparkSession): Seq[(String, DataFrame)] = Seq(
     "compliance_framework" -> inventoryComplianceFrameworks(spark),
     "country" -> inventoryCountries(spark),
+    "vendor" -> inventoryVendors(spark),
+    "vendor_compliance_link" -> inventoryVendorComplianceLinks(spark),
     "region" -> inventoryRegions(spark),
     "zone" -> inventoryZones(spark),
     "server" -> inventoryServers(spark),
     "server_price" -> inventoryServerPrices(spark),
+    "server_description" -> inventoryServerDescriptions(spark),
     "storage" -> inventoryStorages(spark),
     "storage_price" -> inventoryStoragePrices(spark),
     "database" -> inventoryDatabases(spark),
     "database_price" -> inventoryDatabasePrices(spark),
+    "database_storage" -> inventoryDatabaseStorages(spark),
+    "database_storage_price" -> inventoryDatabaseStoragePrices(spark),
     "traffic_price" -> inventoryTrafficPrices(spark),
     "ipv4_price" -> inventoryIpv4Prices(spark),
+    "benchmark" -> inventoryBenchmarks(spark),
     "benchmark_score" -> inventoryBenchmarkScores(spark))
+}
+
+object VendorInventory {
+  /** Empty frame with the registry schema (pull conforms it anyway). */
+  def empty(spark: SparkSession, table: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.tables(table)._1)
 }
 
 /** The `pull` orchestrator (reference §3.1, `cli.py:759-921`): per record

@@ -162,7 +162,11 @@ object TextQueries extends QueryPack {
          |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
          |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
          |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
-         |  md5(string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)) AS band_hash
+         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+         |    AS band_hash
          |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
          |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |  FROM bands l JOIN bands r

@@ -10,9 +10,9 @@ class PullSpec extends SparkSpec {
   test("pull conforms, dedups and sinks every record type") {
     val dir = Files.createTempDirectory("graft-pull").toString
     val counts = Pull.pull(spark, new DemoVendor, Pull.parquetSink(dir))
-    assert(counts.keySet == Schemas.tables.keySet -- Set("vendor",
-      "vendor_compliance_link", "server_description", "database_storage",
-      "database_storage_price", "benchmark", "_metadata"))
+    // every registry table except the orchestrator-owned _metadata
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    assert(counts("vendor") == 1 && counts("benchmark") == 14)
     assert(counts("server_price") == 4) // zone fan-out
     assert(counts("country") == 29)
     assert(counts("benchmark_score") == 2) // bw_mem rd + wr
