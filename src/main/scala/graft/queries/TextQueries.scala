@@ -39,6 +39,17 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus statistics: one-pass exact data-card numbers
+    "t5_corpus_stats" -> ((s, dir) => {
+      graft.text.CorpusStats.summary(Tables.documents(s, dir))
+    }),
+
+    // ---- token-length histogram (50-token buckets)
+    "t6_length_histogram" -> ((s, dir) => {
+      graft.text.CorpusStats.lengthHistogram(Tables.documents(s, dir), 50)
+        .orderBy(col("bucket_start"))
+    }),
+
     // ---- D1: exact dedup by normalized-content fingerprint
     "d1_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -140,6 +151,21 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t5_corpus_stats" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,
+        |  SUM(length(text)) AS n_chars,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique_fingerprints,
+        |  MIN(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens,
+        |  MAX(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens,
+        |  ROUND(MEDIAN(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS median_tokens
+        |FROM documents""".stripMargin,
+    "t6_length_histogram" ->
+      """SELECT CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) / 50) * 50 AS BIGINT)
+        |    AS bucket_start,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket_start""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
         |    '\s+', ' ', 'g'))) AS fingerprint,
