@@ -313,6 +313,51 @@ object CoreQueries extends QueryPack {
         .orderBy(col("priority"), col("n_name"))
     }),
 
+    // ---- W3: rolling average over an explicit row frame (the one frame
+    //      spec family the reference lacks; scale: per-user partitions)
+    "w3_rolling_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      Tables.events(s, dir)
+        .withColumn("rolling_avg",
+          round(sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double") /
+            count(lit(1)).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("rolling_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- J9: 6-way join with selective dimension filter (join-order /
+    //      TPC-H Q5 shape — Catalyst reorders, dimensions broadcast)
+    "j9_join_order" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Cols.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- A12: HAVING-filtered aggregation + semi join back (Q18 shape)
+    "a12_big_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("total_qty"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- O5/O1: max over a row-wise collection (max-tier price shape)
     "o5_max_tier" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -482,5 +527,32 @@ object CoreQueries extends QueryPack {
         |FROM nation ORDER BY priority, n_name""".stripMargin,
     "o5_max_tier" ->
       """SELECT l_orderkey, l_linenumber, greatest(l_tax, l_discount) AS max_rate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "w3_rolling_avg" ->
+      """SELECT user_id, event_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w, 4) AS rolling_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "j9_join_order" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "a12_big_orders" ->
+      """SELECT o_orderkey, o_custkey, total_qty, o_totalprice
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+        |ON o_orderkey = big.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -68,6 +68,12 @@ object PriceStream {
       }
   }
 
+  /** Stream-static enrichment: join each micro-batch to a static dimension
+    * frame (server/region attributes). The static side is broadcast per
+    * batch — the streaming analogue of the batch dimension joins. */
+  def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** CDC merge per micro-batch: dedup keep-last inside the batch, then hand
     * to any batch writer (JDBC upsert, parquet MERGE, ...). Reuses the
     * batch ops — the foreachBatch bridge the reference's SCD flips map to. */

@@ -68,6 +68,22 @@ class PriceStreamSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("stream-static join enriches observations with dimension attributes") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val dim = Seq(("a", "us-east-1"), ("b", "eu-west-1")).toDF("key", "region")
+    val mem = MemoryStream[PriceStream.PriceObs]
+    val q = PriceStream.enriched(mem.toDF(), dim, "key").writeStream
+      .format("memory").queryName("enriched_out").outputMode("append").start()
+    mem.addData(PriceStream.PriceObs("a", ts(1), 1.0),
+      PriceStream.PriceObs("z", ts(2), 2.0)) // no dim row -> null region
+    q.processAllAvailable()
+    val out = sp.sql("SELECT key, region FROM enriched_out ORDER BY key").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)))
+    q.stop()
+    assert(out.toSeq == Seq("a" -> Some("us-east-1"), "z" -> None))
+  }
+
   test("foreachBatch scd merge dedups within batch before writing") {
     val sp = spark; import sp.implicits._
     implicit val sc = sp.sqlContext
