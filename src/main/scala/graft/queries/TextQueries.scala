@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{Clusters, MinHash, SimHash}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,16 @@ object TextQueries extends QueryPack {
       MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 2, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- D5: near-dup CLUSTER dedup — connected components over the
+    //      Jaccard pair graph, one representative kept per component
+    "d5_dedup_clusters" -> ((s, dir) => {
+      val pairs = MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.8)
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- D3: MinHash signatures → LSH banding → verified Jaccard
@@ -181,6 +191,29 @@ object TextQueries extends QueryPack {
          |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |${jaccardTail("shp", "0.8")}""".stripMargin,
+    "d5_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+         |        WHERE df <= 20),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |consts(i, a, b) AS (VALUES $constsValues),

@@ -1,0 +1,30 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClustersSpec extends SparkSpec {
+
+  test("connected components label chains and triangles to the min id") {
+    val sp = spark; import sp.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupPlan keeps one representative per cluster, singletons keep themselves") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.dedupPlan(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+    // dedup rate: 6 docs -> 4 kept
+    assert(out.count(_._3) == 4)
+  }
+}
