@@ -10,7 +10,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(CoreQueries, ScoreQueries, TextQueries, SimilarityQueries,
-      ReshapeQueries, MiscQueries)
+      ReshapeQueries, MiscQueries, LifecycleQueries)
 
   /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
     * the workload-score composite — the reference's richest dataflow. */

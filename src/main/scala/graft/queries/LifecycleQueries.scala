@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.sinks.JsonDump
+import org.apache.spark.sql.functions._
+
+/** Oracle gates for lifecycle operators that previously had only
+  * rows-only/spec coverage: the K4 JSON dump (verified by writing and
+  * reading back a real partitioned dump), P6 nested-terms price
+  * extraction (`vendors/_aws.py:405-447`), P4 standardization chains
+  * (`inspector.py:760-1012`), and U4 regex-validated line parsing with
+  * best-per-group summary rows (`inspector.py:496-576`). */
+object LifecycleQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // ---- K4: JSON dump round-trip — dump supplier partitioned by nation
+    //      key, read the files back with the declared schema, and emit the
+    //      rows. The oracle is the source table itself: the query passes
+    //      iff the dump lost nothing (values, types, partition columns).
+    "k4_json_roundtrip" -> ((s, dir) => {
+      val supplier = Tables.supplier(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_k4").toString
+      JsonDump.dump(supplier, tmp, "supplier", Seq("s_nationkey"))
+      s.read.schema(supplier.schema).json(s"$tmp/supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- P6: price extraction from nested terms JSON — build an AWS-terms
+    //      shaped document per order (unknown SKU/dimension keys, currency
+    //      map), then dig OnDemand → first SKU → priceDimensions → first
+    //      dimension → pricePerUnit with USD-preference / first-currency
+    //      fallback, exactly the reference's digging order.
+    "p6_price_extract" -> ((s, dir) => {
+      val currency = when(col("o_orderkey") % 7 === 0, lit("EUR")).otherwise(lit("USD"))
+      val terms = format_string(
+        """{"OnDemand":{"sku.%d":{"priceDimensions":{"dim.%d":{"pricePerUnit":{"%s":"%s"}}}}}}""",
+        col("o_orderkey"), col("o_orderkey"), currency, col("o_totalprice"))
+      val schema = "map<string,map<string,struct<priceDimensions:map<string,struct<pricePerUnit:map<string,string>>>>>>"
+      val parsed = Tables.orders(s, dir)
+        .select(col("o_orderkey"), from_json(terms, schema, Map.empty[String, String]).as("terms"))
+        .select(col("o_orderkey"),
+          try_element_at(map_values(try_element_at(col("terms"), lit("OnDemand"))), lit(1))
+            .getField("priceDimensions").as("dims"))
+        .select(col("o_orderkey"),
+          try_element_at(map_values(col("dims")), lit(1)).getField("pricePerUnit").as("ppu"))
+      parsed.select(
+          col("o_orderkey"),
+          try_element_at(map_keys(col("ppu")), lit(1)).as("currency"),
+          coalesce(try_element_at(col("ppu"), lit("USD")),
+            try_element_at(map_values(col("ppu")), lit(1))).cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- P4: standardization chains — collapse whitespace + case-fold the
+    //      free-text name, strip the vendor prefix off the brand code, take
+    //      the family token from the type (regex/prefix cleanup shapes)
+    "p4_standardize" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          regexp_replace(upper(trim(col("p_name"))), "\\s+", " ").as("name_std"),
+          regexp_replace(col("p_brand"), "^Brand#", "").as("brand_code"),
+          lower(element_at(split(col("p_type"), " "), 1)).as("family"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- U4: regex-validated text lines → typed rows + best1 summary rows
+    //      unioned back (stressng/bw_mem CSV-line shape): serialize events
+    //      to lines, keep only lines matching the pattern, split + cast,
+    //      then append one best-score row per operation.
+    "u4_regex_lines" -> ((s, dir) => {
+      val lines = Tables.events(s, dir)
+        .select(concat_ws(" ", col("event_type"), col("event_id"), col("value")).as("line"))
+      val parsed = lines.filter(col("line").rlike("^(purchase|click) [0-9]+ "))
+        .select(split(col("line"), " ").as("f"))
+        .select(element_at(col("f"), 1).as("operation"),
+          element_at(col("f"), 2).cast("bigint").as("event_id"),
+          element_at(col("f"), 3).cast("double").as("score"))
+      val detail = parsed.select(col("operation"), col("event_id"), col("score"),
+        lit("row").as("kind"))
+      val best = parsed.groupBy(col("operation"))
+        .agg(max(col("score")).as("score"))
+        .select(col("operation"), lit(null).cast("bigint").as("event_id"),
+          col("score"), lit("best1").as("kind"))
+      detail.unionByName(best).orderBy(col("kind"), col("operation"), col("event_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "k4_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "p6_price_extract" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'EUR' ELSE 'USD' END AS currency,
+        |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p4_standardize" ->
+      """SELECT p_partkey,
+        |  regexp_replace(upper(trim(p_name)), '\s+', ' ', 'g') AS name_std,
+        |  regexp_replace(p_brand, '^Brand#', '') AS brand_code,
+        |  lower(string_split(p_type, ' ')[1]) AS family
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "u4_regex_lines" ->
+      """WITH parsed AS (
+        |  SELECT event_type AS operation, event_id, value AS score
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT operation, event_id, score, 'row' AS kind FROM parsed
+        |UNION ALL
+        |SELECT operation, NULL AS event_id, MAX(score) AS score, 'best1' AS kind
+        |FROM parsed GROUP BY operation
+        |ORDER BY kind, operation, event_id""".stripMargin)
+}
