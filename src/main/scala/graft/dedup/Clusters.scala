@@ -40,6 +40,7 @@ object Clusters {
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 

@@ -95,8 +95,13 @@ object MinHash {
     * the self-join explodes quadratically on high-frequency shingles, which
     * is exactly what LSH exists to avoid. Candidate pairs are small, so AQE
     * broadcasts them. */
-  def verifyJaccard(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame = {
-    val sizes = hs.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+  def verifyJaccard(pairs: DataFrame, hs: DataFrame, idCol: String): DataFrame =
+    verifyJaccard(pairs, hs, hs.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")), idCol)
+
+  /** As above with a precomputed per-doc set-size frame (map-side
+    * `size(sharr)` when the caller holds the array form). */
+  def verifyJaccard(pairs: DataFrame, hs: DataFrame, sizes: DataFrame,
+                    idCol: String): DataFrame = {
     val a = hs.select(col(idCol).as("id_a"), col("shash"))
     val b = hs.select(col(idCol).as("id_b"), col("shash"))
     val inter = pairs.join(a, "id_a").join(b, Seq("id_b", "shash"))
@@ -108,15 +113,52 @@ object MinHash {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
   }
 
-  /** Full pipeline: LSH candidates → exact verification → threshold. The
-    * hashed-shingle frame feeds signatures, sizes, and both verification
-    * sides, so it is persisted for the duration of the query (memory+disk,
-    * LRU-evicted; one md5-explode pass instead of four). */
+  /** (id, sharr) rows: the document's distinct shingles as an array of
+    * 60-bit md5-derived longs — ONE ROW PER DOCUMENT. The array form keeps
+    * the whole signature computation map-side: no shingle explode, no
+    * shuffle, one md5 pass per shingle. */
+  def hashedShingleArray(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol),
+      transform(TextAnalysis.shingles(col(textCol), n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sharr"))
+
+  /** Signature columns h0..h{k-1} computed map-side from the shingle array:
+    * h_i = min over shingles of (a_i·(shash mod ShingleMod) + b_i) mod P.
+    * Identical values to the explode+groupBy form ([[signatures]]) with
+    * zero shuffle — at corpus scale this turns the signature stage from a
+    * full (doc, shingle)-row shuffle into a narrow map. The k mins are
+    * computed in ONE pass over the shingle array by the native codegen'd
+    * kernel [[graft.plans.MinHashSigExpr]] (the `array_min(transform(...))`
+    * composition walks the array k times on the boxing HOF path). */
+  def signaturesFromArray(sharr: DataFrame, idCol: String): DataFrame = {
+    val sig = graft.plans.Exprs.toColumn(graft.plans.MinHashSigExpr(
+      graft.plans.Exprs.toExpression(col("sharr")), A, B, ShingleMod, P))
+    sharr.select(col(idCol), sig.as("sig"))
+      .select(col(idCol) +: (0 until NumHashes).map(i => col("sig")(i).as(s"h$i")): _*)
+  }
+
+  /** Full pipeline: LSH candidates → exact verification → threshold.
+    *
+    * Plan shape (the 100 TB story): the per-doc shingle-array frame is
+    * computed once (persisted, one md5 pass); signatures and set sizes
+    * derive from it MAP-SIDE (no explode, no shuffle). The only shuffles
+    * left are the band-bucket self-join (the LSH point) and the
+    * candidate-driven verification join, both proportional to candidate
+    * count, not corpus size. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val hs = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
+    val sharr = hashedShingleArray(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(candidatePairs(hs, idCol), hs, idCol)
+    val pairs = {
+      val bands = bandRows(signaturesFromArray(sharr, idCol), idCol)
+      val l = bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+      val r = bands.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+      l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+    }
+    val hs = sharr.select(col(idCol), explode(col("sharr")).as("shash"))
+    val sizes = sharr.select(col(idCol), size(col("sharr")).as("n_sh"))
+    verifyJaccard(pairs, hs, sizes, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -130,10 +172,14 @@ object MinHash {
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 20): DataFrame = {
     val sh0 = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
-    // document frequency in one pass (window count needs no ordering)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shash"))
-    val sh = sh0.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= maxDf).drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency via aggregate + join-back: the aggregate combines
+    // map-side and its output (distinct surviving shingles, 8-byte keys) is
+    // small enough for AQE to broadcast the join — unlike a count window,
+    // which shuffles AND SORTS every (doc, shingle) row
+    val dfc = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shash"))
+    val sh = sh0.join(dfc, "shash")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shash"))
     val b = sh.select(col(idCol).as("id_b"), col("shash"))

@@ -38,11 +38,16 @@ object GraftExtensions {
       (children: Seq[Expression]) => CanonicalJsonExpr(children.head)),
     (FunctionIdentifier("canonical_row_hash"),
       new ExpressionInfo(classOf[CanonicalJsonExpr].getName, "canonical_row_hash"),
-      (children: Seq[Expression]) => sha1Of(CanonicalJsonExpr(children.head))))
+      (children: Seq[Expression]) => sha1Of(CanonicalJsonExpr(children.head))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
 
-  /** Register into an already-built session. */
+  /** Register into an already-built session (idempotent — safe to call
+    * from operator constructors). */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }

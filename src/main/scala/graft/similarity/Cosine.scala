@@ -22,8 +22,20 @@ object Cosine {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Composable (higher-order-function) dot product: the reference form —
+    * allocates a products array per evaluation. Kept for the equivalence
+    * spec; hot paths use [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product ([[graft.plans.DotProductExpr]]):
+    * identical values (sequential double accumulation), tight loop, no
+    * per-row allocation. Registered on demand in the active session. */
+  def dot(a: Column, b: Column): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("dot_product", a, b)
+  }
 
   def normSq(a: Column): Column = dot(a, a)
 

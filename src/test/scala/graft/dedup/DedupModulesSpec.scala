@@ -24,6 +24,15 @@ class MinHashSpec extends SparkSpec {
     assert(sig(0) == sig(1))
   }
 
+  test("map-side array signatures equal the explode+groupBy signatures") {
+    val viaRows = MinHash.signatures(
+      MinHash.hashedShingleRows(MinHash.shingleRows(docs, "doc_id", "text", 2), "doc_id"), "doc_id")
+    val viaArray = MinHash.signaturesFromArray(
+      MinHash.hashedShingleArray(docs, "doc_id", "text", 2), "doc_id")
+    assert(viaRows.orderBy("doc_id").collect().toSeq ==
+      viaArray.orderBy("doc_id").collect().toSeq)
+  }
+
   test("LSH finds the planted near-dup pair and verifies exact jaccard") {
     val out = MinHash.nearDuplicates(docs, "doc_id", "text", n = 2, threshold = 0.5)
       .collect()
@@ -65,6 +74,27 @@ class SimHashSpec extends SparkSpec {
 }
 
 class CosineSpec extends SparkSpec {
+
+  test("native dot_product equals the higher-order-function fold, float and double") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.5f, -3.25f), Array(0.5f, -1.5f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(7.25f, 0.0f, -0.125f)))
+      .toDF("a", "b")
+    val native = df.select(
+      graft.similarity.Cosine.dot(col("a"), col("b")).as("d"),
+      graft.similarity.Cosine.dot(
+        graft.similarity.Cosine.toDouble(col("a")),
+        graft.similarity.Cosine.toDouble(col("b"))).as("dd")).collect()
+    val hof = df.select(
+      graft.similarity.Cosine.dotHof(
+        graft.similarity.Cosine.toDouble(col("a")),
+        graft.similarity.Cosine.toDouble(col("b"))).as("d")).collect()
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n.getDouble(0) == h.getDouble(0)) // bit-identical, not approx
+      assert(n.getDouble(1) == h.getDouble(0)) // float path == double path
+    }
+  }
 
   test("cosine of known vectors") {
     val sp = spark; import sp.implicits._
