@@ -38,6 +38,21 @@ object Tables {
         org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     else df
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(apply(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(apply(spark, dir, "embeddings"))
+
+  /** A small table arrives as ONE input split, so heavy per-row compute
+    * downstream (shingling, per-shingle md5, dot products) runs in a single
+    * task no matter how many cores exist — at sf0.1 that made every dedup
+    * query pay ~7 s of single-threaded hashing. Spread the scan to
+    * defaultParallelism when it has fewer partitions; at 100 TB inputs have
+    * thousands of row groups and this is a no-op (no shuffle). Row order is
+    * never load-bearing here: every oracle-gated query ends in a total
+    * ORDER BY, and ordered dedup derives order from data columns. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

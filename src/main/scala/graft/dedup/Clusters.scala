@@ -10,37 +10,54 @@ import org.apache.spark.sql.functions._
   * have tiny diameters, so convergence takes a couple of iterations; the
   * driver loop only checks a changed-count per round (the data stays
   * distributed). For adversarially-deep graphs at extreme scale the same
-  * loop structure hosts the large-star/small-star variant. */
+  * loop structure hosts the large-star/small-star variant.
+  *
+  * Each round's frontier is truncated with an EAGER `localCheckpoint`, not
+  * `persist`: an iterative plan that only persists keeps its full logical
+  * lineage, so every later action re-canonicalizes (and the cache manager
+  * re-matches) a tree that grows with the iteration count — measured as
+  * multi-second driver stalls per round on millisecond-sized data. The
+  * checkpoint materializes the round's rows and restarts the lineage at a
+  * LogicalRDD, keeping round N's planning cost independent of N (the same
+  * reason GraphFrames checkpoints its CC iterations). */
 object Clusters {
 
   /** (id, cluster_id) for every node appearing in `pairs`; cluster_id is
     * the minimum id in the node's connected component. */
   def connectedComponents(pairs: DataFrame, colA: String = "id_a", colB: String = "id_b",
                           maxIterations: Int = 20): DataFrame = {
+    // materialized once; truncates the (possibly very expensive) pair-
+    // detection lineage out of every round's plan
     val edges = pairs.select(col(colA).as("src"), col(colB).as("dst"))
       .unionByName(pairs.select(col(colB).as("src"), col(colA).as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors; the
+      // old label rides along so convergence detection is a filter-count
+      // on the checkpointed rows, not a second pass over the join
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr"))
+        .withColumnRenamed("dst", "id")
+      val next = labels.withColumnRenamed("cluster_id", "old")
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster_id"),
+          col("old"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("cluster_id") =!= col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] iter=$i changed=$changed")
+      labels = next.drop("old")
       converged = changed == 0
       i += 1
     }
-    edges.unpersist(blocking = false)
     labels
   }
 

@@ -137,13 +137,28 @@ object MinHash {
       .select(col(idCol) +: (0 until NumHashes).map(i => col("sig")(i).as(s"h$i")): _*)
   }
 
+  /** Exact Jaccard for candidate pairs against the ARRAY form: two joins
+    * re-attach each side's shingle array (AQE broadcasts the candidate
+    * side, so the big frame is never shuffled), then the intersection is a
+    * single hash-set `array_intersect` per pair — no explode, no
+    * per-shingle shuffle, work strictly proportional to candidate count. */
+  def verifyJaccardArrays(pairs: DataFrame, sharr: DataFrame, idCol: String): DataFrame =
+    pairs
+      .join(sharr.select(col(idCol).as("id_a"), col("sharr").as("sh_a")), "id_a")
+      .join(sharr.select(col(idCol).as("id_b"), col("sharr").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+
   /** Full pipeline: LSH candidates → exact verification → threshold.
     *
     * Plan shape (the 100 TB story): the per-doc shingle-array frame is
     * computed once (persisted, one md5 pass); signatures and set sizes
     * derive from it MAP-SIDE (no explode, no shuffle). The only shuffles
     * left are the band-bucket self-join (the LSH point) and the
-    * candidate-driven verification join, both proportional to candidate
+    * candidate-driven verification joins, both proportional to candidate
     * count, not corpus size. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 2, threshold: Double = 0.7): DataFrame = {
@@ -156,9 +171,7 @@ object MinHash {
       l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
     }
-    val hs = sharr.select(col(idCol), explode(col("sharr")).as("shash"))
-    val sizes = sharr.select(col(idCol), size(col("sharr")).as("n_sh"))
-    verifyJaccard(pairs, hs, sizes, idCol)
+    verifyJaccardArrays(pairs, sharr, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
