@@ -30,6 +30,15 @@ object SimilarityQueries extends QueryPack {
       Cosine.srpPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.3, nPlanes = 4)
         .orderBy(col("bucket"), col("id_a"), col("id_b"))
+    }),
+
+    // ---- X4: IVF-style ANN top-k search — queries probe only their own
+    //      coarse cell; candidate work scales with cell size, not corpus
+    "x4_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   /** The same deterministic SRP hyperplanes the engine uses, as SQL array
@@ -74,5 +83,19 @@ object SimilarityQueries extends QueryPack {
          |    list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) AS sim
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
-         |WHERE sim >= 0.3 ORDER BY bucket, id_a, id_b""".stripMargin)
+         |WHERE sim >= 0.3 ORDER BY bucket, id_a, id_b""".stripMargin,
+    "x4_ivf_topk" ->
+      s"""WITH $vCte,
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

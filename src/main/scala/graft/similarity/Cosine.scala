@@ -91,6 +91,29 @@ object Cosine {
       .select(col("bucket"), col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-style approximate top-k SEARCH: each query probes only its own
+    * coarse cell (`cellCol`), candidates come from an equi-join on the
+    * cell id, and the k best cosine matches per query are kept. This is
+    * the scale path for ANN search: work per query is the probed cell's
+    * size, not the corpus, and the join shuffles on the cell key instead
+    * of broadcasting the whole corpus. Recall is governed by the coarse
+    * quantizer (probing more neighboring cells = unioning more cell ids
+    * onto the query side before the same join). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(cellCol), col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+    val c = corpus.select(col(cellCol), col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", normSq(col("cv")))
+    val sims = q.join(c, Seq(cellCol)).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style near-duplicate pairs: only pairs sharing a coarse cell
     * (`cellCol`) are compared — the quadratic join never materializes. */
   def cellPairs(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,

@@ -115,4 +115,23 @@ class CosineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSet == Set((1L, 2L))) // (1,3) identical but cross-cell
   }
+
+  test("IVF top-k equals brute-force top-k restricted to the query's cell") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 60L).map { id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2 - 1), (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val ivf = graft.similarity.Cosine.ivfTopK(
+        df.filter(col("vec_id") <= 6), df, "vec_id", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = (1L to 6L).flatMap { qid =>
+      val cell = (qid % 3).toInt
+      graft.similarity.Cosine.topK(
+          df.filter(col("vec_id") === qid),
+          df.filter(col("label") === cell), "vec_id", "embedding", k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }
+    assert(ivf.sorted == brute.sorted)
+  }
 }
