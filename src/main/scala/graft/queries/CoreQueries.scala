@@ -205,6 +205,35 @@ object CoreQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_partkey"))
     }),
 
+    // ---- O1: tier sort — array-of-struct sorted INSIDE the array column
+    //      (map-side, no shuffle beyond the grouping that builds the array)
+    "o1_tier_sort" -> ((s, dir) => {
+      val tiers = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity").as("lower"),
+          col("l_extendedprice").as("price"))).as("tiers"))
+      tiers.select(col("l_orderkey"),
+          posexplode(graft.ops.TierOps.sortTiersBy(col("tiers"), "lower"))
+            .as(Seq("pos", "tier")))
+        .select(col("l_orderkey"), col("pos").cast("long").as("pos"),
+          col("tier.lower").as("lower"), col("tier.price").as("price"))
+        .orderBy(col("l_orderkey"), col("pos"))
+    }),
+
+    // ---- J3: zone-availability fan-out — equi-join that REPLICATES rows
+    //      (each supplier offered in every nation of its region)
+    "j3_zone_fanout" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+      val offerings = Tables.nation(s, dir)
+        .select(col("n_regionkey"), col("n_name").as("offered_in"))
+      sup.join(broadcast(offerings), "n_regionkey")
+        .select(col("s_suppkey"), col("s_name"), col("offered_in"))
+        .orderBy(col("s_suppkey"), col("offered_in"))
+    }),
+
     // ---- O2: cumulative tier bounds via lag (Azure tier chain shape)
     "o2_cumulative_bounds" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"))
@@ -457,6 +486,18 @@ object CoreQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
         |      ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC, l_suppkey DESC) AS rn
         |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
+    "o1_tier_sort" ->
+      """SELECT l_orderkey,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_quantity, l_extendedprice) - 1 AS pos,
+        |  l_quantity AS lower, l_extendedprice AS price
+        |FROM lineitem ORDER BY l_orderkey, pos""".stripMargin,
+    "j3_zone_fanout" ->
+      """SELECT s_suppkey, s_name, o.n_name AS offered_in
+        |FROM supplier
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN nation o ON o.n_regionkey = sn.n_regionkey
+        |ORDER BY s_suppkey, offered_in""".stripMargin,
     "o2_cumulative_bounds" ->
       """SELECT l_orderkey, l_linenumber,
         |  COALESCE(lag(l_extendedprice) OVER (PARTITION BY l_orderkey

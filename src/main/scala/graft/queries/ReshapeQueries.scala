@@ -26,6 +26,33 @@ object ReshapeQueries extends QueryPack {
         .orderBy(col("p_partkey"), col("word"))
     }),
 
+    // ---- U3: compression-matrix unpivot END TO END — the nested
+    //      {algo → {level → [runs]}} JSON is built from lineitem, then the
+    //      real parser (double explode + stack(3) + keep-max) runs on it
+    "u3_matrix_unpivot" -> ((s, dir) => {
+      val runs = Tables.lineitem(s, dir).filter(col("l_orderkey") < 1000)
+        .select(lower(col("l_returnflag")).as("algo"),
+          lower(col("l_linestatus")).as("level"),
+          struct(col("l_discount").as("ratio"),
+            col("l_quantity").as("compression_speed"),
+            col("l_extendedprice").as("decompression_speed")).as("run"))
+      val byLevel = runs.groupBy(col("algo"), col("level"))
+        .agg(collect_list(col("run")).as("runs"))
+      val byAlgo = byLevel.groupBy(col("algo"))
+        .agg(map_from_arrays(collect_list(col("level")),
+          collect_list(col("runs"))).as("levels"))
+      val raw = byAlgo
+        .agg(to_json(map_from_arrays(collect_list(col("algo")),
+          collect_list(col("levels")))).as("content"))
+        .select(lit("tpch").as("vendor_id"), lit("lineitem").as("server_id"),
+          col("content"))
+      graft.ingest.InspectorParsers.parseCompression(raw)
+        .select(col("benchmark_id"),
+          col("config")("algo").as("algo"), col("config")("level").as("level"),
+          col("config")("measurement").as("measurement"), col("score"))
+        .orderBy(col("benchmark_id"), col("level"))
+    }),
+
     // ---- U6: JSON-per-line extraction (llm_speed JSONL shape)
     "u6_json_props" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -94,6 +121,21 @@ object ReshapeQueries extends QueryPack {
         |      FROM events))
         |  GROUP BY user_id, session_id)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "u3_matrix_unpivot" ->
+      """WITH runs AS (
+        |  SELECT lower(l_returnflag) AS algo, lower(l_linestatus) AS level,
+        |    'ratio' AS measurement, l_discount AS value
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT lower(l_returnflag), lower(l_linestatus), 'compress', l_quantity
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT lower(l_returnflag), lower(l_linestatus), 'decompress', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 1000)
+        |SELECT concat('compression:', algo, ':', measurement) AS benchmark_id,
+        |  algo, level, measurement, MAX(value) AS score
+        |FROM runs GROUP BY algo, level, measurement
+        |ORDER BY benchmark_id, level""".stripMargin,
     "u1_stack_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
