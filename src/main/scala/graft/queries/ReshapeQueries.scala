@@ -53,6 +53,27 @@ object ReshapeQueries extends QueryPack {
         .orderBy(col("benchmark_id"), col("level"))
     }),
 
+    // ---- S3: XML parse round-trip — nvidia-smi-shaped XML synthesized
+    //      from supplier rows, parsed back by the DOM UDF; the oracle
+    //      reads the same fields straight off the table, so any parser
+    //      defect (escaping, element order, unit regex) hash-mismatches
+    "s3_xml_roundtrip" -> ((s, dir) => {
+      val gpuXml = Tables.supplier(s, dir).select(col("s_nationkey"),
+        concat(lit("<gpu><product_name>"), col("s_name"), lit("</product_name>"),
+          lit("<fb_memory_usage_total>"), (col("s_suppkey") * 2).cast("string"),
+          lit(" MiB</fb_memory_usage_total>"),
+          lit("<graphics_clock>"), (col("s_suppkey") + 1000).cast("string"),
+          lit(" MHz</graphics_clock></gpu>")).as("g"))
+      val raw = gpuXml.groupBy(col("s_nationkey"))
+        .agg(concat_ws("", collect_list(col("g"))).as("inner"))
+        .select(lit("tpch").as("vendor_id"),
+          col("s_nationkey").cast("string").as("server_id"),
+          concat(lit("<nvidia_smi_log>"), col("inner"),
+            lit("</nvidia_smi_log>")).as("content"))
+      graft.ingest.InspectorParsers.parseNvidiaSmi(raw)
+        .orderBy(col("server_id"), col("gpu_model"))
+    }),
+
     // ---- U6: JSON-per-line extraction (llm_speed JSONL shape)
     "u6_json_props" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -121,6 +142,11 @@ object ReshapeQueries extends QueryPack {
         |      FROM events))
         |  GROUP BY user_id, session_id)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s3_xml_roundtrip" ->
+      """SELECT 'tpch' AS vendor_id, CAST(s_nationkey AS VARCHAR) AS server_id,
+        |  s_name AS gpu_model, s_suppkey * 2 AS memory_mib,
+        |  CAST(s_suppkey + 1000 AS INTEGER) AS graphics_clock_mhz
+        |FROM supplier ORDER BY server_id, gpu_model""".stripMargin,
     "u3_matrix_unpivot" ->
       """WITH runs AS (
         |  SELECT lower(l_returnflag) AS algo, lower(l_linestatus) AS level,
