@@ -77,6 +77,17 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- D6: the dedup DECISION — every document with its cluster id and
+    //      a keep flag for the representative (what a pipeline actually
+    //      filters on; singletons keep themselves)
+    "d6_dedup_decisions" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = MinHash.exactJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.8)
+      Clusters.dedupPlan(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- D3: MinHash signatures → LSH banding → verified Jaccard
     "d3_minhash_lsh" -> ((s, dir) => {
       MinHash.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
@@ -214,6 +225,32 @@ object TextQueries extends QueryPack {
          |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d6_dedup_decisions" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+         |        WHERE df <= 20),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(comps.comp, d.doc_id) AS cluster_id,
+         |  d.doc_id = COALESCE(comps.comp, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comps ON comps.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |consts(i, a, b) AS (VALUES $constsValues),
