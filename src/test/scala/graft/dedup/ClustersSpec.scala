@@ -16,6 +16,28 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components agree with driver-side union-find on random graphs") {
+    val sp = spark; import sp.implicits._
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      // sparse random graph: long chains and small cycles both occur
+      val edges = (1 to 150).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("dedupPlan keeps one representative per cluster, singletons keep themselves") {
     val sp = spark; import sp.implicits._
     val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
