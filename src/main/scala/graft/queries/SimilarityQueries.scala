@@ -28,7 +28,7 @@ object SimilarityQueries extends QueryPack {
     // ---- X3: SRP-LSH near-dup pairs (general scale path, no cell column)
     "x3_cosine_srp_pairs" -> ((s, dir) => {
       Cosine.srpPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.3, nPlanes = 4)
+          threshold = 0.3, nPlanes = 4, dim = 64)
         .orderBy(col("bucket"), col("id_a"), col("id_b"))
     }),
 

@@ -75,10 +75,12 @@ object Cosine {
     * path when no coarse cell id exists — recall is tunable via nPlanes
     * (fewer planes → bigger buckets → higher recall, more compute). */
   def srpPairs(corpus: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, nPlanes: Int = 8): DataFrame = {
+               threshold: Double, nPlanes: Int = 8, dim: Int = -1): DataFrame = {
     val v0 = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
-    val dim = v0.select(size(col("v"))).head().getInt(0)
-    val planes = hyperplanes(nPlanes, dim)
+    // probing the dimension costs a job over the corpus lineage; callers
+    // that know their embedding width pass it explicitly
+    val d = if (dim > 0) dim else v0.select(size(col("v"))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, d)
     val bucket = planes.zipWithIndex.map { case (h, i) =>
       when(dot(col("v"), array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
