@@ -39,6 +39,15 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T4: rolling-hash document fingerprints — order-sensitive
+    //      polynomial hash plus the winnowed (min-over-windows) variant
+    "t4_rolling_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("poly_fp"),
+          TextAnalysis.winnowedFingerprint(col("text"), w = 4).as("winnowed_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus statistics: one-pass exact data-card numbers
     "t5_corpus_stats" -> ((s, dir) => {
       graft.text.CorpusStats.summary(Tables.documents(s, dir))
@@ -172,6 +181,18 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t4_rolling_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007) AS th
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+        |    (acc, x) -> (acc * 1009 + x) % 1000000007) AS poly_fp,
+        |  list_min(list_transform(range(1, greatest(len(th) - 4 + 1, 1) + 1),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 3]),
+        |      (acc, x) -> (acc * 1009 + x) % 1000000007))) AS winnowed_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t5_corpus_stats" ->
       """SELECT COUNT(*) AS n_docs,
         |  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,

@@ -88,6 +88,35 @@ object TextAnalysis {
     * dedup key; the rolling-hash variant is in [[graft.dedup]]). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Per-token 60-bit md5-derived hashes reduced mod `p` — the alphabet
+    * for the polynomial fingerprints below. */
+  def tokenHashes(text: Column, p: Long): Column =
+    transform(tokens(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % p)
+
+  /** Document fingerprint as a Rabin-Karp-style polynomial rolling hash
+    * over token hashes: h = fold(0, (acc, x) => (acc·b + x) mod p). All
+    * integer arithmetic: acc < p ≈ 1e9, so each step peaks ≈ 1e12 —
+    * overflow-free under ANSI on both engines, and order-sensitive (unlike
+    * the md5-of-normalized-text form, which is permutation-blind only to
+    * whitespace). */
+  def rollingFingerprint(text: Column, b: Long = 1009L,
+                         p: Long = 1000000007L): Column =
+    aggregate(tokenHashes(text, p), lit(0L), (acc, x) => (acc * b + x) % p)
+
+  /** Winnowing-style fingerprint: the MIN of the polynomial hashes of all
+    * `w`-token windows — robust to local edits outside the minimizing
+    * window (the standard document-fingerprinting trick for near-dup
+    * candidate keys). Documents shorter than `w` fall back to one
+    * truncated window. Entirely map-side array expressions. */
+  def winnowedFingerprint(text: Column, w: Int, b: Long = 1009L,
+                          p: Long = 1000000007L): Column = {
+    val th = tokenHashes(text, p)
+    val nWin = greatest(size(th) - w + 1, lit(1))
+    array_min(transform(sequence(lit(1), nWin),
+      i => aggregate(slice(th, i, lit(w)), lit(0L), (acc, x) => (acc * b + x) % p)))
+  }
+
   /** Distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

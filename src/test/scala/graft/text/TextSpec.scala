@@ -29,6 +29,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rolling fingerprint is order-sensitive; winnowed survives distant edits") {
+    val a = one(TextAnalysis.rollingFingerprint(col("text")), "one two three four five six")
+    val b = one(TextAnalysis.rollingFingerprint(col("text")), "two one three four five six")
+    assert(a != b) // permutation changes the polynomial hash
+    assert(a == one(TextAnalysis.rollingFingerprint(col("text")), "one two three four five six"))
+    // the minimizing 4-token window is shared when an edit is far from it
+    val w1 = one(TextAnalysis.winnowedFingerprint(col("text"), 4),
+      "alpha beta gamma delta epsilon zeta eta theta")
+    val w2s = (1 to 20).map(i => one(TextAnalysis.winnowedFingerprint(col("text"), 4),
+      s"alpha beta gamma delta epsilon zeta eta edit$i"))
+    assert(w2s.contains(w1)) // some tail edits leave the min window intact
+    // short doc (< w tokens): one truncated window, still defined
+    assert(one(TextAnalysis.winnowedFingerprint(col("text"), 4), "only two")
+      .isInstanceOf[Long])
+  }
+
   test("shingles: distinct word n-grams with short-doc edge case") {
     assert(one(TextAnalysis.shingles(col("text"), 2), "a b c a b")
       .asInstanceOf[scala.collection.Seq[String]].toSet == Set("a b", "b c", "c a"))
