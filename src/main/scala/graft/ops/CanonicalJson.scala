@@ -29,42 +29,49 @@ import scala.collection.immutable.ListMap
   */
 object CanonicalJson {
 
-  /** CPython-`repr` compatible float rendering for the value range the
-    * reference stores (prices, scores, sizes). Java's shortest-roundtrip
-    * `Double.toString` matches CPython for plain decimals; the engines only
-    * disagree on when to switch to scientific notation (Java at 1e7, CPython
-    * at 1e16) and on exponent formatting, both normalized here.
-    *
-    * Caveat: before JDK 19 (JDK-4511638) `Double.toString` is
-    * roundtrip-safe but not always MINIMAL, so pathological doubles (e.g.
-    * subnormals) can render with more digits than CPython's repr. The
-    * reference's stored domain — 4-decimal prices, 3-sig-fig scores,
-    * integral sizes — is unaffected (verified by the CPython fixture
-    * hashes in CanonicalJsonSpec). */
+  /** CPython-`repr` compatible float rendering: shortest correctly-rounded
+    * digits (computed directly — JDK 17's `Double.toString` is round-trip
+    * safe but not minimal), then CPython's fixed-vs-scientific rules
+    * (scientific iff decimal exponent ≥ 16 or < −4; `.0` suffix on
+    * integral fixed values; two-digit signed exponents). Verified against
+    * CPython fixture hashes in CanonicalJsonSpec. */
   def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d.isPosInfinity) return "Infinity"
     if (d.isNegInfinity) return "-Infinity"
-    val abs = math.abs(d)
-    if (d == math.rint(d) && abs < 1e16) {
-      // integral: python prints 123.0
-      val bd = new java.math.BigDecimal(d).toBigInteger
-      s"$bd.0"
-    } else if (abs >= 1e-4 && abs < 1e16) {
-      // plain decimal range for python repr
-      val s = java.lang.Double.toString(d)
-      if (!s.contains("E")) s
-      else new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    // CPython repr = the SHORTEST correctly-rounded decimal that parses
+    // back to the same double. JDK 17's Double.toString is round-trip-safe
+    // but not minimal (fixed by JDK-4511638 only in 19+), so find the
+    // smallest precision whose %.{p}e representation round-trips — Java's
+    // %e is correctly rounded, matching David Gay's digit choice.
+    var p = 0
+    var s = String.format("%.0e", Double.box(d))
+    while (java.lang.Double.parseDouble(s) != d && p < 17) {
+      p += 1
+      s = String.format("%." + p + "e", Double.box(d))
+    }
+    val Array(mant0, expStr0) = s.split("e")
+    val sign = if (mant0.startsWith("-")) "-" else ""
+    val digits = {
+      val raw = mant0.stripPrefix("-").replace(".", "")
+      val trimmed = raw.reverse.dropWhile(_ == '0').reverse
+      if (trimmed.isEmpty) "0" else trimmed
+    }
+    val exp = expStr0.toInt
+    if (exp >= 16 || exp < -4) {
+      // python scientific style: 1e+16, 1.5e+17, 5e-324
+      val mant = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
+      val esign = if (exp < 0) "-" else "+"
+      val ea = math.abs(exp)
+      val eStr = if (ea < 10) s"0$ea" else ea.toString
+      s"$sign${mant}e$esign$eStr"
+    } else if (exp >= 0) {
+      // fixed, integral part exists; integral doubles get a ".0" suffix
+      if (digits.length <= exp + 1) s"$sign${digits.padTo(exp + 1, '0')}.0"
+      else s"$sign${digits.take(exp + 1)}.${digits.drop(exp + 1)}"
     } else {
-      // scientific range: python style 1e-05, 1.5e+17
-      val s = java.lang.Double.toString(d) // e.g. 1.5E17, 1.0E-5
-      val Array(mant0, exp0) = s.split("E")
-      val mant = if (mant0.endsWith(".0")) mant0.dropRight(2) else mant0
-      val expI = exp0.toInt
-      val sign = if (expI < 0) "-" else "+"
-      val expAbs = math.abs(expI)
-      val expStr = if (expAbs < 10) s"0$expAbs" else expAbs.toString
-      s"${mant}e$sign$expStr"
+      s"${sign}0.${"0" * (-exp - 1)}$digits"
     }
   }
 
