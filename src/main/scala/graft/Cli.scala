@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{CanonicalJson, Sync}
+import graft.ops.{CanonicalJson, HashDiff, Sync}
 import graft.schema.Schemas
 import graft.sinks.{DdlGen, JsonDump}
 import org.apache.spark.sql.SparkSession
@@ -62,6 +62,22 @@ object Cli {
         .collect().take(20).foreach(r => println(s"${r.getString(0)} -> ${r.getString(1)}"))
       spark.stop()
 
+    // hashdb <dir> <table:pk[,pk][;table:pk...]> [excludeCsv] — reference
+    // `hash` over a whole snapshot: per-table digests + one database hash,
+    // with E4 table exclusion
+    case "hashdb" :: dir :: specs :: rest =>
+      val spark = session()
+      val exclude = rest.headOption.map(_.split(",").toSet).getOrElse(Set.empty[String])
+      val tables = specs.split(";").map { spec =>
+        val Array(t, pks) = spec.split(":")
+        t -> (Tables(spark, dir, t), pks.split(",").toSeq)
+      }.toMap
+      tables.keys.toSeq.sorted.filterNot(exclude.contains).foreach { t =>
+        println(f"$t%-24s ${HashDiff.tableDigest(tables(t)._1, tables(t)._2)}")
+      }
+      println(s"database ${HashDiff.databaseHash(tables, exclude)}")
+      spark.stop()
+
     case "dump" :: dir :: table :: pks :: outDir :: Nil =>
       val spark = session()
       JsonDump.dump(Tables(spark, dir, table), outDir, table, pks.split(",").toSeq)
@@ -84,7 +100,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: schemas | pull | sync | hash | dump | sql | fetch")
+      System.err.println("commands: schemas | pull | sync | hash | hashdb | dump | sql | fetch")
       sys.exit(2)
   }
 }

@@ -36,6 +36,43 @@ object HashDiff {
       .select((keys.map(col) :+ col("change")): _*)
   }
 
+  /** Table-level digest (reference A10 outer layer, `utils.py:29-42` +
+    * `table_bases.py:169-216`): sha1 of the canonical JSON of the sorted
+    * {row_key: row_hash} dict. Row hashing and sorting stay distributed;
+    * the final chain is streamed through the driver's SHA-1 with
+    * `toLocalIterator` — O(1) driver memory, matching the reference's
+    * byte-exact dict-dump semantics. (A global ordered chain is inherently
+    * sequential; pipelines that only need drift DETECTION at 100 TB should
+    * diff per-row hashes instead — [[diff]] — and treat this digest as the
+    * cheap database fingerprint it is in the reference.) */
+  def tableDigest(df: DataFrame, pks: Seq[String]): String = {
+    val it = CanonicalJson.tableHash(df, pks)
+      .select(col("__key"), col("__hash")).orderBy(col("__key"))
+      .toLocalIterator()
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update("{".getBytes("UTF-8"))
+    var first = true
+    while (it.hasNext) {
+      val r = it.next()
+      val piece = (if (first) "" else ", ") +
+        CanonicalJson.escapeString(r.getString(0)) + ": " +
+        CanonicalJson.escapeString(r.getString(1))
+      md.update(piece.getBytes("UTF-8"))
+      first = false
+    }
+    md.update("}".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Database-level digest over `tables − exclude` (reference E4 +
+    * `utils.py:62-104`): sha1 of the sorted {table: table_digest} dict. */
+  def databaseHash(tables: Map[String, (DataFrame, Seq[String])],
+                   exclude: Set[String] = Set.empty): String = {
+    val digests = tables.view.filterKeys(t => !exclude.contains(t)).toMap
+      .map { case (name, (df, pks)) => name -> tableDigest(df, pks) }
+    CanonicalJson.sha1Hex(CanonicalJson.serialize(digests))
+  }
+
   /** Soft-delete sweep (reference K3, `tables.py:224-254`): mark rows of
     * `current` whose key no longer appears in `incoming` as inactive instead
     * of removing them. Anti-join driven, no driver loop. */

@@ -63,4 +63,24 @@ class HashDiffSpec extends SparkSpec {
     val expected = CanonicalJson.sha1Hex("""{"name": "x", "v": 2.5}""")
     assert(row.getAs[String]("__hash") == expected)
   }
+
+  test("table and database digests match the CPython reference algorithm") {
+    val sp = spark; import sp.implicits._
+    // expected hex computed by CPython: sha1 of json.dumps(sort_keys=True)
+    // of {row_key: row_hash} per table, then of {table: digest}
+    val t1 = Seq((1L, "aa", 1.5), (2L, "bb", 2.0)).toDF("id", "name", "price")
+    val t2 = Seq(("x", 7L)).toDF("code", "qty")
+    val t3 = Seq((9L, "zz")).toDF("k", "v")
+    assert(HashDiff.tableDigest(t1, Seq("id")) ==
+      "0bd6ebc54dad67ff30c12faf0dd271357d41ed48")
+    assert(HashDiff.tableDigest(t2, Seq("code")) ==
+      "d1f606dec4e78d58c8b8fe6b6ae1a01ab7ba39e0")
+    val tables = Map(
+      "t1" -> (t1, Seq("id")), "t2" -> (t2, Seq("code")), "t3" -> (t3, Seq("k")))
+    assert(HashDiff.databaseHash(tables) ==
+      "56504150f66256b41c5c9cff4df8c24de576a23c")
+    // E4: excluded tables drop out of the database digest
+    assert(HashDiff.databaseHash(tables, exclude = Set("t3")) ==
+      "f4918d132ed49fa52ad2bccadab3a3f8ec0ce2b9")
+  }
 }
