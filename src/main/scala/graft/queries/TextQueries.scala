@@ -39,6 +39,20 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T7: deterministic hash-based dataset split — salted md5 bucket
+    //      per doc (80/10/10), reproducible across runs/engines, no RNG
+    //      state; the standard leakage-free train/val/test assignment
+    "t7_hash_split" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":graft-split-v1"))), 1, 15), 16, 10).cast("long"), lit(100))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation").otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T4: rolling-hash document fingerprints — order-sensitive
     //      polynomial hash plus the winnowed (min-over-windows) variant
     "t4_rolling_fingerprint" -> ((s, dir) => {
@@ -181,6 +195,15 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t7_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "t4_rolling_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(regexp_split_to_array(trim(text), '\s+'),
