@@ -27,14 +27,19 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, colA: String = "id_a", colB: String = "id_b",
                           maxIterations: Int = 20): DataFrame = {
     // materialized once; truncates the (possibly very expensive) pair-
-    // detection lineage out of every round's plan
-    val edges = pairs.select(col(colA).as("src"), col(colB).as("dst"))
-      .unionByName(pairs.select(col(colB).as("src"), col(colA).as("dst")))
+    // detection lineage out of every round's plan. Both edge directions
+    // come from ONE pass over `pairs` (a union of pairs with its swap
+    // would evaluate the whole pair-detection pipeline twice)
+    val edges = pairs.select(explode(array(
+        struct(col(colA).as("src"), col(colB).as("dst")),
+        struct(col(colB).as("src"), col(colA).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
       .localCheckpoint(true)
+    // one groupBy off the checkpointed edges — shallow lineage, no need
+    // for its own checkpoint job
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
