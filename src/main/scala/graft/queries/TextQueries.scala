@@ -39,6 +39,23 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T8: TF-IDF — top-5 terms per document (two combine-enabled
+    //      aggregations + a vocabulary-sized join)
+    "t8_tfidf" -> ((s, dir) => {
+      val scored = TextAnalysis.tfIdf(Tables.documents(s, dir), "doc_id", "text")
+        // rank on the ROUNDED score: mathematically-tied values computed
+        // via different routes (2·ln(10) vs ln(100)) can differ by an ulp,
+        // differently per engine — rounding first makes the token
+        // tie-break deterministic on both sides
+        .withColumn("tf_idf", round(col("tf_idf"), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf_idf").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("token"),
+          col("tf"), col("df"), col("tf_idf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ---- T7: deterministic hash-based dataset split — salted md5 bucket
     //      per doc (80/10/10), reproducible across runs/engines, no RNG
     //      state; the standard leakage-free train/val/test assignment
@@ -195,6 +212,23 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t8_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) AS tf_idf
+        |  FROM tf JOIN dfc USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, tf, df, tf_idf FROM (
+        |  SELECT doc_id, token, tf, df, tf_idf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf_idf DESC, token ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "t7_hash_split" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

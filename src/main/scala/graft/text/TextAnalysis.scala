@@ -117,6 +117,25 @@ object TextAnalysis {
       i => aggregate(slice(th, i, lit(w)), lit(0L), (acc, x) => (acc * b + x) % p)))
   }
 
+  /** TF-IDF scores per (doc, token): tf = in-doc count, idf = ln(N/df)
+    * with df = docs containing the token. Two aggregations (both with
+    * map-side combine) and one join on the token — the token-frequency
+    * frame is df-bounded (vocabulary-sized), so AQE broadcasts it against
+    * any corpus size. Caller supplies idCol; token normalization is plain
+    * lowercase (analysis-friendly, oracle-reproducible). */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus size stays IN the plan (1-row broadcast) — no eager job
+    val nDf = docs.agg(count_distinct(col(idCol)).as("n"))
+    tf.join(dfc, "token")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDf))
+      .withColumn("tf_idf", col("tf") * log(col("n").cast("double") / col("df")))
+      .drop("n")
+  }
+
   /** Distinct word n-gram shingles. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
