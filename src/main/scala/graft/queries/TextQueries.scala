@@ -39,6 +39,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T9: deterministic stratified sample — 10 docs per language by
+    //      smallest salted hash (reproducible "random", no RNG state; the
+    //      per-stratum top-k is one window over the stratum key)
+    "t9_stratified_sample" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":graft-sample-v1"))), 1, 15), 16, 10).cast("long")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("lang"), col("rank").cast("long").as("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ---- T8: TF-IDF — top-5 terms per document (two combine-enabled
     //      aggregations + a vocabulary-sized join)
     "t8_tfidf" -> ((s, dir) => {
@@ -212,6 +227,14 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t9_stratified_sample" ->
+      """SELECT lang, rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |        ':graft-sample-v1')), 1, 15)) AS BIGINT) ASC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "t8_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
