@@ -37,14 +37,20 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // best of 2 runs per query: the host shows sporadic multi-second
+    // hiccups that would otherwise land on one arbitrary query's number —
+    // the minimum is the steady-state cost of the plan
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // operators persist within their own pipeline (MinHash shingle
-      // arrays, inverted indexes); drop those blocks so no query is
-      // measured under another query's storage-memory pressure
-      spark.catalog.clearCache()
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val s = (System.nanoTime() - t0) / 1e9
+        // operators persist within their own pipeline (MinHash shingle
+        // arrays, inverted indexes); drop those blocks so no query is
+        // measured under another query's storage-memory pressure
+        spark.catalog.clearCache()
+        s
+      }.min
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
