@@ -50,6 +50,41 @@ object MiscQueries extends QueryPack {
       unknown.unionByName(unused).orderBy(col("side"), col("p_partkey"))
     }),
 
+    // ---- P2/P5/A5: vendor-payload projection end to end — a nested
+    //      EC2-shaped JSON payload is built from part rows, parsed with
+    //      from_json, and flattened through the real unit-conversion and
+    //      disk-expansion helpers; the oracle computes the same fields
+    //      straight off the table
+    "p2_payload_project" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val payloadSchema = new StructType()
+        .add("instance_type", StringType)
+        .add("cpu", new StructType().add("vcpus", LongType))
+        .add("memory", new StructType().add("size_mib", LongType))
+        .add("disks", ArrayType(new StructType()
+          .add("size", LongType).add("count", LongType)))
+      val raw = Tables.part(s, dir).select(col("p_partkey"),
+        to_json(struct(
+          col("p_name").as("instance_type"),
+          struct(col("p_size").cast("long").as("vcpus")).as("cpu"),
+          // floor() before the long cast: Spark truncates double→long,
+          // DuckDB rounds — floor makes both sides explicit and equal
+          struct(floor(col("p_retailprice") * 10).cast("long").as("size_mib")).as("memory"),
+          array(
+            struct(lit(100L).as("size"), col("p_size").cast("long").as("count")),
+            struct(lit(50L).as("size"), lit(2L).as("count"))).as("disks")
+        )).as("payload"))
+      raw.select(col("p_partkey"),
+          from_json(col("payload"), payloadSchema).as("p"))
+        .select(col("p_partkey"),
+          col("p.instance_type").as("instance_type"),
+          col("p.cpu.vcpus").as("vcpus"),
+          round(graft.ingest.VendorIngest.mibToMb(col("p.memory.size_mib")), 4)
+            .as("memory_mb"),
+          graft.ingest.VendorIngest.totalDiskSize(col("p.disks")).as("storage_gb"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- O3: global top-k (TakeOrderedAndProject at scale, not a sort)
     "o3_global_topk" -> ((s, dir) => {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -67,6 +102,12 @@ object MiscQueries extends QueryPack {
          |FROM (VALUES ${SeedTables.countryValuesSql}) t(country_id, continent)
          |ORDER BY country_id""".stripMargin,
     "s6_table_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "p2_payload_project" ->
+      """SELECT p_partkey, p_name AS instance_type,
+        |  CAST(p_size AS BIGINT) AS vcpus,
+        |  ROUND(CAST(floor(p_retailprice * 10) AS BIGINT) * 1.048576, 4) AS memory_mb,
+        |  100 * CAST(p_size AS BIGINT) + 100 AS storage_gb
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "p1_conform" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(NULL AS VARCHAR) AS n_comment, 'active' AS status
