@@ -32,6 +32,13 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("bucket"), col("id_a"), col("id_b"))
     }),
 
+    // ---- X5: IVF training — per-cell elementwise centroids with a
+    //      sorted-fold sum (topology-independent, oracle-reproducible)
+    "x5_cell_centroids" -> ((s, dir) => {
+      Cosine.cellCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // ---- X4: IVF-style ANN top-k search — queries probe only their own
     //      coarse cell; candidate work scales with cell size, not corpus
     "x4_ivf_topk" -> ((s, dir) => {
@@ -84,6 +91,16 @@ object SimilarityQueries extends QueryPack {
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id)
          |WHERE sim >= 0.3 ORDER BY bucket, id_a, id_b""".stripMargin,
+    "x5_cell_centroids" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+        |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+        |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS n
+        |      FROM e GROUP BY label, dim)
+        |SELECT label, dim,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |    (a, b) -> a + b) / n, 6) AS centroid
+        |FROM g ORDER BY label, dim""".stripMargin,
     "x4_ivf_topk" ->
       s"""WITH $vCte,
          |sims AS (

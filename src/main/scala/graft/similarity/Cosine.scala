@@ -116,6 +116,23 @@ object Cosine {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF TRAINING step: per-cell elementwise centroid. The sum per
+    * (cell, dimension) folds over the SORTED values, making the double
+    * result independent of partition merge order (and reproducible by an
+    * external oracle doing the same sorted fold) — at the cost of a
+    * collect_list per group, bounded by cell size. A production pipeline
+    * that tolerates last-ulp drift uses plain `avg` instead; the shuffle
+    * shape (one combine-enabled aggregation keyed by (cell, dim)) is the
+    * same. */
+  def cellCentroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(cellCol), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg(collect_list(col("x")).as("xs"), count(lit(1)).as("n"))
+      .select(col(cellCol), (col("pos") + 1).cast("long").as("dim"),
+        round(aggregate(sort_array(col("xs")), lit(0.0), (a, x) => a + x) / col("n"), 6)
+          .as("centroid"))
+
   /** IVF-style near-duplicate pairs: only pairs sharing a coarse cell
     * (`cellCol`) are compared — the quadratic join never materializes. */
   def cellPairs(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
