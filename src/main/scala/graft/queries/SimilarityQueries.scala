@@ -39,6 +39,15 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- X6: IVF assignment — nearest centroid per vector (map-side
+    //      over a broadcast k×dim centroid table; k-means iteration shape)
+    "x6_centroid_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Cosine.cellCentroids(emb, "label", "embedding")
+      Cosine.assignToCentroids(emb, "vec_id", "embedding", cents, "label")
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- X4: IVF-style ANN top-k search — queries probe only their own
     //      coarse cell; candidate work scales with cell size, not corpus
     "x4_ivf_topk" -> ((s, dir) => {
@@ -101,6 +110,28 @@ object SimilarityQueries extends QueryPack {
         |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
         |    (a, b) -> a + b) / n, 6) AS centroid
         |FROM g ORDER BY label, dim""".stripMargin,
+    "x6_centroid_assign" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+        |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+        |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS n
+        |      FROM e GROUP BY label, dim),
+        |c AS (SELECT label, dim,
+        |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |      (a, b) -> a + b) / n, 6) AS centroid
+        |  FROM g),
+        |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+        |d AS (SELECT v.vec_id, cv.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> (v.emb[i] - cv.cvec[i]) * (v.emb[i] - cv.cvec[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cv)
+        |SELECT vec_id, label AS assigned_cell, ROUND(d2, 6) AS dist_sq FROM (
+        |  SELECT vec_id, label, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn
+        |  FROM d)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "x4_ivf_topk" ->
       s"""WITH $vCte,
          |sims AS (

@@ -133,6 +133,32 @@ object Cosine {
         round(aggregate(sort_array(col("xs")), lit(0.0), (a, x) => a + x) / col("n"), 6)
           .as("centroid"))
 
+  /** IVF assignment step: each vector moves to its nearest centroid
+    * (squared euclidean, sequential index-order fold so the distance is
+    * the same double on any engine; ties broken by cell id). Centroids
+    * frame is (cell, dim, centroid) as produced by [[cellCentroids]] —
+    * it is re-shaped to one array per cell and BROADCAST (k·dim values,
+    * tiny at any corpus scale), so assignment is a map-side pass over the
+    * corpus. */
+  def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cellCol: String): DataFrame = {
+    val cvec = centroids
+      .groupBy(col(cellCol))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cvec))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("d2").asc, col(cellCol).asc)))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(cellCol).as("assigned_cell"),
+        round(col("d2"), 6).as("dist_sq"))
+  }
+
   /** IVF-style near-duplicate pairs: only pairs sharing a coarse cell
     * (`cellCol`) are compared — the quadratic join never materializes. */
   def cellPairs(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
