@@ -15,7 +15,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "j4_threeway", "a3_weighted_geomean", "d3_minhash_lsh",
-        "x1_cosine_topk", "a1_keep_best")
+        "d5_dedup_clusters", "x1_cosine_topk", "x4_ivf_topk", "x6_centroid_assign",
+        "a1_keep_best", "t8_tfidf")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
