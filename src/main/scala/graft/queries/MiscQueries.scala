@@ -85,6 +85,22 @@ object MiscQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- P7: override precedence — inspector beats vendor only for the
+    //      designated vendors and never overrides with null
+    "p7_override" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+        .withColumn("vendor_id",
+          when(col("n_nationkey") % 2 === 0, "gcp").otherwise("aws"))
+        .withColumn("vendor_val", col("n_nationkey") * 10)
+        .withColumn("inspector_val",
+          when(col("n_nationkey") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("n_nationkey") * 100))
+      n.select(col("n_nationkey"), col("vendor_id"),
+          graft.ingest.VendorIngest.preferInspector(col("vendor_val"),
+            col("inspector_val"), col("vendor_id"), Seq("gcp")).as("effective"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // ---- O3: global top-k (TakeOrderedAndProject at scale, not a sort)
     "o3_global_topk" -> ((s, dir) => {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -102,6 +118,17 @@ object MiscQueries extends QueryPack {
          |FROM (VALUES ${SeedTables.countryValuesSql}) t(country_id, continent)
          |ORDER BY country_id""".stripMargin,
     "s6_table_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "p7_override" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'gcp' ELSE 'aws' END AS vendor_id,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |    THEN COALESCE(CASE WHEN n_nationkey % 3 = 0 THEN NULL
+        |                       ELSE n_nationkey * 100 END, n_nationkey * 10)
+        |    ELSE COALESCE(n_nationkey * 10,
+        |                  CASE WHEN n_nationkey % 3 = 0 THEN NULL
+        |                       ELSE n_nationkey * 100 END)
+        |  END AS effective
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "p2_payload_project" ->
       """SELECT p_partkey, p_name AS instance_type,
         |  CAST(p_size AS BIGINT) AS vcpus,
