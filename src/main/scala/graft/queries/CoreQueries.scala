@@ -291,6 +291,19 @@ object CoreQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- F5: corrupted-data guards — implausible values are NULLED (not
+    //      dropped, so the row survives with its other fields), zero or
+    //      negative measurements are filtered out entirely
+    "f5_guards" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_extendedprice") > 90000, lit(null).cast("double"))
+            .otherwise(col("l_extendedprice")).as("price_guarded"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // ---- F4: tolerance predicate (config float match shape)
     "f4_tolerance_match" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -533,6 +546,13 @@ object CoreQueries extends QueryPack {
         |    CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price,
         |    'discounted' AS kind FROM part)
         |ORDER BY p_partkey, kind""".stripMargin,
+    "f5_guards" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_extendedprice > 90000 THEN NULL
+        |       ELSE l_extendedprice END AS price_guarded,
+        |  l_quantity
+        |FROM lineitem WHERE l_quantity > 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "f2_filters" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity > 40
