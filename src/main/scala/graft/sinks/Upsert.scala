@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * Scale: each executor writes its partitions concurrently with batched
   * statements; for a real warehouse sink the same frame goes to parquet.
   * No driver materialization.
+  *
+  * Precondition: callers dedup by PK first (A11, `ops/Dedup` — the
+  * reference does the same before insert, `insert.py:204-209`); duplicate
+  * keys across partitions would otherwise race their upserts in an
+  * undefined order.
   */
 object Upsert {
 
