@@ -39,6 +39,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T10: pattern hygiene scan — per-doc counts of email/URL-shaped
+    //      spans and the digit ratio (the structured-noise signals a
+    //      training-data cleaning pass filters on); pure map-side regexes
+    "t10_pattern_counts" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      Tables.documents(s, dir).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+            greatest(length(col("text")), lit(1)), 6).as("digit_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T9: deterministic stratified sample — 10 docs per language by
     //      smallest salted hash (reproducible "random", no RNG state; the
     //      per-stratum top-k is one window over the stratum key)
@@ -227,6 +242,14 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t10_pattern_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS DOUBLE) / greatest(length(text), 1), 6) AS digit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t9_stratified_sample" ->
       """SELECT lang, rank, doc_id FROM (
         |  SELECT lang, doc_id,
