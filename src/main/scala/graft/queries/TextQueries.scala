@@ -39,6 +39,19 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T11: repetition fraction — share of word 2-grams that are
+    //      repeats of an earlier 2-gram in the same doc (the Gopher-style
+    //      repetitiousness quality rule); map-side from token counts and
+    //      the distinct-shingle array
+    "t11_repetition" -> ((s, dir) => {
+      val total = greatest(TextAnalysis.tokenCount(col("text")) - 1, lit(1))
+      Tables.documents(s, dir).select(col("doc_id"),
+          round(lit(1.0) -
+            size(TextAnalysis.shingles(col("text"), 2)).cast("double") / total, 6)
+            .as("dup_2gram_fraction"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T10: pattern hygiene scan — per-doc counts of email/URL-shaped
     //      spans and the digit ratio (the structured-noise signals a
     //      training-data cleaning pass filters on); pure map-side regexes
@@ -242,6 +255,17 @@ object TextQueries extends QueryPack {
         |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
         |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "t11_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |           FROM documents),
+        |d AS (SELECT doc_id,
+        |  len(list_distinct(
+        |    [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))]))
+        |    AS n_distinct,
+        |  greatest(len(l) - 1, 1) AS total FROM w)
+        |SELECT doc_id,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / total, 6) AS dup_2gram_fraction
+        |FROM d ORDER BY doc_id""".stripMargin,
     "t10_pattern_counts" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,
