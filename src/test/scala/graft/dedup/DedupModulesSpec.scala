@@ -96,6 +96,33 @@ class CosineSpec extends SparkSpec {
     }
   }
 
+  test("native kernels: interpreted eval matches the codegen'd dataframe path") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // dot product: nullSafeEval (the codegen-fallback path) vs the plan
+    val a = Array(1.5f, -2.25f, 3.0f); val b = Array(0.5f, 4.0f, -1.25f)
+    val viaPlan = Seq((a, b)).toDF("a", "b")
+      .select(graft.similarity.Cosine.dot(col("a"), col("b"))).collect().head.getDouble(0)
+    val expr = graft.plans.DotProductExpr(
+      graft.plans.Exprs.toExpression(lit(a)), graft.plans.Exprs.toExpression(lit(b)))
+    val viaEval = expr.nullSafeEval(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)).asInstanceOf[Double]
+    assert(viaPlan == viaEval)
+    // minhash signatures: same comparison
+    val sh = Array(12345L, 999999L, 31L)
+    val sig = graft.plans.MinHashSigExpr(
+      graft.plans.Exprs.toExpression(lit(sh)),
+      MinHash.A, MinHash.B, MinHash.ShingleMod, MinHash.P)
+    val viaEvalSig = sig.nullSafeEval(ArrayData.toArrayData(sh))
+      .asInstanceOf[ArrayData].toLongArray().toSeq
+    val viaPlanSig = Seq(Tuple1(sh)).toDF("sharr")
+      .select(graft.plans.Exprs.toColumn(graft.plans.MinHashSigExpr(
+        graft.plans.Exprs.toExpression(col("sharr")),
+        MinHash.A, MinHash.B, MinHash.ShingleMod, MinHash.P)).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(viaPlanSig == viaEvalSig)
+  }
+
   test("cosine of known vectors") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
