@@ -182,6 +182,15 @@ object TextQueries extends QueryPack {
     "d4_simhash" -> ((s, dir) => {
       SimHash.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- D7: SimHash near-dup PAIRS — pigeonhole 8-bit block join, then
+    //      exact Hamming verify (blocking is lossless for dist ≤ 3: three
+    //      differing bits touch at most 3 of the 4 blocks); the oracle is
+    //      the brute-force quadratic scan the blocking avoids
+    "d7_simhash_pairs" -> ((s, dir) => {
+      SimHash.nearPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   // ------------------------------------------------------------------ oracle
@@ -430,5 +439,20 @@ object TextQueries extends QueryPack {
         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
         |SELECT doc_id,
         |  SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d7_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS x FROM t),
+        |bits AS (SELECT doc_id, j,
+        |  SUM(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |  SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)
 }
