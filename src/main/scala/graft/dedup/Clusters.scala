@@ -25,7 +25,7 @@ object Clusters {
   /** (id, cluster_id) for every node appearing in `pairs`; cluster_id is
     * the minimum id in the node's connected component. */
   def connectedComponents(pairs: DataFrame, colA: String = "id_a", colB: String = "id_b",
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 50): DataFrame = {
     // materialized once; truncates the (possibly very expensive) pair-
     // detection lineage out of every round's plan. Both edge directions
     // come from ONE pass over `pairs` (a union of pairs with its swap
@@ -42,6 +42,7 @@ object Clusters {
       .withColumn("cluster_id", col("id"))
     var converged = false
     var i = 0
+    var lastChanged = 0L
     while (!converged && i < maxIterations) {
       // each node adopts the min label among itself and its neighbors; the
       // old label rides along so convergence detection is a filter-count
@@ -60,9 +61,18 @@ object Clusters {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] iter=$i changed=$changed")
       labels = next.drop("old")
+      lastChanged = changed
       converged = changed == 0
       i += 1
     }
+    // min-label propagation needs ~diameter rounds; a silently-unconverged
+    // exit would keep multiple representatives of one cluster with no
+    // signal. Fail loudly — the caller can raise maxIterations (per-round
+    // cost stays bounded by the localCheckpoint).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIterations iterations " +
+          s"($lastChanged labels still changing); raise maxIterations")
     labels
   }
 

@@ -54,7 +54,9 @@ object MinHash {
     * hashed-shingle rows (x = shash mod ShingleMod) so the md5 per shingle
     * is paid once for the whole LSH pipeline. */
   def signatures(hashedShingles: DataFrame, idCol: String): DataFrame = {
-    val x = col("shash") % ShingleMod
+    // pmod, not %: matches MinHashSigExpr's floorMod on the full long
+    // domain (identical on the md5-derived non-negative inputs)
+    val x = pmod(col("shash"), lit(ShingleMod))
     val hashed = hashedShingles.select(
       col(idCol) +: (0 until NumHashes).map(i => ((lit(A(i)) * x + lit(B(i))) % P).as(s"h$i")): _*)
     hashed.groupBy(col(idCol))

@@ -45,11 +45,14 @@ object CanonicalJson {
     // but not minimal (fixed by JDK-4511638 only in 19+), so find the
     // smallest precision whose %.{p}e representation round-trips — Java's
     // %e is correctly rounded, matching David Gay's digit choice.
+    // Locale.ROOT: on comma-decimal default locales (de_DE, fr_FR) "%e"
+    // renders "1,5e+00", which parseDouble rejects — hashes must not depend
+    // on the host JVM's locale.
     var p = 0
-    var s = String.format("%.0e", Double.box(d))
+    var s = String.format(java.util.Locale.ROOT, "%.0e", Double.box(d))
     while (java.lang.Double.parseDouble(s) != d && p < 17) {
       p += 1
-      s = String.format("%." + p + "e", Double.box(d))
+      s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(d))
     }
     val Array(mant0, expStr0) = s.split("e")
     val sign = if (mant0.startsWith("-")) "-" else ""

@@ -50,7 +50,10 @@ case class MinHashSigExpr(child: Expression, a: Seq[Long], b: Seq[Long],
     var e = 0
     val n = xs.numElements()
     while (e < n) {
-      val x = xs.getLong(e) % shingleMod
+      // floorMod: Java % is sign-preserving, so a negative input long would
+      // produce negative signatures and diverge from the composable
+      // `pmod`-based path — floorMod matches it for the full long domain
+      val x = java.lang.Math.floorMod(xs.getLong(e), shingleMod)
       var h = 0
       while (h < k) {
         val v = (aArr(h) * x + bArr(h)) % p
@@ -78,7 +81,7 @@ case class MinHashSigExpr(child: Expression, a: Seq[Long], b: Seq[Long],
          |final long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $e = 0; $e < $n; $e++) {
-         |  final long $x = $c.getLong($e) % ${shingleMod}L;
+         |  final long $x = java.lang.Math.floorMod($c.getLong($e), ${shingleMod}L);
          |  for (int $h = 0; $h < $k; $h++) {
          |    final long $v = ($aRef[$h] * $x + $bRef[$h]) % ${p}L;
          |    if ($v < $mins[$h]) $mins[$h] = $v;

@@ -18,11 +18,11 @@ import org.apache.spark.sql.types._
   * Accumulation is sequential left-to-right in double precision —
   * bit-identical to the fold form and to an external oracle computing
   * `SUM(a[i]*b[i])` in index order with doubles. Float inputs are widened
-  * per element (exact) before multiplying. Null ELEMENTS are not supported
-  * (embedding vectors are dense); null/length-mismatched VECTORS yield
-  * null/truncated-to-shorter respectively, matching `zip_with`'s
-  * truncation-free behavior only when lengths match — callers validate
-  * dimension upstream.
+  * per element (exact) before multiplying. Null semantics match the
+  * `aggregate(zip_with(...))` form exactly: a null vector, a length
+  * mismatch (zip_with pads the shorter side with null), or any null
+  * element yields NULL — a malformed embedding row surfaces as NULL, never
+  * as a plausible-looking truncated similarity.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,6 +33,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+
+  // Element-null checks are emitted only when the schema admits null
+  // elements — dense embedding arrays (containsNull=false) keep a
+  // branch-free inner loop.
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -54,11 +62,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = isFloat(left); val rf = isFloat(right)
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -67,6 +78,8 @@ case class DotProductExpr(left: Expression, right: Expression)
     acc
   }
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val getA = if (isFloat(left)) "getFloat" else "getDouble"
@@ -74,13 +87,22 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }

@@ -487,7 +487,7 @@ object CoreQueries extends QueryPack {
         |FROM events WHERE value > 0 AND event_type = 'purchase'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a9_dup_count" ->
-      """SELECT COALESCE(SUM(cnt - 1), 0) AS surplus_rows, COUNT(*) AS dup_keys FROM (
+      """SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS surplus_rows, COUNT(*) AS dup_keys FROM (
         |  SELECT l_orderkey, l_partkey, COUNT(*) AS cnt FROM lineitem
         |  GROUP BY l_orderkey, l_partkey) WHERE cnt > 1""".stripMargin,
     "a10_row_hash" ->

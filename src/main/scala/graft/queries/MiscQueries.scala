@@ -101,11 +101,17 @@ object MiscQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
-    // ---- O3: global top-k (TakeOrderedAndProject at scale, not a sort)
+    // ---- O3: global top-k. orderBy().limit(k) compiles to
+    //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
+    //      merges 32 heaps — no global sort, no single-task window. The
+    //      rank window only ever sees the k surviving rows.
     "o3_global_topk" -> ((s, dir) => {
+      val top = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, dir)
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      top.withColumn("rank", row_number().over(w))
         .select(col("rank"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("rank"))
     }))

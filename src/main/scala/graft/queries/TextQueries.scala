@@ -331,8 +331,8 @@ object TextQueries extends QueryPack {
         |FROM t ORDER BY doc_id""".stripMargin,
     "t5_corpus_stats" ->
       """SELECT COUNT(*) AS n_docs,
-        |  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,
-        |  SUM(length(text)) AS n_chars,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
         |  COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')))) AS n_unique_fingerprints,
         |  MIN(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens,
@@ -438,7 +438,8 @@ object TextQueries extends QueryPack {
         |  SUM(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
         |SELECT doc_id,
-        |  SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d7_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -28,6 +28,24 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class TopKPlanSpec extends SparkSpec {
+
+  test("o3_global_topk plans as TakeOrderedAndProject, not a global-sort window") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    try {
+      (1L to 500L).map(i => (i, (i * 37 % 499) * 1.0)).toDF("o_orderkey", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val df = graft.queries.MiscQueries.queries("o3_global_topk")(sp, dir)
+      assert(df.count() == 10)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
+
 class SyncSpec extends SparkSpec {
 
   test("sync produces upserts plus inactive flips with stats") {
