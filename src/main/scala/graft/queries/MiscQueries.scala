@@ -11,7 +11,60 @@ import org.apache.spark.sql.functions._
   * membership check (E3), global top-k (O3/O4 at table scope). */
 object MiscQueries extends QueryPack {
 
+  // S4 fixture: one description tree per (process, sf dir) — written once,
+  // removed on JVM exit. 25 tiny files built driver-side is fixture
+  // CONSTRUCTION; the ingest under test is the distributed read.json path.
+  private val s4Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def s4Fixture(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    s4Cache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_s4")
+      sys.addShutdownHook {
+        org.apache.commons.io.FileUtils.deleteQuietly(root.toFile); ()
+      }
+      Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .collect().foreach { r =>
+          val k = r.get(0).toString.toLong
+          val name = r.getString(1)
+          val d = root.resolve(s"v${r.get(2)}/$name/descriptions")
+          java.nio.file.Files.createDirectories(d)
+          val json =
+            if (k == 13) "{ this is not json"                    // unparsable → skipped
+            else if (k % 5 == 0)                                  // missing required fields → skipped
+              s"""{"page": ["$name", "p2"],
+                 |  "og_description": "og $name"}""".stripMargin
+            else
+              s"""{"page": ["$name", "p2"],
+                 |  "description": "Nation $name",
+                 |  "og_description": "og $name",
+                 |  "meta_description": "meta $name",
+                 |  "tagline": "tag $name",
+                 |  "bullet_points": ["b1", "b2", "b3"],
+                 |  "categories": ["General", "Compute"]}""".stripMargin
+          java.nio.file.Files.write(d.resolve("output.json"),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      root.toString
+    })
+
   val queries: Map[String, Q] = Map(
+    // ---- S4: descriptions data-dump ingest — glob read over the
+    //      per-server output.json tree, path-derived keys, validation
+    //      skips (missing fields, corrupt JSON), server-id recovery join
+    "s4_descriptions" -> ((s, dir) => {
+      val root = s4Fixture(s, dir)
+      val servers = Tables.nation(s, dir).select(
+        concat(lit("v"), col("n_regionkey")).as("vendor_id"),
+        col("n_nationkey").cast("string").as("server_id"),
+        col("n_name").as("api_reference"))
+      graft.ingest.DescriptionIngest.ingest(s, root, servers)
+        .select(col("vendor_id"), col("server_id"), col("description"),
+          col("og_description"), col("meta_description"), col("tagline"),
+          size(col("page")).cast("long").as("n_page"),
+          size(col("bullet_points")).cast("long").as("n_bullets"),
+          element_at(col("categories"), 1).as("category_1"))
+        .orderBy(col("vendor_id"), col("server_id"))
+    }),
+
     // ---- S5: compiled-in static seed table (countries)
     "s5_seed_countries" -> ((s, _) => {
       SeedTables.countries(s)
@@ -117,6 +170,20 @@ object MiscQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the fixture derives every field deterministically from nation rows;
+    // nationkey 13 is written corrupt and multiples of 5 incomplete, so
+    // the oracle filters exactly the rows the validator must skip
+    "s4_descriptions" ->
+      """SELECT 'v' || CAST(n_regionkey AS VARCHAR) AS vendor_id,
+        |  CAST(n_nationkey AS VARCHAR) AS server_id,
+        |  'Nation ' || n_name AS description,
+        |  'og ' || n_name AS og_description,
+        |  'meta ' || n_name AS meta_description,
+        |  'tag ' || n_name AS tagline,
+        |  CAST(2 AS BIGINT) AS n_page, CAST(3 AS BIGINT) AS n_bullets,
+        |  'General' AS category_1
+        |FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey <> 13
+        |ORDER BY vendor_id, server_id""".stripMargin,
     // seed VALUES generated from the same Scala rows the engine compiles
     // in (cannot drift)
     "s5_seed_countries" ->

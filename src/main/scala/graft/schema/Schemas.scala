@@ -123,7 +123,9 @@ object Schemas {
     f("vendor_id", StringType, nullable = false),
     f("server_id", StringType, nullable = false),
     f("model", StringType),
-    f("page", ArrayType(StringType)), f("og_description", StringType),
+    f("page", ArrayType(StringType)),
+    f("description", StringType), f("og_description", StringType),
+    f("meta_description", StringType), f("tagline", StringType),
     f("bullet_points", ArrayType(StringType)),
     f("categories", ArrayType(StringType))) ++ meta)
 
