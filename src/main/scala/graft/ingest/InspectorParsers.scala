@@ -112,6 +112,35 @@ object InspectorParsers {
     measured.unionByName(ram)
   }
 
+  /** [[parseMembench]] with the cache threshold DERIVED per server from
+    * parsed hardware specs ([[HardwareParsers.cacheTotalsKib]]) instead of
+    * a hand-fed constant — matching the reference, which reads
+    * `cpu_l3_cache_total || cpu_l2_cache_total || cpu_l1d_cache_total`
+    * off the server row (`inspector.py:652-655`). The totals frame is
+    * dimension-sized → broadcast join, still map-side. */
+  def parseMembench(raw: DataFrame, cacheTotalsKib: DataFrame): DataFrame = {
+    val rows = lines(raw)
+      .filter(col("line").rlike("^[a-z]+,[0-9]+,[0-9.]+$"))
+      .select(keyCols ++ Seq(
+        split(col("line"), ",").getItem(0).as("operation"),
+        split(col("line"), ",").getItem(1).cast("long").as("size_kb"),
+        split(col("line"), ",").getItem(2).cast("double").as("bandwidth")): _*)
+      .join(broadcast(cacheTotalsKib), Seq("vendor_id", "server_id"), "left")
+    val measured = rows.select(keyCols ++ Seq(
+      lit("membench").as("benchmark_id"),
+      map(lit("operation"), col("operation"), lit("size_kb"), col("size_kb").cast("string"))
+        .as("config"),
+      col("bandwidth").as("score")): _*)
+    val w = Window.partitionBy(keyCols :+ col("operation"): _*).orderBy(col("size_kb"))
+    val ram = rows.filter(col("size_kb") > col("cache_total_kib"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(keyCols ++ Seq(
+        lit("membench").as("benchmark_id"),
+        map(lit("operation"), col("operation"), lit("scope"), lit("RAM")).as("config"),
+        col("bandwidth").as("score")): _*)
+    measured.unionByName(ram)
+  }
+
   private val compressionSchema = MapType(StringType,
     MapType(StringType, ArrayType(new StructType()
       .add("ratio", DoubleType)

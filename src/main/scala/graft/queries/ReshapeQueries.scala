@@ -109,6 +109,43 @@ object ReshapeQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // ---- U8: lscpu hardware-spec parse END TO END — an lscpu -J shaped
+    //      JSON document (top-level fields + nested cache children) is
+    //      synthesized per supplier, parsed by HardwareParsers.parseLscpu
+    //      (field lookup, cache-geometry math, CPU model standardization),
+    //      and the oracle recomputes every derived column directly
+    "u8_lscpu_specs" -> ((s, dir) => {
+      graft.ingest.HardwareParsers.parseLscpu(u8LscpuRaw(s, dir))
+        .select(col("server_id"),
+          col("vcpus"), col("cpu_cores"), col("cpu_speed"),
+          col("cpu_manufacturer"), col("cpu_family"), col("cpu_model"),
+          col("l1d_kib"), col("l1d_total_kib"), col("l2_total_kib"),
+          col("l3_total_kib"),
+          coalesce(col("l3_total_kib"), col("l2_total_kib"), col("l1d_total_kib"))
+            .as("cache_total_kib"))
+        .orderBy(col("server_id"))
+    }),
+
+    // ---- U9: membench RAM-scope synthesis with the cache threshold
+    //      DERIVED from the parsed lscpu specs (per-server broadcast join)
+    //      instead of a hand-fed constant — the reference reads the
+    //      threshold off the server row (inspector.py:652-655)
+    "u9_membench_ram" -> ((s, dir) => {
+      val totals = graft.ingest.HardwareParsers.cacheTotalsKib(
+        graft.ingest.HardwareParsers.parseLscpu(u8LscpuRaw(s, dir)))
+      val sizes = Seq(512L, 4096L, 50000L, 100000L)
+      val lines = for (op <- Seq("rd", "wr"); (sz, i) <- sizes.zipWithIndex)
+        yield format_string(s"$op,$sz,%s",
+          col("s_suppkey") * 10 + lit(i + 1) + lit(if (op == "wr") 100 else 0))
+      val mem = Tables.supplier(s, dir).select(
+        lit("tpch").as("vendor_id"), col("s_suppkey").cast("string").as("server_id"),
+        concat_ws("\n", lines: _*).as("content"))
+      graft.ingest.InspectorParsers.parseMembench(mem, totals)
+        .filter(col("config")("scope") === "RAM")
+        .select(col("server_id"), col("config")("operation").as("operation"), col("score"))
+        .orderBy(col("server_id"), col("operation"))
+    }),
+
     // ---- U5: first-crossing synthesis (membench RAM-scope shape): per
     //      user, the first event whose running total value crosses 1000
     "u5_first_crossing" -> ((s, dir) => {
@@ -125,7 +162,60 @@ object ReshapeQueries extends QueryPack {
         .orderBy(col("user_id"))
     }))
 
+  /** Synthesized lscpu -J document per supplier: CPU counts derived from
+    * s_suppkey, three rotating model-name shapes (Intel/AMD/Ampere), L1d +
+    * L2 as nested cache children, L3 only on even keys (so the cache-total
+    * fallback chain is exercised both ways). */
+  private def u8LscpuRaw(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cores = col("s_suppkey") % 4 + 1
+    val model = when(col("s_suppkey") % 3 === 0,
+        "Intel(R) Xeon(R) Platinum 8175M CPU @ 2.50GHz")
+      .when(col("s_suppkey") % 3 === 1, "AMD EPYC 7571")
+      .otherwise(lit("Ampere Altra Q80-30"))
+    val l3Part = when(col("s_suppkey") % 2 === 0,
+      lit(""",{"field":"L3 cache:","data":"33554432 (1 instance)"}""")).otherwise(lit(""))
+    val content = format_string(
+      """{"lscpu":[{"field":"CPU(s):","data":"%s"},""" +
+        """{"field":"Thread(s) per core:","data":"2"},""" +
+        """{"field":"Socket(s):","data":"1"},""" +
+        """{"field":"Core(s) per socket:","data":"%s"},""" +
+        """{"field":"Model name:","data":"%s"},""" +
+        """{"field":"Flags:","data":"fpu vme sse sse2"},""" +
+        """{"field":"Caches:","children":[""" +
+        """{"field":"L1d cache:","data":"%s (%s instances)"},""" +
+        """{"field":"L2 cache:","data":"%s (%s instances)"}]}%s]}""",
+      cores * 2, cores, model, cores * 32768, cores, cores * 1048576, cores, l3Part)
+    Tables.supplier(s, dir).select(lit("tpch").as("vendor_id"),
+      col("s_suppkey").cast("string").as("server_id"), content.as("content"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "u8_lscpu_specs" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS server_id,
+        |  CAST((s_suppkey % 4 + 1) * 2 AS INTEGER) AS vcpus,
+        |  CAST(s_suppkey % 4 + 1 AS INTEGER) AS cpu_cores,
+        |  CASE WHEN s_suppkey % 3 = 0 THEN 2.50 ELSE NULL END AS cpu_speed,
+        |  CASE s_suppkey % 3 WHEN 0 THEN 'Intel' WHEN 1 THEN 'AMD'
+        |    ELSE 'Ampere' END AS cpu_manufacturer,
+        |  CASE s_suppkey % 3 WHEN 0 THEN 'Xeon' WHEN 1 THEN 'EPYC'
+        |    ELSE 'Altra' END AS cpu_family,
+        |  CASE s_suppkey % 3 WHEN 0 THEN '8175M' WHEN 1 THEN '7571'
+        |    ELSE 'Ampere Altra Q80-30' END AS cpu_model,
+        |  CAST(32 AS BIGINT) AS l1d_kib,
+        |  CAST((s_suppkey % 4 + 1) * 32 AS BIGINT) AS l1d_total_kib,
+        |  CAST((s_suppkey % 4 + 1) * 1024 AS BIGINT) AS l2_total_kib,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN CAST(32768 AS BIGINT)
+        |    ELSE NULL END AS l3_total_kib,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN CAST(32768 AS BIGINT)
+        |    ELSE CAST((s_suppkey % 4 + 1) * 1024 AS BIGINT) END AS cache_total_kib
+        |FROM supplier ORDER BY server_id""".stripMargin,
+    "u9_membench_ram" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS server_id, op AS operation,
+        |  CAST(s_suppkey * 10
+        |    + CASE WHEN s_suppkey % 2 = 0 OR s_suppkey % 4 = 3 THEN 3 ELSE 2 END
+        |    + CASE WHEN op = 'wr' THEN 100 ELSE 0 END AS DOUBLE) AS score
+        |FROM supplier, (SELECT unnest(['rd', 'wr']) AS op)
+        |ORDER BY server_id, operation""".stripMargin,
     "w2_sessionize" ->
       """SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events FROM (
         |  SELECT user_id, session_id, COUNT(*) AS n_events FROM (
