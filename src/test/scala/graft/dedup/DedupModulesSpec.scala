@@ -71,6 +71,24 @@ class SimHashSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L)))
   }
+
+  test("native map-side kernel equals the explode+aggregate plan") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha alpha alpha beta"), // repeated tokens: frequency weighting
+      (3L, "onewordonly"),
+      (4L, "zz yy xx ww vv uu tt ss rr qq pp oo")).toDF("doc_id", "text")
+    val native = SimHash.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composable = SimHash.fingerprintsComposable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composable)
+    // and the native plan has no shuffle: pure projection over the scan
+    val plan = SimHash.fingerprints(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
 
 class CosineSpec extends SparkSpec {
