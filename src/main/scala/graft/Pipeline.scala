@@ -64,7 +64,8 @@ object Pipeline {
     assert(byChange.get("deleted").contains(1L), "expected 1 deleted row (ZA)")
 
     // ---- sync orchestrator (§3.2): same comparison, one call
-    val syncR = graft.ops.Sync.sync(changed, countries, Seq("country_id"))
+    val syncStamp = lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    val syncR = graft.ops.Sync.sync(changed, countries, Seq("country_id"), syncStamp)
     println(s"[pipeline] sync: stats=${syncR.stats} standard_rows=${syncR.standard.count()}")
     assert(syncR.stats == byChange && syncR.standard.count() == 3)
 
@@ -74,11 +75,9 @@ object Pipeline {
     val merged = changed.unionByName(swept)
     Upsert.writeJdbc(merged, url, "country", Seq("country_id"), DdlGen.Derby)
 
-    // ---- SCD append for changed/new keys only
-    val changedKeys = diff.filter(col("change").isin("new", "update"))
-    val scdRows = changed.join(changedKeys.select("country_id"), "country_id")
-      .withColumn("observed_at", lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
-    Upsert.writeJdbc(scdRows, url, "country_scd", Schemas.scdKey("country"), DdlGen.Derby)
+    // ---- SCD append: the sync's version-stamped change set (new + update
+    //      + deleted, reference cli.py:587-597) upserted into the twin
+    Upsert.writeJdbc(syncR.scd, url, "country_scd", Schemas.scdKey("country"), DdlGen.Derby)
 
     // ---- verify final DB state through JDBC read-back
     val c2 = DriverManager.getConnection(url)
@@ -96,7 +95,8 @@ object Pipeline {
     val scd = q("SELECT COUNT(*) FROM country_scd")
     c2.close()
     println(s"[pipeline] final: $total countries ($inactive inactive), US → $us, $scd scd rows")
-    assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 2)
+    // 3 scd rows: new XX + updated US + deleted ZA (all versioned)
+    assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 3)
 
     vendorStage(spark, url)
     pullStage(spark)

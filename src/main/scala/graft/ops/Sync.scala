@@ -13,10 +13,18 @@ object Sync {
   /** Compare source → target on `pks`.
     *  - `standard`: rows to upsert into the live table — new + updated
     *    source rows, plus target rows flipped inactive when deleted;
-    *  - `scd`: the same rows for the `_scd` twin (append-only history;
-    *    caller stamps/keeps `observed_at` in the key).
+    *  - `scd`: the same change set for the `_scd` twin, with `observed_at`
+    *    version-stamped so an append-style upsert keyed on
+    *    (pks, observed_at) PRESERVES prior versions (reference
+    *    `tables_scd.py:45-53`: the Scd base makes `observed_at` part of
+    *    the PK with a now() default; `cli.py:535` stamps deletions with
+    *    now() explicitly, and `cli.py:587-597` upserts new+update+deleted
+    *    into the twin). Source rows keep their own `observed_at` when the
+    *    column exists; rows without one — and every deletion — get
+    *    `scdObservedAt`.
     */
-  def sync(source: DataFrame, target: DataFrame, pks: Seq[String]): SyncResult = {
+  def sync(source: DataFrame, target: DataFrame, pks: Seq[String],
+           scdObservedAt: org.apache.spark.sql.Column = current_timestamp()): SyncResult = {
     val s = CanonicalJson.tableHash(source, pks)
     val t = CanonicalJson.tableHash(target, pks)
     val changes = HashDiff.diff(s, t, pks)
@@ -30,6 +38,24 @@ object Sync {
     val deletions = target.join(deletedKeys, pks, "left_semi")
       .withColumn("status", lit("inactive"))
     val standard = upserts.unionByName(deletions)
-    SyncResult(stats, standard, standard)
+
+    val stampedUpserts =
+      if (upserts.columns.contains("observed_at"))
+        upserts.withColumn("observed_at", coalesce(col("observed_at"), scdObservedAt))
+      else upserts.withColumn("observed_at", scdObservedAt)
+    val stampedDeletions = deletions.withColumn("observed_at", scdObservedAt)
+    val scd = stampedUpserts.unionByName(stampedDeletions)
+    SyncResult(stats, standard, scd)
   }
+
+  /** Append a sync's `scd` rows into the history twin: upsert keyed on
+    * (pks, observed_at) — a re-run of the same sync is idempotent (same
+    * stamp replaces itself), a later sync appends a new version and never
+    * touches prior ones. */
+  def applyScd(history: DataFrame, scdRows: DataFrame, pks: Seq[String],
+               observedCol: String = "observed_at"): DataFrame =
+    Dedup.keepLast(
+      history.unionByName(scdRows)
+        .withColumn("__seq", monotonically_increasing_id()),
+      pks :+ observedCol, Seq(col("__seq"))).drop("__seq")
 }

@@ -65,6 +65,35 @@ object LifecycleQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- K3/W1 end-to-end: sync → SCD-append → current-view round-trip.
+    //      Snapshot v1 (all nations) is synced against a v2 source with one
+    //      deleted key and the %4 keys updated; the sync's scd frame is
+    //      appended into the history twin keyed (pk, observed_at) and the
+    //      current view + version counts are read back. Any defect in
+    //      change classification, version stamping, append idempotence, or
+    //      the window read shows up as a value mismatch.
+    "w4_scd_roundtrip" -> ((s, dir) => {
+      val t1 = to_timestamp(lit("2026-01-01 00:00:00"))
+      val t2 = to_timestamp(lit("2026-02-01 00:00:00"))
+      val base = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val target = base.withColumn("comment", lit("v1"))
+        .withColumn("status", lit("active")).withColumn("observed_at", t1)
+      val source = base.filter(col("n_nationkey") =!= 3)
+        .withColumn("comment",
+          when(col("n_nationkey") % 4 === 0, "v2").otherwise(lit("v1")))
+        .withColumn("status", lit("active"))
+        .withColumn("observed_at", t2)
+      val r = graft.ops.Sync.sync(source, target, Seq("n_nationkey"), scdObservedAt = t2)
+      val history = graft.ops.Sync.applyScd(target, r.scd, Seq("n_nationkey"))
+      val current = graft.ops.Scd.currentView(history, Seq("n_nationkey"))
+      val versions = history.groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_versions"))
+      current.join(versions, "n_nationkey")
+        .select(col("n_nationkey"), col("n_name"), col("comment"), col("status"),
+          col("observed_at"), col("n_versions"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // ---- P4: standardization chains — collapse whitespace + case-fold the
     //      free-text name, strip the vendor prefix off the brand code, take
     //      the family token from the type (regex/prefix cleanup shapes)
@@ -99,6 +128,17 @@ object LifecycleQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    "w4_scd_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_nationkey <> 3 AND n_nationkey % 4 = 0 THEN 'v2'
+        |    ELSE 'v1' END AS comment,
+        |  CASE WHEN n_nationkey = 3 THEN 'inactive' ELSE 'active' END AS status,
+        |  CASE WHEN n_nationkey = 3 OR n_nationkey % 4 = 0
+        |    THEN TIMESTAMP '2026-02-01 00:00:00'
+        |    ELSE TIMESTAMP '2026-01-01 00:00:00' END AS observed_at,
+        |  CAST(CASE WHEN n_nationkey = 3 OR n_nationkey % 4 = 0 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_versions
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "k4_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,

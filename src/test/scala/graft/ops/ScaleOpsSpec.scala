@@ -60,6 +60,35 @@ class SyncSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getDouble(1), x.getString(2))).toSet
     assert(rows == Set(("b", 2.5, "active"), ("d", 4.0, "active"), ("c", 3.0, "inactive")))
   }
+
+  test("scd frame stamps versions and applyScd keeps prior ones, idempotently") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val target = Seq(("a", 1.0, "active"), ("b", 2.0, "active"), ("c", 3.0, "active"))
+      .toDF("id", "v", "status").withColumn("observed_at", lit(t1))
+    val source = Seq(("b", 2.5, "active"), ("d", 4.0, "active"))
+      .toDF("id", "v", "status").withColumn("observed_at", lit(t2))
+    val r = Sync.sync(source, target, Seq("id"), lit(t2))
+    // scd change set: updated b + new d at t2 (their own stamp), deleted
+    // a and c flipped inactive at the sync stamp
+    val scd = r.scd.collect()
+      .map(x => (x.getAs[String]("id"), x.getAs[String]("status"),
+        x.getAs[java.sql.Timestamp]("observed_at"))).toSet
+    assert(scd == Set(("b", "active", t2), ("d", "active", t2),
+      ("a", "inactive", t2), ("c", "inactive", t2)))
+    val history = Sync.applyScd(target, r.scd, Seq("id"))
+    assert(history.count() == 7) // 3 v1 rows + 4 v2 rows
+    // re-applying the same sync changes nothing (same (pk, observed_at))
+    assert(Sync.applyScd(history, r.scd, Seq("id")).count() == 7)
+    // current view: latest version per key
+    val current = Scd.currentView(history, Seq("id")).collect()
+      .map(x => x.getAs[String]("id") ->
+        ((x.getAs[Double]("v"), x.getAs[String]("status")))).toMap
+    assert(current == Map("a" -> ((1.0, "inactive")), "b" -> ((2.5, "active")),
+      "c" -> ((3.0, "inactive")), "d" -> ((4.0, "active"))))
+  }
 }
 
 class JsonDumpSpec extends SparkSpec {
