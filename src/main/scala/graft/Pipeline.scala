@@ -99,7 +99,7 @@ object Pipeline {
     assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 3)
 
     vendorStage(spark, url)
-    pullStage(spark)
+    pullStage(spark, url)
     streamingStage(spark)
     multimodalStage(spark)
     println("[pipeline] OK")
@@ -167,7 +167,7 @@ object Pipeline {
     * workload-score recompute over the freshly-written benchmark scores
     * (the reference's final pull step) and the `_metadata` release-info
     * upsert (K6, `cli.py:242-319`). */
-  private def pullStage(spark: SparkSession): Unit = {
+  private def pullStage(spark: SparkSession, url: String): Unit = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-pull").toString
     val counts = graft.ingest.Pull.pull(spark, new graft.ingest.DemoVendor,
@@ -175,6 +175,15 @@ object Pipeline {
     println(s"[pipeline] pull: ${counts.size} record types, " +
       s"${counts.values.sum} rows (server_price=${counts("server_price")})")
     assert(counts.size == 19 && counts("server_price") == 4)
+
+    // second concrete vendor: nested machine-type / SKU JSON payloads
+    // (GCP-shaped) through the SAME orchestrator and sinks
+    val gridDir = java.nio.file.Files.createTempDirectory("graft-pipeline-grid").toString
+    val gridCounts = graft.ingest.Pull.pull(spark, new graft.ingest.GridVendor,
+      graft.ingest.Pull.parquetSink(gridDir))
+    println(s"[pipeline] grid pull: ${gridCounts.size} record types, " +
+      s"servers=${gridCounts("server")} prices=${gridCounts("server_price")}")
+    assert(gridCounts.size == 19 && gridCounts("server") == 5)
 
     // recompute workload scores from the written benchmark_score table
     val scores = spark.read.parquet(s"$dir/benchmark_score")
@@ -194,13 +203,31 @@ object Pipeline {
     assert(wl.count() == 1 && comps.size == 2 &&
       math.abs(comps.map(_.getAs[Double]("weight_share")).sum - 1.0) < 1e-12)
 
-    // K6: metadata release info
-    val meta = Seq(("engine_version", "0.1.0"), ("published_by", "pipeline-demo"))
-      .toDF("key", "value")
-      .withColumn("status", lit("active"))
-      .withColumn("observed_at", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
-    meta.write.mode("overwrite").parquet(s"$dir/_metadata")
-    println(s"[pipeline] metadata: ${spark.read.parquet(s"$dir/_metadata").count()} keys")
+    // K6: metadata release info — 2-column upsert on key (cli.py:242-319);
+    // the second write merges (updates published_at, keeps key count)
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute(DdlGen.createTable(
+      graft.sinks.MetadataSink.Table, Schemas.tables(graft.sinks.MetadataSink.Table)._1,
+      Seq("key"), DdlGen.Derby))
+    c.close()
+    graft.sinks.MetadataSink.write(
+      graft.sinks.MetadataSink.rows(spark, "0.1.0", ts1,
+        publishedBy = Some("pipeline-demo"), extra = Seq("license" -> "MPL-2.0")),
+      url, DdlGen.Derby, ts1)
+    graft.sinks.MetadataSink.write(
+      graft.sinks.MetadataSink.rows(spark, "0.1.1", ts2), url, DdlGen.Derby, ts2)
+    val c4 = DriverManager.getConnection(url)
+    val rs2 = c4.createStatement().executeQuery(
+      """SELECT COUNT(*) FROM "_METADATA"""")
+    rs2.next(); val nKeys = rs2.getLong(1)
+    val rs3 = c4.createStatement().executeQuery(
+      """SELECT "VALUE" FROM "_METADATA" WHERE "KEY" = 'sc_version'""")
+    rs3.next(); val ver = rs3.getString(1)
+    c4.close()
+    println(s"[pipeline] metadata: $nKeys keys, sc_version=$ver")
+    assert(nKeys == 4 && ver == "0.1.1") // merge updated version, kept extras
   }
 
   /** Streaming stage: spot-price-style observations through watermarked

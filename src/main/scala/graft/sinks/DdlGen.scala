@@ -35,13 +35,25 @@ object DdlGen {
     case other => throw new IllegalArgumentException(s"no SQL mapping for $other")
   }
 
+  /** Identifier quoting: Derby rejects reserved words (`key`, `value`) and
+    * leading underscores (`_metadata`) unquoted; quoting the UPPERCASED
+    * name is byte-equivalent to the unquoted form for ordinary names
+    * (unquoted Derby identifiers fold to uppercase), so existing tables
+    * are unaffected. sqlite/postgres accept these names bare. */
+  def quote(id: String, d: Dialect): String = d match {
+    case Derby => "\"" + id.toUpperCase + "\""
+    case _ => id
+  }
+
   def createTable(table: String, schema: StructType, pks: Seq[String], d: Dialect): String = {
     val cols = schema.fields.map { field =>
       val notNull = if (!field.nullable || pks.contains(field.name)) " NOT NULL" else ""
-      s"  ${field.name} ${sqlType(field.dataType, d)}$notNull"
+      s"  ${quote(field.name, d)} ${sqlType(field.dataType, d)}$notNull"
     }
-    val pk = if (pks.nonEmpty) Seq(s"  PRIMARY KEY (${pks.mkString(", ")})") else Nil
-    s"CREATE TABLE $table (\n${(cols ++ pk).mkString(",\n")}\n)"
+    val pk =
+      if (pks.nonEmpty) Seq(s"  PRIMARY KEY (${pks.map(quote(_, d)).mkString(", ")})")
+      else Nil
+    s"CREATE TABLE ${quote(table, d)} (\n${(cols ++ pk).mkString(",\n")}\n)"
   }
 
   /** DDL for every registered table (and optional `_scd` twins). */

@@ -54,9 +54,10 @@ object Upsert {
       // update-then-insert pattern — also the reference's per-row fallback
       // for other dialects (K2, `insert.py:176-234`)
       val nonPk = cols.filterNot(pks.contains)
-      val updateSql = s"UPDATE $table SET ${nonPk.map(c => s"$c = ?").mkString(", ")} " +
-        s"WHERE ${pks.map(k => s"$k = ?").mkString(" AND ")}"
-      val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      def q(id: String) = DdlGen.quote(id, DdlGen.Derby)
+      val updateSql = s"UPDATE ${q(table)} SET ${nonPk.map(c => s"${q(c)} = ?").mkString(", ")} " +
+        s"WHERE ${pks.map(k => s"${q(k)} = ?").mkString(" AND ")}"
+      val insertSql = s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
       val upd = conn.prepareStatement(updateSql)
       val ins = conn.prepareStatement(insertSql)

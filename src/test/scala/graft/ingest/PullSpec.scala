@@ -26,6 +26,66 @@ class PullSpec extends SparkSpec {
     assert(prices == Set(0.10, 0.08, 0.40))
   }
 
+  test("grid vendor: nested machine-type and SKU JSON through the same contract") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-grid").toString
+    val counts = Pull.pull(spark, new GridVendor, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    // 5 distinct machine types across 3 zone payloads (n2-standard-4 dedups)
+    assert(counts("server") == 5)
+    assert(counts("region") == 2 && counts("zone") == 3)
+
+    val servers = sp.read.parquet(s"$dir/server")
+    val byName = servers.collect().map(r => r.getAs[String]("name") -> r).toMap
+    // family from name prefix, ARM by t2a, shared-core flag, deprecation
+    assert(byName("t2a-standard-8").getAs[String]("cpu_architecture") == "arm64")
+    assert(byName("n2-standard-4").getAs[String]("cpu_architecture") == "x86_64")
+    assert(byName("e2-micro").getAs[String]("cpu_allocation") == "shared")
+    assert(byName("n1-standard-2").getAs[String]("status") == "inactive")
+    assert(byName("g2-standard-4").getAs[Int]("gpu_count") == 1)
+    assert(byName("g2-standard-4").getAs[String]("gpu_model") == "nvidia-l4")
+    assert(byName("n2-standard-4").getAs[String]("family") == "n2")
+
+    // units+nanos SKU price, family-joined, zone fan-out: n2 in 3 zones
+    val prices = sp.read.parquet(s"$dir/server_price")
+      .filter(org.apache.spark.sql.functions.col("allocation") === "ondemand")
+      .collect()
+      .map(r => (r.getAs[String]("server_id"), r.getAs[String]("zone_id"),
+        r.getAs[Double]("price")))
+    val n2 = prices.filter(_._1 == "3001")
+    assert(n2.length == 3)
+    assert(n2.filter(_._2.startsWith("gr-east1")).forall(_._3 == 0.1942))
+    assert(n2.filter(_._2.startsWith("gr-west1")).forall(_._3 == 0.2137))
+    assert(prices.filter(_._1 == "3005").forall(_._3 == 1.12))
+  }
+
+  test("metadata sink: versioned key/value upsert on Derby (K6)") {
+    val sp = spark
+    val url = "jdbc:derby:memory:metatest;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(graft.sinks.DdlGen.createTable("_metadata",
+      Schemas.tables("_metadata")._1, Seq("key"), graft.sinks.DdlGen.Derby))
+    c.close()
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    graft.sinks.MetadataSink.write(
+      graft.sinks.MetadataSink.rows(sp, "1.0.0", ts1, Some("ci-run-1"),
+        Seq("license" -> "MPL-2.0", "license" -> "BSL")), // later dup wins
+      url, graft.sinks.DdlGen.Derby, ts1)
+    graft.sinks.MetadataSink.write(
+      graft.sinks.MetadataSink.rows(sp, "1.0.1", ts2), url, graft.sinks.DdlGen.Derby, ts2)
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val rs = c2.createStatement().executeQuery(
+      """SELECT "KEY", "VALUE" FROM "_METADATA" ORDER BY "KEY"""")
+    val out = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    c2.close()
+    assert(out("sc_version") == "1.0.1") // second release merged over first
+    assert(out("license") == "BSL")
+    assert(out("published_by") == "ci-run-1") // untouched by second write
+    assert(out.size == 4)
+  }
+
   test("pull is idempotent per PK (keep-last dedup)") {
     val sp = spark; import sp.implicits._
     val v = new DemoVendor {

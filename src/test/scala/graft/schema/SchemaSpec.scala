@@ -73,8 +73,9 @@ class SchemaSpec extends SparkSpec {
     assert(ddl.contains("country_id TEXT NOT NULL"))
     assert(ddl.contains("PRIMARY KEY (country_id)"))
     assert(DdlGen.allTables(DdlGen.Postgres).size == 20)
+    // Derby identifiers are uppercase-quoted (reserved words, _metadata)
     assert(DdlGen.allTables(DdlGen.Derby, scd = true)
-      .exists(_.contains("CREATE TABLE server_scd")))
+      .exists(_.contains("CREATE TABLE \"SERVER_SCD\"")))
   }
 
   test("seed tables conform to their schemas") {
