@@ -53,10 +53,23 @@ object Bench {
       }.min
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line contract under capture-truncation
+    // limits (the full-precision r01 line was cut mid-map by the driver's
+    // tail capture); sorted keys make round-over-round diffs stable
+    def ms(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = new java.io.File(sfDir).getName // short: keeps the line under capture limits
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    println(line)
+    // full line also lands in the repo so per-query regressions stay
+    // diffable even if the driver's stdout capture truncates
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
