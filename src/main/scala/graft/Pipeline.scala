@@ -250,22 +250,44 @@ object Pipeline {
     assert(changes == 2, "expected 2 price changes (initial + one move)")
   }
 
-  /** Multimodal stage: binary media rows → stub decode → stub features →
-    * cosine neighbors, exercising the batch plumbing end to end. */
+  /** Multimodal stage: binary media rows → REAL image/audio decode
+    * (ImageIO + RIFF) and perceptual features → cosine neighbors; video
+    * stays on the stub path (no JVM codec), exercising both branches of
+    * the batch plumbing end to end. */
   private def multimodalStage(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.multimodal.Multimodal
-    val media = (1L to 8L).map(i =>
-      Multimodal.MediaRow(i, if (i % 2 == 0) "image" else "video",
-        s"payload-$i".getBytes)).toDS()
-    val decoded = Multimodal.decodeStub(media)
-    val feats = Multimodal.featureStub(media).toDF()
+    import org.apache.spark.sql.functions.col
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48)
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) * 2654435761L).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = ((1L to 6L).map(i => Multimodal.MediaRow(i, "image", png(i.toInt % 3))) :+
+      Multimodal.MediaRow(7L, "video", "opaque-video".getBytes) :+
+      Multimodal.MediaRow(8L, "image", "corrupt".getBytes)).toDS()
+    val decoded = Multimodal.decode(media)
+    val okImages = decoded.filter(col("metadata.format") === "png").count()
+    val errors = decoded.filter(col("metadata.format") === "error").count()
+    // realistic flow: undecodable rows are filtered after decode, before
+    // the (much more expensive) feature pass
+    val goodIds = decoded.filter(col("metadata.format") =!= "error")
+      .select("media_id").as[Long].collect().toSet
+    val feats = Multimodal.imageFeatures(
+      media.filter(m => m.kind == "image" && goodIds.contains(m.media_id))).toDF()
     val knn = graft.similarity.Cosine.topK(
-      feats.filter(org.apache.spark.sql.functions.col("media_id") === 1L),
-      feats, "media_id", "feature", k = 3)
+      feats.filter(col("media_id") === 1L), feats, "media_id", "feature", k = 3)
+      .collect()
+    // seeds repeat mod 3 → media 4 shares media 1's pixels exactly
+    assert(knn.head.getAs[Long]("neighbor_id") == 4L &&
+      knn.head.getAs[Double]("sim") > 0.999)
     val frames = Multimodal.frameSamplePlan(decoded, everyN = 30)
-    println(s"[pipeline] multimodal: decoded=${decoded.count()} knn=${knn.count()} " +
-      s"sampled_frames=${frames.count()}")
-    assert(decoded.count() == 8 && knn.count() == 3 && frames.count() > 0)
+    println(s"[pipeline] multimodal: decoded_png=$okImages errors=$errors " +
+      s"knn=${knn.length} sampled_frames=${frames.count()}")
+    assert(okImages == 6 && errors == 1 && knn.length == 3 && frames.count() > 0)
   }
 }

@@ -39,8 +39,11 @@ object Cosine {
 
   def normSq(a: Column): Column = dot(a, a)
 
+  /** NULL (not an ANSI divide-by-zero crash, not a fake similarity) when
+    * either vector has zero norm — degenerate rows sort after every real
+    * neighbor under the descending sim windows. */
   def cosine(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
-    dot(a, b) / (sqrt(normSqA) * sqrt(normSqB))
+    dot(a, b) / nullif(sqrt(normSqA) * sqrt(normSqB), lit(0.0))
 
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * rows of `corpus` (self-matches excluded). Output: query_id, rank,
