@@ -133,6 +133,35 @@ object TextQueries extends QueryPack {
         .orderBy(col("bucket_start"))
     }),
 
+    // ---- C1: the full corpus-curation pipeline COMPOSED — quality gate
+    //      (token floor + digit-ratio cap) → exact dedup (min doc_id per
+    //      normalized fingerprint) → near-dup CLUSTER removal (Jaccard
+    //      pairs → connected components → representative only) →
+    //      deterministic train-split selection. What a training-data prep
+    //      job actually runs; every stage is an operator gated elsewhere,
+    //      here their composition is gated end-to-end.
+    "c1_corpus_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nTokens = TextAnalysis.tokenCount(col("text"))
+      val digitRatio = (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1))
+      val quality = docs.filter(nTokens >= 5 && digitRatio <= 0.3)
+      val fp = quality.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      val exact = graft.ops.Dedup.keepFirst(fp, Seq("__fp"), Seq(col("doc_id")))
+        .drop("__fp")
+      val pairs = MinHash.exactJaccardPairs(exact, "doc_id", "text",
+        n = 2, threshold = 0.8)
+      val kept = exact.join(
+        Clusters.dedupPlan(exact, "doc_id", pairs)
+          .filter(col("keep")).select("doc_id"), "doc_id")
+      val bucket = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":graft-split-v1"))), 1, 15), 16, 10).cast("long"), lit(100))
+      kept.select(col("doc_id"), nTokens.as("n_tokens"), bucket.as("bucket"))
+        .filter(col("bucket") < 80)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- D1: exact dedup by normalized-content fingerprint
     "d1_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -349,6 +378,51 @@ object TextQueries extends QueryPack {
         |    '\s+', ' ', 'g'))) AS fingerprint,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "c1_corpus_curation" ->
+      """WITH RECURSIVE
+        |q AS (SELECT doc_id, text FROM documents
+        |      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        |        AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |            AS DOUBLE) / greatest(length(text), 1) <= 0.3),
+        |fp AS (SELECT doc_id, text,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'),
+        |         '\s+', ' ', 'g'))) AS f FROM q),
+        |ex AS (SELECT fp.doc_id, fp.text FROM fp
+        |       JOIN (SELECT f, MIN(doc_id) AS k FROM fp GROUP BY f) m
+        |         ON fp.f = m.f AND fp.doc_id = m.k),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM ex),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))])) AS shingle
+        |  FROM w),
+        |shh AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh),
+        |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+        |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+        |        WHERE df <= 20),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS id FROM edges),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION
+        |          SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |kept AS (SELECT ex.doc_id, ex.text FROM ex LEFT JOIN comp USING (doc_id)
+        |         WHERE comp.doc_id IS NULL OR comp.cluster_id = ex.doc_id)
+        |SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |FROM kept
+        |WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
+        |ORDER BY doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
