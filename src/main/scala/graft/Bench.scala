@@ -56,7 +56,11 @@ object Bench {
     // ms precision keeps the one-line contract under capture-truncation
     // limits (the full-precision r01 line was cut mid-map by the driver's
     // tail capture); sorted keys make round-over-round diffs stable
-    def ms(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    def ms(v: Double) = {
+      val b = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros
+      if (b.scale < 0) b.setScale(0) else b // 1.200 → 1.2, but never 1E+1
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
