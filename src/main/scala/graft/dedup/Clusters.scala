@@ -76,6 +76,75 @@ object Clusters {
     labels
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): the scale
+    * path for ADVERSARIALLY DEEP graphs. Min-label propagation
+    * ([[connectedComponents]]) needs ~diameter rounds — a 10k-link chain
+    * of near-dup docs means 10k shuffles; star contraction converges in
+    * O(log² n) alternating rounds regardless of diameter, because each
+    * round rewires whole neighborhoods to their minimum, halving tree
+    * heights instead of walking them.
+    *
+    * Per round (both steps are one groupBy + one join over the edge set,
+    * map-side-combined, with the same per-round `localCheckpoint` lineage
+    * truncation):
+    *  - large-star: for every node u, connect each STRICTLY LARGER
+    *    neighbor to min(N(u) ∪ u);
+    *  - small-star: for every node u, connect each neighbor ≤ u (and u)
+    *    to that minimum.
+    * Fixpoint: the edge set stops changing; every surviving edge is then
+    * (node → component-minimum), i.e. exactly the propagation labels. */
+  def connectedComponentsLSS(pairs: DataFrame, colA: String = "id_a", colB: String = "id_b",
+                             maxIterations: Int = 50): DataFrame = {
+    var edges = pairs.select(col(colA).as("u"), col(colB).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val allNodes = edges.select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // large-star over the symmetric view: center c, neighbor n
+      val sym = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionAll(edges.select(col("v").as("c"), col("u").as("n")))
+      val mins = sym.groupBy(col("c"))
+        .agg(least(min(col("n")), first(col("c"))).as("m"))
+      // every undirected edge {a<b} is seen exactly once with n > c (from
+      // center a), so the emitted set alone carries the whole graph
+      val large = sym.join(mins, "c")
+        .filter(col("n") > col("c")) // strictly larger neighbors re-hang on the min
+        .select(col("m").as("u"), col("n").as("v")) // m ≤ c < n, already oriented
+        .distinct()
+      // small-star on the (v ≥ u)-oriented edges: center v, smaller nbr u
+      val sMins = large.groupBy(col("v"))
+        .agg(least(min(col("u")), first(col("v"))).as("m"))
+      val small = large.join(sMins, "v")
+        .select(least(col("u"), col("m")).as("nu"), greatest(col("u"), col("m")).as("nv"))
+        .filter(col("nu") =!= col("nv"))
+        .unionAll(large.join(sMins, "v") // re-hang the center itself
+          .select(col("m").as("nu"), col("v").as("nv"))
+          .filter(col("nu") =!= col("nv")))
+        .distinct()
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .localCheckpoint(true)
+      val changed = small.unionAll(edges).distinct().count() != edges.count() ||
+        small.count() != edges.count()
+      edges = small
+      converged = !changed
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc-lss] iter=$i changed=$changed")
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsLSS did not converge after $maxIterations rounds")
+    // at fixpoint every edge is (root=u, member=v); roots label themselves
+    val members = edges.select(col("v").as("id"), col("u").as("cluster_id"))
+    allNodes.join(members, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Full dedup decision frame: every document with its cluster id (its
     * own id when it has no near-dup) and a keep flag for the cluster
     * representative (minimum id). */

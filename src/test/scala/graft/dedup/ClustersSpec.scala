@@ -38,6 +38,37 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star agrees with propagation and union-find on random graphs") {
+    val sp = spark; import sp.implicits._
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      val edges = (1 to 150).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      val got = Clusters.connectedComponentsLSS(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("large-star/small-star handles a deep chain in logarithmic rounds") {
+    val sp = spark; import sp.implicits._
+    // a 120-link chain: propagation would need ~120 rounds (over its
+    // 50-round budget); star contraction collapses it in a handful
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponentsLSS(chain, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 121 && out.values.forall(_ == 0L))
+  }
+
   test("dedupPlan keeps one representative per cluster, singletons keep themselves") {
     val sp = spark; import sp.implicits._
     val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
