@@ -146,6 +146,25 @@ object ReshapeQueries extends QueryPack {
         .orderBy(col("server_id"), col("operation"))
     }),
 
+    // ---- W5: as-of join — every purchase picks up the latest click value
+    //      at or before it per user (tagged-union + one keyed window, no
+    //      quadratic range join); the oracle is DuckDB's native ASOF JOIN
+    "w5_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks0 = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_event"), col("value").as("click_value"))
+      // ambiguous same-instant duplicates resolved BEFORE the as-of join
+      val clicks = graft.ops.Dedup.keepLast(clicks0, Seq("user_id", "ts"),
+        Seq(col("click_event"))).drop("click_event")
+      graft.ops.AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- U5: first-crossing synthesis (membench RAM-scope shape): per
     //      user, the first event whose running total value crosses 1000
     "u5_first_crossing" -> ((s, dir) => {
@@ -190,6 +209,16 @@ object ReshapeQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "w5_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value AS click_value FROM events
+        |      WHERE event_type = 'click'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |        ORDER BY event_id DESC) = 1)
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, p.value, c.click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "u8_lscpu_specs" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS server_id,
         |  CAST((s_suppkey % 4 + 1) * 2 AS INTEGER) AS vcpus,
