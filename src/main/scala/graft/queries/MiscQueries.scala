@@ -154,6 +154,23 @@ object MiscQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // ---- J10: range join — orders priced into region-derived tiers via
+    //      the binned equi-join (never a nested-loop inequality join);
+    //      exact-decimal sums keep the aggregate order-insensitive
+    "j10_range_join" -> ((s, dir) => {
+      val tiers = Tables.region(s, dir).select(
+        col("r_regionkey").as("tier"),
+        (col("r_regionkey") * 40000.0).as("lo"),
+        ((col("r_regionkey") + 1) * 40000.0).as("hi"))
+      val priced = graft.ops.RangeJoin.pointInInterval(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        tiers, "o_totalprice", "lo", "hi", binWidth = 40000.0)
+      priced.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ops.Cols.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("tier"))
+    }),
+
     // ---- O3: global top-k. orderBy().limit(k) compiles to
     //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
     //      merges 32 heaps — no global sort, no single-task window. The
@@ -220,6 +237,13 @@ object MiscQueries extends QueryPack {
         |  SELECT p_partkey, 'unused_part' AS side FROM part
         |  WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem))
         |ORDER BY side, p_partkey""".stripMargin,
+    "j10_range_join" ->
+      """WITH tiers AS (SELECT r_regionkey AS tier, r_regionkey * 40000.0 AS lo,
+        |  (r_regionkey + 1) * 40000.0 AS hi FROM region)
+        |SELECT tier, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     "o3_global_topk" ->
       """SELECT rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_totalprice,
