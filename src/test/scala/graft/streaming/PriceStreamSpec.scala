@@ -101,4 +101,31 @@ class PriceStreamSpec extends SparkSpec {
     q.stop()
     assert(written.toSet == Set("a" -> 5.0, "b" -> 7.0))
   }
+
+  test("file-source stream resumes exactly-once from its checkpoint") {
+    val sp = spark; import sp.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val chk = java.nio.file.Files.createTempDirectory("graft-stream-chk")
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out")
+    try {
+      def runOnce(): Unit = {
+        val q = sp.readStream.schema("key STRING, price DOUBLE")
+          .parquet(src.toString)
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", chk.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Seq(("a", 1.0)).toDF("key", "price").write.mode("append").parquet(src.toString)
+      runOnce()
+      Seq(("b", 2.0)).toDF("key", "price").write.mode("append").parquet(src.toString)
+      runOnce() // restart from checkpoint: must process ONLY the new file
+      val rows = sp.read.parquet(out.toString)
+        .as[(String, Double)].collect().toSet
+      assert(rows == Set(("a", 1.0), ("b", 2.0))) // a duplicated ⇒ replayed old input
+    } finally Seq(src, chk, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+  }
 }
