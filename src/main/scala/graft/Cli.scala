@@ -92,6 +92,36 @@ object Cli {
       df.show(20, truncate = false)
       spark.stop()
 
+    // metadata set <jdbcUrl> [key=value ...] | metadata get <jdbcUrl> [key]
+    // (reference `metadata` sub-app, cli.py:242-319: version + published_at
+    // always; extra pairs merge on key)
+    case "metadata" :: "set" :: url :: entries =>
+      val spark = session()
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().execute(DdlGen.createTable(
+        sinks.MetadataSink.Table, Schemas.tables(sinks.MetadataSink.Table)._1,
+        Seq("key"), DdlGen.Derby))
+      catch { case _: java.sql.SQLException => () } // table exists
+      finally c.close()
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val extra = entries.flatMap { e =>
+        e.split("=", 2) match { case Array(k, v) => Some(k.trim -> v.trim); case _ => None }
+      }
+      sinks.MetadataSink.write(
+        sinks.MetadataSink.rows(spark, version = "0.2.0", publishedAt = now,
+          publishedBy = sys.env.get("GRAFT_PUBLISHED_BY"), extra = extra),
+        url, DdlGen.Derby, now)
+      println(s"metadata set: ${2 + extra.size} keys")
+      spark.stop()
+
+    case "metadata" :: "get" :: url :: rest =>
+      val c = java.sql.DriverManager.getConnection(url)
+      val where = rest.headOption.map(k => s""" WHERE "KEY" = '$k'""").getOrElse("")
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT "KEY", "VALUE" FROM "_METADATA"$where ORDER BY "KEY"""")
+      while (rs.next()) println(f"${rs.getString(1)}%-20s ${rs.getString(2)}")
+      c.close()
+
     case "sql" :: dir :: query :: Nil =>
       val spark = session()
       registerTables(spark, dir)
@@ -100,7 +130,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: schemas | pull | sync | hash | hashdb | dump | sql | fetch")
+      System.err.println("commands: schemas | pull | sync | hash | hashdb | dump | sql | fetch | metadata")
       sys.exit(2)
   }
 }

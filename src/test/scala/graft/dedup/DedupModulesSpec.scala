@@ -93,6 +93,23 @@ class SimHashSpec extends SparkSpec {
 
 class CosineSpec extends SparkSpec {
 
+  test("dot_product NULLs on length mismatch and null elements, like zip_with") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0)), // mismatch
+      (3L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0))) // null elem
+      .toDF("id", "a", "b")
+    val native = df.select(col("id"),
+      graft.similarity.Cosine.dot(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("d"))).toMap
+    val hof = df.select(col("id"),
+      graft.similarity.Cosine.dotHof(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("d"))).toMap
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native(1L).contains(11.0) && native(2L).isEmpty && native(3L).isEmpty)
+  }
+
   test("native dot_product equals the higher-order-function fold, float and double") {
     val sp = spark; import sp.implicits._
     val df = Seq(
