@@ -162,6 +162,29 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C2: token-budget selection — rank documents by quality (then
+    //      id for determinism) and keep the prefix whose cumulative token
+    //      count fits a budget: the data-mix step that fills a pretraining
+    //      quota with the best available text. One global ranked running
+    //      sum; at scale the same shape runs per-stratum (partitionBy
+    //      source/language) so no single-task window exists — exercised
+    //      here per language.
+    "c2_token_budget" -> ((s, dir) => {
+      val budget = 20000L
+      val nTokens = TextAnalysis.tokenCount(col("text"))
+      val ranked = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        nTokens.cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      ranked
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality"),
+          col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"))
+    }),
+
     // ---- D1: exact dedup by normalized-content fingerprint
     "d1_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -378,6 +401,26 @@ object TextQueries extends QueryPack {
         |    '\s+', ' ', 'g'))) AS fingerprint,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "c2_token_budget" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS pr,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS sr
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, n_tokens,
+        |  ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+        |  FROM b),
+        |r AS (SELECT lang, doc_id, n_tokens, quality,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT lang, doc_id, n_tokens, quality, cum_tokens FROM r
+        |WHERE cum_tokens <= 20000 ORDER BY lang, cum_tokens""".stripMargin,
     "c1_corpus_curation" ->
       """WITH RECURSIVE
         |q AS (SELECT doc_id, text FROM documents
