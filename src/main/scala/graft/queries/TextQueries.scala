@@ -162,6 +162,32 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T12: deterministic WEIGHTED sample — Efraimidis-Spirakis A-Res
+    //      with the uniform drawn from a salted hash instead of an RNG:
+    //      key = u^(1/w), take the top-k keys per stratum. Sampling
+    //      probability scales with the weight (token count here: long docs
+    //      are likelier), yet the draw is reproducible across runs,
+    //      engines, and partitionings — no RNG state anywhere. One window
+    //      per stratum, map-side before it.
+    "t12_weighted_sample" -> ((s, dir) => {
+      val k = 5
+      // u ∈ (0,1]: (h+1)/2^60 over the 60-bit md5-derived hash
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":graft-wsample-v1"))), 1, 15), 16, 10).cast("long")
+      val u = (h.cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
+      val wgt = TextAnalysis.tokenCount(col("text")).cast("double")
+      val key = pow(u, lit(1.0) / greatest(wgt, lit(1.0)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("key").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), wgt.cast("long").as("n_tokens"),
+          round(key, 9).as("key"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("n_tokens"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ---- C2: token-budget selection — rank documents by quality (then
     //      id for determinism) and keep the prefix whose cumulative token
     //      count fits a budget: the data-mix step that fills a pretraining
@@ -401,6 +427,21 @@ object TextQueries extends QueryPack {
         |    '\s+', ' ', 'g'))) AS fingerprint,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "t12_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  (CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-wsample-v1')), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+        |    / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |kq AS (SELECT doc_id, lang, n_tokens,
+        |  ROUND(POWER(u, 1.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)), 9) AS key
+        |  FROM t)
+        |SELECT lang, rank, doc_id, n_tokens FROM (
+        |  SELECT lang, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rank
+        |  FROM kq)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "c2_token_budget" ->
       """WITH b AS (SELECT doc_id, lang,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
