@@ -148,8 +148,14 @@ object TextQueries extends QueryPack {
         greatest(length(col("text")), lit(1))
       val quality = docs.filter(nTokens >= 5 && digitRatio <= 0.3)
       val fp = quality.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      // `exact` fans out three ways (pair detection, the decision frame,
+      // and the join-back); without materialization the quality filter +
+      // fingerprint groupBy would run once per consumer. persist (not
+      // localCheckpoint) keeps the plan's statistics visible so the
+      // downstream joins stay broadcastable.
       val exact = graft.ops.Dedup.keepFirst(fp, Seq("__fp"), Seq(col("doc_id")))
         .drop("__fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = MinHash.exactJaccardPairs(exact, "doc_id", "text",
         n = 2, threshold = 0.8)
       val kept = exact.join(
