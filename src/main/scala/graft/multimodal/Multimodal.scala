@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * video as opaque `binary` columns with typed metadata, processed by
   * per-partition batch operators.
   *
-  * Image and audio decode are REAL: `javax.imageio` ships PNG/JPEG/BMP/GIF
-  * readers in the JDK, and WAV is a plain RIFF parse — [[decode]] reads
-  * true dimensions / sample rates and [[imageFeatures]] /
-  * [[audioFeatures]] extract dense vectors that feed
-  * [[graft.similarity.Cosine]] directly. Only VIDEO frame decode remains
-  * stubbed (no pure-JVM codec exists; a production build swaps the
-  * per-partition iterator body for ffmpeg). The Spark-side shape is what a
-  * production pipeline needs either way:
+  * All three decode paths are REAL: `javax.imageio` ships PNG/JPEG/BMP/GIF
+  * readers in the JDK, WAV is a plain RIFF parse, and video rides the
+  * MJPEG-in-AVI path in [[Avi]] (RIFF container walk + per-frame JPEG via
+  * ImageIO) — [[decode]] reads true dimensions / sample rates / frame
+  * counts, and [[imageFeatures]] / [[audioFeatures]] /
+  * [[videoFrameFeatures]] extract dense vectors that feed
+  * [[graft.similarity.Cosine]] directly. (Non-MJPEG codecs — H.264 etc. —
+  * would need a native library; a production build swaps the per-partition
+  * iterator body for ffmpeg while everything around it stays.) The
+  * Spark-side shape is what a production pipeline needs either way:
   *  - the schema (binary payload + metadata struct, partition-prunable kind
   *    column);
   *  - per-partition batched processing via `mapPartitions` on a typed
@@ -149,11 +151,14 @@ object Multimodal {
               Decoded(m.media_id, m.kind, m.content, "wav", 0, 0, rate, durMs, 0)
             case None => Decoded(m.media_id, m.kind, m.content, "error", 0, 0, 0, 0L, 0)
           }
-          case _ => // STUB: video metadata derived from payload bytes
-            val h = math.abs(java.util.Arrays.hashCode(m.content))
-            Decoded(m.media_id, m.kind, m.content, "stub/video",
-              1 + h % 1920, 1 + h % 1080, 0, (if (m.content == null) 0 else m.content.length).toLong,
-              1 + h % 300)
+          case _ => // REAL video decode: MJPEG-in-AVI via the RIFF walk
+            Avi.decodeMeta(m.content) match {
+              case Some(meta) =>
+                Decoded(m.media_id, m.kind, m.content, "avi/mjpeg",
+                  meta.width, meta.height, 0, meta.durationMs, meta.nFrames)
+              case None =>
+                Decoded(m.media_id, m.kind, m.content, "error", 0, 0, 0, 0L, 0)
+            }
         }
       }
     }.toDF()
@@ -217,7 +222,42 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction for kinds without a JVM codec (video):
+  /** REAL video frame features: decode every `everyN`-th MJPEG frame from
+    * the AVI payload and emit one perceptual grid vector per sampled frame
+    * (same luminance embedding as [[imageFeatures]], so image↔video-frame
+    * similarity search shares one vector space). One row in → many rows
+    * out via the partition iterator — the fan-out happens executor-side,
+    * never on the driver. Undecodable payloads yield no rows (the decode
+    * frame carries the "error" marker). */
+  case class FrameFeature(media_id: Long, frame_idx: Int, feature: Array[Float])
+  def videoFrameFeatures(ds: Dataset[MediaRow], everyN: Int = 5,
+                         grid: Int = 8): Dataset[FrameFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        Avi.sampledFrames(m.content, everyN).map { case (idx, img) =>
+          val thumb = new java.awt.image.BufferedImage(grid, grid,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, grid, grid, null)
+          g.dispose()
+          val vec = Array.tabulate(grid * grid) { i =>
+            val rgb = thumb.getRGB(i % grid, i / grid)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            (lum / 255.0f) - 0.5f
+          }
+          FrameFeature(m.media_id, idx, vec)
+        }
+      }
+    }
+  }
+
+  /** STUB feature extraction for kinds without a JVM codec (none remain —
+    * image/audio/video all decode for real now); kept for shape tests:
     * production replaces the body with a batched model forward pass; the
     * deterministic fake keeps downstream similarity search testable. */
   def featureStub(ds: Dataset[MediaRow], dim: Int = 8): Dataset[Feature] = {

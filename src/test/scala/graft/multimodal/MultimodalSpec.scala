@@ -88,7 +88,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L).getAs[Int]("sample_rate") == 16000)
     assert(out(5L).getAs[Long]("duration_ms") == 500L)
     assert(out(6L).getAs[String]("format") == "error")
-    assert(out(7L).getAs[String]("format") == "stub/video") // video still stubbed
+    assert(out(7L).getAs[String]("format") == "error") // not an AVI → flagged, not dropped
+  }
+
+  // ---- video: genuine MJPEG AVI bytes built by the encoder in Avi
+
+  private def frameOf(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 37 + y * 91 + seed) * 2654435761L).toInt & 0xffffff)
+    img
+  }
+
+  test("video decode reads true AVI dimensions, frame count, duration") {
+    val sp = spark; import sp.implicits._
+    val avi = Avi.encodeMjpeg((0 until 12).map(i => frameOf(48, 32, i * 11)), fps = 6)
+    val rows = Seq(Multimodal.MediaRow(1L, "video", avi)).toDS()
+    val m = Multimodal.decode(rows).select("metadata.*").collect().head
+    assert(m.getAs[String]("format") == "avi/mjpeg")
+    assert(m.getAs[Int]("width") == 48 && m.getAs[Int]("height") == 32)
+    assert(m.getAs[Int]("n_frames") == 12)
+    assert(m.getAs[Long]("duration_ms") == 12 * (1000000 / 6) / 1000L) // 2 s
+  }
+
+  test("video frame features: sampled frames decode and match a re-encode") {
+    val sp = spark; import sp.implicits._
+    val frames = (0 until 10).map(i => frameOf(64, 48, i * 7))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", Avi.encodeMjpeg(frames, fps = 5)),
+      Multimodal.MediaRow(2L, "video", Avi.encodeMjpeg(frames, fps = 10)), // same frames, new encode
+      Multimodal.MediaRow(3L, "video", Avi.encodeMjpeg(
+        (0 until 10).map(i => frameOf(64, 48, 5000 + i * 13)), fps = 5))).toDS()
+    val feats = Multimodal.videoFrameFeatures(rows, everyN = 3, grid = 8).toDF()
+    // every 3rd of 10 frames → indices 0,3,6,9
+    assert(feats.filter(col("media_id") === 1).count() == 4)
+    assert(feats.select(size(col("feature"))).collect().forall(_.getInt(0) == 64))
+    // frame-0 vectors: re-encoded identical frame ≈ 1.0, different content lower
+    val f0 = feats.filter(col("frame_idx") === 0)
+      .select(col("media_id").as("doc_id"), col("feature"))
+    val knn = graft.similarity.Cosine.topK(
+      f0.filter(col("doc_id") === 1).withColumnRenamed("doc_id", "media_id"),
+      f0.withColumnRenamed("doc_id", "media_id"), "media_id", "feature", k = 2)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("sim")).toMap
+    assert(knn(2L) > 0.99, s"re-encoded identical frame should match: $knn")
+    assert(knn(2L) > knn(3L), s"distinct video ranked above identical: $knn")
+    // corrupt payloads emit no frame rows rather than failing the job
+    val bad = Seq(Multimodal.MediaRow(9L, "video", "junk".getBytes)).toDS()
+    assert(Multimodal.videoFrameFeatures(bad, everyN = 1).count() == 0)
   }
 
   test("image features: same pixels across codecs cosine-match, distinct don't") {
