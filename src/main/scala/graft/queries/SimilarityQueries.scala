@@ -55,6 +55,20 @@ object SimilarityQueries extends QueryPack {
       Cosine.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
           "label", k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- D8: embedding-cosine near-dup DEDUP decision — the semantic
+    //      twin of d6 with cosine-over-embeddings as the pair detector:
+    //      cell-bucketed candidate pairs (never all-pairs) → connected
+    //      components → one representative kept per cluster. At 100 TB
+    //      the pair stage swaps cells for SRP buckets (x3) with identical
+    //      downstream shape.
+    "d8_embedding_dups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Cosine.cellPairs(emb, "vec_id", "embedding", "label",
+        threshold = 0.4)
+      graft.dedup.Clusters.dedupPlan(emb.select(col("vec_id")), "vec_id", pairs)
+        .orderBy(col("vec_id"))
     }))
 
   /** The same deterministic SRP hyperplanes the engine uses, as SQL array
@@ -145,5 +159,24 @@ object SimilarityQueries extends QueryPack {
          |  SELECT query_id, neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM sims)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "d8_embedding_dups" ->
+      s"""WITH RECURSIVE $vCte,
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT em.vec_id, COALESCE(comps.comp, em.vec_id) AS cluster_id,
+         |  em.vec_id = COALESCE(comps.comp, em.vec_id) AS keep
+         |FROM embeddings em LEFT JOIN comps ON comps.id = em.vec_id
+         |ORDER BY em.vec_id""".stripMargin)
 }
