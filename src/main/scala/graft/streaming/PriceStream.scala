@@ -74,6 +74,39 @@ object PriceStream {
   def enriched(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Session windows over the stream: observations of one key separated by
+    * less than `gap` merge into one session (the streaming counterpart of
+    * the batch sessionize window w2, but computed incrementally —
+    * `session_window` merges state as late rows arrive, watermark bounds
+    * it). */
+  def sessionized(stream: DataFrame, watermark: String = "10 minutes",
+                  gap: String = "5 minutes"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("key"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_obs"), min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+      .select(col("key"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_obs"), col("min_price"), col("max_price"))
+
+  /** Stream-stream interval join: each price observation picks up the
+    * availability events for the same key within `tolerance` BEFORE it.
+    * Both sides are watermarked so the join state is bounded — Spark keeps
+    * only rows young enough to still find a match; without the time-range
+    * condition a stream-stream join would buffer forever. */
+  def withRecentEvents(prices: DataFrame, events: DataFrame,
+                       watermark: String = "10 minutes",
+                       tolerance: String = "5 minutes"): DataFrame = {
+    val p = prices.withWatermark("ts", watermark)
+    val e = events.select(col("key").as("e_key"), col("ets"), col("status"))
+      .withWatermark("ets", watermark)
+    p.join(e, col("key") === col("e_key") &&
+      col("ets") >= col("ts") - expr(s"INTERVAL $tolerance") &&
+      col("ets") <= col("ts"))
+      .select(col("key"), col("ts"), col("price"), col("ets"), col("status"))
+  }
+
   /** CDC merge per micro-batch: dedup keep-last inside the batch, then hand
     * to any batch writer (JDBC upsert, parquet MERGE, ...). Reuses the
     * batch ops — the foreachBatch bridge the reference's SCD flips map to. */

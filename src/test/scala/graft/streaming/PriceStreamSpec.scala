@@ -128,4 +128,51 @@ class PriceStreamSpec extends SparkSpec {
     } finally Seq(src, chk, out).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
   }
+
+  test("session windows merge observations within the gap, split beyond it") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[PriceStream.PriceObs]
+    val q = PriceStream.sessionized(mem.toDF(), gap = "5 minutes").writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    mem.addData(
+      PriceStream.PriceObs("a", ts(1), 1.0),
+      PriceStream.PriceObs("a", ts(3), 2.0),  // <5 min after ts(1) → same session
+      PriceStream.PriceObs("a", ts(20), 9.0), // >5 min gap → new session
+      PriceStream.PriceObs("b", ts(2), 4.0))
+    q.processAllAvailable()
+    val out = sp.sql("SELECT * FROM sess_out ORDER BY key, session_start").collect()
+    q.stop()
+    assert(out.length == 3) // a×2 sessions + b×1
+    assert(out(0).getAs[Long]("n_obs") == 2L)
+    assert(out(0).getAs[Double]("max_price") == 2.0)
+    assert(out(1).getAs[Long]("n_obs") == 1L)
+    assert(out(1).getAs[Double]("min_price") == 9.0)
+  }
+
+  test("stream-stream interval join pairs prices with events within tolerance") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val prices = MemoryStream[PriceStream.PriceObs]
+    case class Ev(key: String, ets: Timestamp, status: String)
+    val events = MemoryStream[(String, Timestamp, String)]
+    val evDf = events.toDF().toDF("key", "ets", "status")
+    val q = PriceStream.withRecentEvents(prices.toDF(), evDf,
+        tolerance = "5 minutes").writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    events.addData(
+      ("a", ts(1), "up"),
+      ("a", ts(30), "down"), // after the observation → excluded (ets <= ts)
+      ("b", ts(2), "up"))    // other key
+    prices.addData(PriceStream.PriceObs("a", ts(3), 1.5))
+    q.processAllAvailable()
+    // advance both watermarks so joined rows are finalized in append mode
+    events.addData(("z", ts(59), "up"))
+    prices.addData(PriceStream.PriceObs("z", ts(59), 0.0))
+    q.processAllAvailable()
+    val out = sp.sql("SELECT key, status FROM ssj_out WHERE key = 'a'").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(out.toSeq == Seq(("a", "up"))) // only the in-window, same-key event
+  }
 }
