@@ -194,6 +194,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // ---- T13: vocabulary-size sketch — KMV k-minimum-values distinct
+    //      count as a native TypedImperativeAggregate: ≤ k longs of state
+    //      per group, map-side combined, mergeable across partitions/
+    //      datasets. Deterministic given the md5-derived hash input, so
+    //      the ESTIMATE itself is oracle-gated exactly (DuckDB recomputes
+    //      the k-th minimum with a window); n_exact shows the error.
+    "t13_vocab_sketch" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(TextAnalysis.shingles(col("text"), 2)).as("shingle"))
+      val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+      sh.select(col("lang"), h.as("h"))
+        .groupBy(col("lang"))
+        .agg(round(graft.plans.KmvSketchAgg.kmvDistinct(col("h"), 256), 6)
+            .as("est_distinct"),
+          countDistinct(col("h")).as("n_exact"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- C2: token-budget selection — rank documents by quality (then
     //      id for determinism) and keep the prefix whose cumulative token
     //      count fits a budget: the data-mix step that fills a pretraining
@@ -448,6 +467,24 @@ object TextQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rank
         |  FROM kq)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "t13_vocab_sketch" ->
+      """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents),
+        |sh AS (SELECT lang, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))]))
+        |  AS shingle FROM w),
+        |hh AS (SELECT DISTINCT lang,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS nd FROM hh),
+        |agg AS (SELECT lang, MAX(nd) AS nd,
+        |  MAX(CASE WHEN rn = 256 THEN h END) AS h_k FROM r GROUP BY lang)
+        |SELECT lang,
+        |  ROUND(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END, 6)
+        |    AS est_distinct,
+        |  CAST(nd AS BIGINT) AS n_exact
+        |FROM agg ORDER BY lang""".stripMargin,
     "c2_token_budget" ->
       """WITH b AS (SELECT doc_id, lang,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

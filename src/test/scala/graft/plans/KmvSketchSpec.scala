@@ -1,0 +1,48 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KmvSketchSpec extends SparkSpec {
+
+  private def hashed(n: Int) = {
+    val sp = spark; import sp.implicits._
+    (1 to n).map(i => s"tok-$i").toDF("tok")
+      .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+  }
+
+  test("below k the sketch is the exact distinct count") {
+    val est = hashed(100).agg(KmvSketchAgg.kmvDistinct(col("h"), 256)).head.getDouble(0)
+    assert(est == 100.0)
+    // duplicates don't inflate it
+    val dup = hashed(100).unionAll(hashed(100))
+      .agg(KmvSketchAgg.kmvDistinct(col("h"), 256)).head.getDouble(0)
+    assert(dup == 100.0)
+  }
+
+  test("above k the estimate lands within the ~1/sqrt(k) error band") {
+    val n = 20000
+    val est = hashed(n).agg(KmvSketchAgg.kmvDistinct(col("h"), 256)).head.getDouble(0)
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est too far from $n")
+  }
+
+  test("estimate is independent of partitioning (merge correctness)") {
+    val df = hashed(5000)
+    val one = df.coalesce(1).agg(KmvSketchAgg.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    val many = df.repartition(13).agg(KmvSketchAgg.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    val grouped = df.withColumn("g", pmod(col("h"), lit(7)))
+      .repartition(5, col("g"))
+      .agg(KmvSketchAgg.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    assert(one == many && one == grouped,
+      s"partitioning changed the sketch: $one / $many / $grouped")
+  }
+
+  test("nulls are ignored; works per group") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)), ("b", Some(10L)))
+      .toDF("g", "h")
+    val out = df.groupBy("g").agg(KmvSketchAgg.kmvDistinct(col("h"), 8).as("est"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("a", 2.0), ("b", 1.0)))
+  }
+}
