@@ -5,8 +5,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions wiring: registers the engine's SQL surface —
-  * `canonical_json(struct)` (native expression) and
-  * `canonical_row_hash(struct)` = sha1(canonical_json(...)).
+  * `canonical_json(struct)` / `canonical_row_hash(struct)` (Python-parity
+  * serialization), `dot_product(a, b)` (codegen'd vector kernel),
+  * `simhash(token_hashes[, bits])` (one-pass fingerprint), and
+  * `kmv_distinct(h, k)` (bounded-state cardinality sketch aggregate) — so
+  * `spark.sql(...)` users get the same operators as the Column API.
   *
   * Use at session build time
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
@@ -16,8 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Deliberately NO custom optimizer Rule / SparkStrategy: every operator
   * in SURVEY §2 is expressible with built-in relational operators that
   * Catalyst already optimizes (§4); the custom surface stays limited to
-  * scalar serialization, where byte-level Python parity genuinely cannot
-  * be expressed with built-ins.
+  * scalar/aggregate functions whose semantics (byte-level Python parity,
+  * bounded sketch state) genuinely cannot be expressed with built-ins.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
@@ -41,7 +44,33 @@ object GraftExtensions {
       (children: Seq[Expression]) => sha1Of(CanonicalJsonExpr(children.head))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))),
+    (FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => SimHashExpr(arr)
+        case Seq(arr, bits) => SimHashExpr(arr, litInt(bits, "simhash bits"))
+        case _ => throw new IllegalArgumentException(
+          "simhash(token_hashes[, bits]) takes 1 or 2 arguments")
+      }),
+    // aggregate: the registry takes the bare AggregateFunction; the
+    // analyzer wraps it in AggregateExpression at the use site (same as
+    // built-in sum/avg)
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, k) => KmvSketchAgg(h, litInt(k, "kmv_distinct k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_distinct(hash, k) takes exactly 2 arguments")
+      }))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+      org.apache.spark.sql.types.LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
 
   /** Register into an already-built session (idempotent — safe to call
     * from operator constructors). */

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regressions for the properties that matter at 100 TB but
+  * that no row-level oracle can catch: filters reaching the parquet scan,
+  * columns pruned at the reader, dimension joins broadcast, map-side
+  * fingerprints staying shuffle-free. Each assertion pins a shape the
+  * round-2/3 plan audits established; a refactor that silently loses one
+  * fails here, not in production.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+  private def formatted(df: DataFrame): String = {
+    val sb = new StringBuilder
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter and projection push down to the documents parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select("doc_id", "lang")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$plan")
+    // reader schema holds ONLY the projected columns — not `text`
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("dimension lookups plan as broadcast joins, not sort-merge") {
+    val plan = physical(SparkEntry.queries("j1_broadcast_lookup")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("brute-force cosine topK broadcasts the query side only") {
+    val plan = physical(SparkEntry.queries("x1_cosine_topk")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("simhash fingerprints stay map-side: no Exchange before the sort") {
+    import org.apache.spark.sql.functions._
+    // the gated d4 query ends in orderBy (one Exchange by construction);
+    // assert the FINGERPRINT computation itself adds none
+    val df = graft.dedup.SimHash.fingerprints(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val upstream = physical(df)
+    assert(upstream.split("Exchange").length <= 2, // only the final rangepartition allowed
+      s"simhash added a shuffle:\n$upstream")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject with zero exchanges") {
+    val plan = physical(SparkEntry.queries("o3_global_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("group-aggregates run partial map-side combine before the shuffle") {
+    val plan = physical(SparkEntry.queries("q1_agg")(spark, dir))
+    // two HashAggregate nodes (partial + final) around one Exchange
+    assert(plan.split("HashAggregate").length >= 3, plan)
+  }
+}

@@ -44,4 +44,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaUdf.collect().map(_.getString(0)).toSeq ==
       viaExpr.collect().map(_.getString(0)).toSeq)
   }
+
+  test("simhash is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val sp = spark; import sp.implicits._
+    val df = Seq(Tuple1(Seq(3L, 5L, 3L, 9L))).toDF("th")
+    val viaSql = df.select(expr("simhash(th)").as("fp")).head.getLong(0)
+    val viaCol = df.select(Exprs.toColumn(
+      SimHashExpr(Exprs.toExpression(col("th")))).as("fp")).head.getLong(0)
+    assert(viaSql == viaCol)
+    // bits arg must be a literal
+    assertThrows[Exception](df.select(expr("simhash(th, th[0])")).head)
+  }
+
+  test("kmv_distinct is callable from SQL as a grouped aggregate") {
+    GraftExtensions.register(spark)
+    val sp = spark; import sp.implicits._
+    val df = (1 to 300).map(i => ("g" + (i % 2), i.toLong * 1000003L)).toDF("g", "h")
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = sp.sql(
+      "SELECT g, kmv_distinct(h, 8) AS est FROM kmv_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val viaCol = df.groupBy("g").agg(KmvSketchAgg.kmvDistinct(col("h"), 8).as("est"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
 }
