@@ -282,6 +282,29 @@ object CoreQueries extends QueryPack {
       base.unionByName(derived).orderBy(col("p_partkey"), col("kind"))
     }),
 
+    // ---- E5: INTERSECT / EXCEPT set semantics — segment customers who
+    //      did (and did not) place orders; both compile to aggregate-free
+    //      left-semi/anti joins after Catalyst's ReplaceIntersectWithSemiJoin
+    "e5_set_ops" -> ((s, dir) => {
+      val buyers = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      val segment = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val active = segment.intersect(buyers).withColumn("status", lit("active"))
+      val dormant = segment.except(buyers).withColumn("status", lit("dormant"))
+      active.unionByName(dormant).orderBy(col("custkey"))
+    }),
+
+    // ---- A13: ROLLUP multi-level aggregation — per (flag, status),
+    //      per flag, and grand total in ONE pass (Expand + single
+    //      combine-enabled shuffle, not three scans)
+    "a13_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- F1/F2/F5: conjunctive predicate filters with guards
     "f2_filters" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -546,6 +569,21 @@ object CoreQueries extends QueryPack {
         |    CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price,
         |    'discounted' AS kind FROM part)
         |ORDER BY p_partkey, kind""".stripMargin,
+    "e5_set_ops" ->
+      """WITH buyers AS (SELECT o_custkey AS custkey FROM orders),
+        |seg AS (SELECT c_custkey AS custkey FROM customer
+        |        WHERE c_mktsegment = 'BUILDING')
+        |SELECT custkey, 'active' AS status
+        |FROM (SELECT custkey FROM seg INTERSECT SELECT custkey FROM buyers)
+        |UNION ALL
+        |SELECT custkey, 'dormant' AS status
+        |FROM (SELECT custkey FROM seg EXCEPT SELECT custkey FROM buyers)
+        |ORDER BY custkey""".stripMargin,
+    "a13_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "f5_guards" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_extendedprice > 90000 THEN NULL

@@ -91,6 +91,18 @@ object ReshapeQueries extends QueryPack {
       measured.unionByName(derived).orderBy(col("event_id"), col("kind"))
     }),
 
+    // ---- U10: PIVOT — long-to-wide with explicit value list (no
+    //      values-discovery scan, single shuffle, map-side partial agg;
+    //      the inverse of the u1/u3 unpivots). Quantities are
+    //      integer-valued doubles, so the sums are order-exact.
+    "u10_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- W2: gap-based sessionization (30-min inactivity gap): lag diff
     //      flags session starts, running sum numbers them — two windows,
     //      both partitioned by user, no global sort
@@ -301,6 +313,11 @@ object ReshapeQueries extends QueryPack {
         |  SELECT event_id, ROUND(value * 2, 2) AS value, 'extrapolated' AS kind FROM events
         |  WHERE event_type = 'purchase')
         |ORDER BY event_id, kind""".stripMargin,
+    "u10_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "u5_first_crossing" ->
       """SELECT user_id, event_id, ROUND(running, 2) AS running FROM (
         |  SELECT user_id, event_id, running,
