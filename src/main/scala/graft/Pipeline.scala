@@ -250,10 +250,10 @@ object Pipeline {
     assert(changes == 2, "expected 2 price changes (initial + one move)")
   }
 
-  /** Multimodal stage: binary media rows → REAL image/audio decode
-    * (ImageIO + RIFF) and perceptual features → cosine neighbors; video
-    * stays on the stub path (no JVM codec), exercising both branches of
-    * the batch plumbing end to end. */
+  /** Multimodal stage: binary media rows → REAL image/video decode
+    * (ImageIO + MJPEG-in-AVI) and perceptual features → cosine neighbors;
+    * a corrupt payload exercises the error branch of the batch plumbing
+    * end to end. */
   private def multimodalStage(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.multimodal.Multimodal
@@ -267,8 +267,11 @@ object Pipeline {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    def frame(seed: Int) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(seed)))
+    val avi = graft.multimodal.Avi.encodeMjpeg((0 until 3).map(frame), fps = 4)
     val media = ((1L to 6L).map(i => Multimodal.MediaRow(i, "image", png(i.toInt % 3))) :+
-      Multimodal.MediaRow(7L, "video", "opaque-video".getBytes) :+
+      Multimodal.MediaRow(7L, "video", avi) :+
       Multimodal.MediaRow(8L, "image", "corrupt".getBytes)).toDS()
     val decoded = Multimodal.decode(media)
     val okImages = decoded.filter(col("metadata.format") === "png").count()
@@ -285,9 +288,15 @@ object Pipeline {
     // seeds repeat mod 3 → media 4 shares media 1's pixels exactly
     assert(knn.head.getAs[Long]("neighbor_id") == 4L &&
       knn.head.getAs[Double]("sim") > 0.999)
+    val videoMeta = decoded.filter(col("kind") === "video")
+      .select("metadata.format", "metadata.n_frames").collect().head
+    assert(videoMeta.getString(0) == "avi/mjpeg" && videoMeta.getInt(1) == 3)
+    val frameFeats = Multimodal.videoFrameFeatures(
+      media.filter(_.kind == "video"), everyN = 1).count()
     val frames = Multimodal.frameSamplePlan(decoded, everyN = 30)
     println(s"[pipeline] multimodal: decoded_png=$okImages errors=$errors " +
-      s"knn=${knn.length} sampled_frames=${frames.count()}")
-    assert(okImages == 6 && errors == 1 && knn.length == 3 && frames.count() > 0)
+      s"knn=${knn.length} video_frames=$frameFeats sampled_frames=${frames.count()}")
+    assert(okImages == 6 && errors == 1 && knn.length == 3 &&
+      frameFeats == 3 && frames.count() > 0)
   }
 }
