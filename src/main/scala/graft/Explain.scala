@@ -16,7 +16,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "j4_threeway", "a3_weighted_geomean", "d3_minhash_lsh",
         "d5_dedup_clusters", "x1_cosine_topk", "x4_ivf_topk", "x6_centroid_assign",
-        "a1_keep_best", "t8_tfidf")
+        "a1_keep_best", "t8_tfidf", "c1_corpus_curation", "d8_embedding_dups",
+        "t13_vocab_sketch", "a13_rollup", "u10_pivot")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

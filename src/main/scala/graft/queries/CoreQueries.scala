@@ -295,6 +295,18 @@ object CoreQueries extends QueryPack {
       active.unionByName(dormant).orderBy(col("custkey"))
     }),
 
+    // ---- A14: collection aggregation — per-customer order-key arrays.
+    //      sort_array makes the result topology-independent (collect_list
+    //      order is partition-dependent); state is bounded by group fan-in,
+    //      the combine still runs map-side.
+    "a14_order_array" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- A13: ROLLUP multi-level aggregation — per (flag, status),
     //      per flag, and grand total in ONE pass (Expand + single
     //      combine-enabled shuffle, not three scans)
@@ -579,6 +591,10 @@ object CoreQueries extends QueryPack {
         |SELECT custkey, 'dormant' AS status
         |FROM (SELECT custkey FROM seg EXCEPT SELECT custkey FROM buyers)
         |ORDER BY custkey""".stripMargin,
+    "a14_order_array" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "a13_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
