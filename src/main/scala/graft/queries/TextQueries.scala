@@ -213,6 +213,26 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // ---- T14: sequence packing — concatenate documents (in a fixed
+    //      deterministic order) into pretraining sequences of ~2048
+    //      tokens: pack_id = floor(tokens-before-this-doc / 2048) per
+    //      language. One partitioned running sum — at scale the window is
+    //      per (source, shard) so no single-task window exists; the
+    //      pack boundaries are reproducible across any partitioning.
+    "t14_sequence_pack" -> ((s, dir) => {
+      val ctx = 2048L
+      val nTokens = TextAnalysis.tokenCount(col("text")).cast("long")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), nTokens.as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          floor(col("cum_before") / ctx).as("pack_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // ---- C2: token-budget selection — rank documents by quality (then
     //      id for determinism) and keep the prefix whose cumulative token
     //      count fits a budget: the data-mix step that fills a pretraining
@@ -467,6 +487,17 @@ object TextQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rank
         |  FROM kq)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "t14_sequence_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "t13_vocab_sketch" ->
       """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS l
         |  FROM documents),

@@ -14,12 +14,9 @@ class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
-  private def formatted(df: DataFrame): String = {
-    val sb = new StringBuilder
-    org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+  private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-  }
 
   test("filter and projection push down to the documents parquet scan") {
     import org.apache.spark.sql.functions._
@@ -66,5 +63,25 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(SparkEntry.queries("q1_agg")(spark, dir))
     // two HashAggregate nodes (partial + final) around one Exchange
     assert(plan.split("HashAggregate").length >= 3, plan)
+  }
+
+  test("hive-style partitioned writes prune directories at read time") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = s"$tmp/docs"
+    try {
+      Tables.documents(spark, dir).write.partitionBy("lang").parquet(out)
+      val df = spark.read.parquet(out).filter(col("lang") === "en")
+      val plan = formatted(df)
+      // the lang predicate becomes a PartitionFilters entry on the scan —
+      // non-matching directories are never opened, the storage-layout
+      // analogue of row-group pushdown
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+        s"no partition pruning:\n$plan")
+      val expected = Tables.documents(spark, dir).filter(col("lang") === "en").count()
+      assert(df.count() == expected)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 }
