@@ -130,7 +130,8 @@ object Avi {
     val h = frames.head.getHeight
     val jpegs = frames.map { f =>
       val bo = new ByteArrayOutputStream()
-      // MJPG frames must be plain baseline JPEGs; ImageIO's default writer is
+      // MJPG frames must be plain baseline JPEGs — exactly what ImageIO's
+      // default jpg writer emits
       javax.imageio.ImageIO.write(f, "jpg", bo)
       bo.toByteArray
     }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document dedup — the incremental counterpart of the batch
+  * d1/d7 operators: documents arrive on a stream and each is decided
+  * (keep / duplicate-of) against everything seen so far, without
+  * reprocessing the corpus.
+  *
+  *  - EXACT: key the stream by content fingerprint; per-key state is just
+  *    the first doc_id. The keeper for a fingerprint is decided once and
+  *    never changes, so decisions are stable across micro-batches.
+  *  - NEAR-DUP (SimHash): the batch pigeonhole trick streamified — each
+  *    doc's 32-bit fingerprint splits into four 8-bit blocks; any pair
+  *    within Hamming distance ≤ 3 shares at least one block, so keying
+  *    the stream by (block_idx, block_value) routes every candidate pair
+  *    through SOME common state partition. Per-bucket state holds the
+  *    (doc_id, simhash) pairs seen in that bucket; a new doc emits one
+  *    decision row after exact Hamming verification against the bucket.
+  *    A doc matching in several buckets emits several candidate rows —
+  *    downstream takes min(match_id) per doc, exactly like the batch
+  *    pair-frame.
+  *
+  * Scale: state is partitioned by bucket across executors; bucket
+  * cardinality (4 × 256 for 8-bit blocks) bounds skew for uniform
+  * hashes; production swaps in the RocksDB state store and a TTL via
+  * GroupStateTimeout when the dedup horizon is bounded.
+  */
+object StreamingDedup {
+
+  case class Doc(doc_id: Long, text: String)
+  case class DedupDecision(doc_id: Long, keep: Boolean, dup_of: Option[Long])
+  case class NearDup(doc_id: Long, match_id: Long, hamming: Int)
+
+  /** Exact streaming dedup: first doc per fingerprint wins, forever. */
+  def exactDecisions(docs: Dataset[Doc],
+                     fingerprint: String => String): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => fingerprint(d.text))
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Long]) =>
+          // order within the batch by doc_id so the keeper is deterministic
+          val ordered = rows.toSeq.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ListBuffer.empty[DedupDecision]
+          var keeper: Option[Long] = state.getOption
+          ordered.foreach { d =>
+            keeper match {
+              case None =>
+                keeper = Some(d.doc_id)
+                out += DedupDecision(d.doc_id, keep = true, None)
+              case Some(k) =>
+                out += DedupDecision(d.doc_id, keep = false, Some(k))
+            }
+          }
+          keeper.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** SimHash near-dup candidates over the stream: one row per
+    * (new doc, earlier doc) pair within `maxDist`, verified by exact
+    * Hamming distance inside the bucket state. */
+  def nearDupCandidates(docs: Dataset[Doc], simhash: String => Long,
+                        maxDist: Int = 3): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    require(maxDist <= 3, "4 blocks of 8 bits are lossless only for dist <= 3")
+    val withHash = docs.map(d => (d.doc_id, simhash(d.text)))
+    // fan each doc out to its 4 block buckets — map-side, before the
+    // state shuffle; bucket key packs (block index, block value)
+    val keyed = withHash.flatMap { case (id, h) =>
+      (0 until 4).map(b => (b << 8 | ((h >> (8 * b)) & 0xff).toInt, id, h))
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], NearDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(Int, Long, Long)], state: GroupState[List[(Long, Long)]]) =>
+          val ordered = rows.map { case (_, id, h) => (id, h) }.toSeq.sortBy(_._1)
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDup]
+          ordered.foreach { case (id, h) =>
+            seen.foreach { case (pid, ph) =>
+              val dist = java.lang.Long.bitCount(h ^ ph)
+              if (pid != id && dist <= maxDist) out += NearDup(id, pid, dist)
+            }
+            seen = (id, h) :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+}

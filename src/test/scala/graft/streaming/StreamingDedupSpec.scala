@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingDedupSpec extends SparkSpec {
+
+  test("exact streaming dedup: first doc per fingerprint wins across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.exactDecisions(mem.toDS(), _.trim.toLowerCase)
+      .writeStream.format("memory").queryName("sd_exact").outputMode("append").start()
+    mem.addData(
+      StreamingDedup.Doc(1L, "Hello World"),
+      StreamingDedup.Doc(2L, "  hello world  "), // same normalized content
+      StreamingDedup.Doc(3L, "something else"))
+    q.processAllAvailable()
+    mem.addData(StreamingDedup.Doc(9L, "HELLO WORLD")) // later batch, same content
+    q.processAllAvailable()
+    val out = sp.sql("SELECT * FROM sd_exact ORDER BY doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+        Option(r.getAs[Any]("dup_of")).map(_.asInstanceOf[Long])))
+    q.stop()
+    assert(out.toSeq == Seq(
+      (1L, true, None), (2L, false, Some(1L)), (3L, true, None),
+      (9L, false, Some(1L)))) // cross-batch: state remembered the keeper
+  }
+
+  test("simhash streaming near-dups: pigeonhole buckets find dist<=3 only") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    // simhash = the text parsed as a long — lets the test pin exact distances
+    val h1 = 0x00000000L
+    val h2 = h1 ^ 0x7L          // 3 bits flipped, all in block 0 → dist 3
+    val h3 = h1 ^ 0x01010101L   // 1 bit in each of the 4 blocks → dist 4
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.nearDupCandidates(mem.toDS(), _.toLong, maxDist = 3)
+      .writeStream.format("memory").queryName("sd_near").outputMode("append").start()
+    mem.addData(StreamingDedup.Doc(1L, h1.toString))
+    q.processAllAvailable()
+    mem.addData(
+      StreamingDedup.Doc(2L, h2.toString), // matches doc 1 at dist 3
+      StreamingDedup.Doc(3L, h3.toString)) // dist 4 from doc 1 → no row
+    q.processAllAvailable()
+    // a pair can surface from several shared buckets → compare distinct
+    val out = sp.sql("SELECT DISTINCT doc_id, match_id, hamming FROM sd_near")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+    assert(out == Set((2L, 1L, 3)), s"got $out")
+  }
+
+  test("streaming near-dup agrees with the batch pigeonhole operator") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    // deterministic pseudo-corpus: hashes with planted near-pairs
+    val hashes = (0 until 40).map { i =>
+      val base = (i.toLong * 2654435761L) & 0xffffffffL
+      if (i % 5 == 0) base ^ 0x3L else base // every 5th is a planted variant...
+    } :+ 0x12345678L :+ (0x12345678L ^ 0x6L) // ...plus one guaranteed pair
+    val docs = hashes.zipWithIndex.map { case (h, i) =>
+      StreamingDedup.Doc(i.toLong, h.toString)
+    }
+    // batch truth: all-pairs exact Hamming
+    val expected = (for {
+      a <- docs; b <- docs if a.doc_id > b.doc_id
+      d = java.lang.Long.bitCount(a.text.toLong ^ b.text.toLong) if d <= 3
+    } yield (a.doc_id, b.doc_id, d)).toSet
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.nearDupCandidates(mem.toDS(), _.toLong, maxDist = 3)
+      .writeStream.format("memory").queryName("sd_parity").outputMode("append").start()
+    docs.grouped(7).foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    val got = sp.sql("SELECT DISTINCT doc_id, match_id, hamming FROM sd_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+    assert(got == expected, s"streaming=$got batch=$expected")
+  }
+}
