@@ -40,9 +40,10 @@ object Bench {
     // best of 2 runs per query (3 when the two disagree badly): the host
     // shows sporadic multi-second hiccups that would otherwise land on one
     // arbitrary query's number — the minimum is the steady-state cost of
-    // the plan. A hiccup spanning BOTH runs still inflates the min (r02
-    // recorded 25s for a 2s query), so a third run is taken when the two
-    // samples disagree by >1.5x on a non-trivial query.
+    // the plan. The retry catches a hiccup hitting ONE of the two runs
+    // (the common case: r02's 25s-for-a-2s-query); a hiccup inflating
+    // both runs equally is indistinguishable from a genuinely slow plan
+    // without an external baseline, so that residual risk remains.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -90,7 +91,13 @@ object Bench {
       if (collides(parts.head) && parts.length > 1) parts.take(2).mkString("_")
       else parts.head
     }
-    println(mapLine(sorted.map { case (n, v) => shortKey(n) -> v }, total, sfLabel))
+    // a JSON object with duplicate keys silently drops numbers in any
+    // parser — if shortening ever collides (two names sharing their first
+    // two segments), fall back to full names for the colliding queries
+    val shortNames = sorted.map { case (n, _) => shortKey(n) }
+    val dupShorts = shortNames.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSet
+    val finalKey = (n: String) => if (dupShorts(shortKey(n))) n else shortKey(n)
+    println(mapLine(sorted.map { case (n, v) => finalKey(n) -> v }, total, sfLabel))
     // full-name line lands in the repo so per-query regressions stay
     // diffable even though the driver's stdout capture truncates
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

@@ -49,6 +49,7 @@ object Avi {
       while (o + 8 <= bytes.length) {
         val t = tag(bytes, o)
         val sz = le32(bytes, o + 4)
+        if (sz < 0) return None // corrupt size dword would stall the walk
         if (t == "avih") {
           val p = o + 8
           return Some(AviMeta(
@@ -75,12 +76,14 @@ object Avi {
       while (o + 12 <= bytes.length) {
         val t = tag(bytes, o)
         val sz = le32(bytes, o + 4)
+        if (sz < 0) return out.result() // corrupt size dword would stall the walk
         if (t == "LIST" && tag(bytes, o + 8) == "movi") {
           var c = o + 12
           val end = math.min(o + 8 + sz, bytes.length)
           while (c + 8 <= end) {
             val ct = tag(bytes, c)
             val csz = le32(bytes, c + 4)
+            if (csz < 0) return out.result()
             if ((ct.endsWith("dc") || ct.endsWith("db")) && c + 8 + csz <= bytes.length)
               out += java.util.Arrays.copyOfRange(bytes, c + 8, c + 8 + csz)
             c += 8 + csz + (csz & 1)

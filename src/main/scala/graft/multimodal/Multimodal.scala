@@ -129,12 +129,12 @@ object Multimodal {
     out
   }
 
-  /** REAL decode for image (ImageIO) and audio (RIFF/WAV); video metadata
-    * remains a deterministic STUB pending a codec (marked in the row's
-    * format as "stub/video"). Undecodable payloads keep their row with
-    * format "error" so corrupt media is filterable, not silently dropped.
-    * Codec state is initialized once per partition (ImageIO cache off —
-    * avoids temp-file churn on executors). */
+  /** REAL decode for image (ImageIO), audio (RIFF/WAV), and video
+    * (MJPEG-in-AVI, format "avi/mjpeg" — see [[Avi]]). Undecodable
+    * payloads keep their row with format "error" so corrupt media is
+    * filterable, not silently dropped. Codec state is initialized once per
+    * partition (ImageIO cache off — avoids temp-file churn on
+    * executors). */
   def decode(ds: Dataset[MediaRow]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -294,8 +294,8 @@ object Multimodal {
     * every `everyN` frames — the real decode of each frame is the stub
     * above; the fan-out and partitioning are the Spark-side work. */
   def frameSamplePlan(decoded: DataFrame, everyN: Int): DataFrame =
-    decoded.filter(col("kind") === "video")
+    decoded.filter(col("kind") === "video" && col("metadata.n_frames") > 0)
       .select(col("media_id"),
-        explode(sequence(lit(0), greatest(col("metadata.n_frames") - 1, lit(0)),
+        explode(sequence(lit(0), col("metadata.n_frames") - 1,
           lit(everyN))).as("frame_idx"))
 }

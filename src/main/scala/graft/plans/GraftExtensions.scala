@@ -68,8 +68,10 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
       org.apache.spark.sql.types.IntegerType) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
-      org.apache.spark.sql.types.LongType) => v.toInt
-    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+      org.apache.spark.sql.types.LongType)
+      if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an int-range integer literal")
   }
 
   /** Register into an already-built session (idempotent — safe to call

@@ -138,6 +138,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoFrameFeatures(bad, everyN = 1).count() == 0)
   }
 
+  test("adversarial RIFF with a negative chunk size terminates, not hangs") {
+    // 'RIFF' <size> 'AVI ' + one chunk whose size dword is -8: a naive
+    // walker advances by 8 + (-8) + 0 = 0 bytes forever
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes); bos.write(Array[Byte](100, 0, 0, 0))
+    bos.write("AVI ".getBytes)
+    bos.write("junk".getBytes); bos.write(Array[Byte](-8, -1, -1, -1)) // sz = -8
+    bos.write(new Array[Byte](64))
+    val evil = bos.toByteArray
+    assert(Avi.decodeMeta(evil).isEmpty)
+    assert(Avi.framePayloads(evil).isEmpty)
+  }
+
+  test("error-decoded videos emit no sampled frames") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video",
+        Avi.encodeMjpeg(Seq(frameOf(16, 16, 1)), fps = 2)),
+      Multimodal.MediaRow(2L, "video", "not an avi".getBytes)).toDS()
+    val frames = Multimodal.frameSamplePlan(Multimodal.decode(rows), everyN = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.toSeq == Seq((1L, 0))) // no phantom frame_idx=0 for media 2
+  }
+
   test("image features: same pixels across codecs cosine-match, distinct don't") {
     val sp = spark; import sp.implicits._
     val rows = Seq(
