@@ -307,6 +307,37 @@ object CoreQueries extends QueryPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // ---- A16: exact percentiles — p50/p95 per group via linear
+    //      interpolation on the sorted values ((n-1)·p definition, same
+    //      as SQL quantile_cont). Exact, not approx_percentile: the
+    //      reference's analytics never trade accuracy for speed at this
+    //      cardinality (grouped by 3 flags); at corpus scale swap in
+    //      approx_percentile's mergeable t-digest.
+    "a16_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- A15: correlated-aggregate filter (Q17 shape) — lineitems below
+    //      a fifth of their part's average quantity; the subquery becomes
+    //      a join against the per-part aggregate (one shuffle, map-side
+    //      combine), never a per-row re-scan. Decimal sum keeps the
+    //      single-row result topology-independent.
+    "a15_below_avg_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val avgQ = li.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQ, "l_partkey")
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double") / lit(7.0)).as("avg_yearly"))
+    }),
+
     // ---- A13: ROLLUP multi-level aggregation — per (flag, status),
     //      per flag, and grand total in ONE pass (Expand + single
     //      combine-enabled shuffle, not three scans)
@@ -591,6 +622,20 @@ object CoreQueries extends QueryPack {
         |SELECT custkey, 'dormant' AS status
         |FROM (SELECT custkey FROM seg EXCEPT SELECT custkey FROM buyers)
         |ORDER BY custkey""".stripMargin,
+    "a16_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a15_below_avg_revenue" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey) a
+        |ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
     "a14_order_array" ->
       """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
         |  COUNT(*) AS n_orders

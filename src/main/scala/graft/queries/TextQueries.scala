@@ -213,6 +213,41 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // ---- T15: PII redaction — emails/URLs replaced with typed
+    //      placeholder tokens (map-only regexp pass; same patterns t10
+    //      counts). The redaction that actually ships in a curation run.
+    "t15_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), url, "<URL>"),
+            email, "<EMAIL>").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- C3: benchmark decontamination — train docs sharing any word
+    //      8-gram with the held-out split (the t7 hash buckets) are
+    //      flagged with overlap counts. Inverted-index join on shingle
+    //      hashes: work scales with matches, never train×test; at 100 TB
+    //      add df-pruning exactly as d2 does for stop-shingles.
+    "c3_contamination" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":graft-split-v1"))), 1, 15), 16, 10).cast("long"), lit(100))
+      val withB = Tables.documents(s, dir).withColumn("bucket", bucket)
+      def sh(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"), 8)).as("shingle"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
+      val train = sh(withB.filter(col("bucket") < 80))
+      val test = sh(withB.filter(col("bucket") >= 90))
+        .withColumnRenamed("doc_id", "test_id")
+      train.join(test, "shash")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shash")).as("n_shared_shingles"),
+          countDistinct(col("test_id")).as("n_test_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T14: sequence packing — concatenate documents (in a fixed
     //      deterministic order) into pretraining sequences of ~2048
     //      tokens: pack_id = floor(tokens-before-this-doc / 2048) per
@@ -487,6 +522,30 @@ object TextQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rank
         |  FROM kq)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "t15_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c3_contamination" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |w AS (SELECT doc_id, bucket, regexp_split_to_array(trim(text), '\s+') AS l FROM b),
+        |sh AS (SELECT doc_id, bucket, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4], l[i+5], l[i+6], l[i+7])
+        |   for i in range(1, greatest(len(l) - 7, 1) + 1)])) AS shingle
+        |  FROM w),
+        |shh AS (SELECT doc_id, bucket,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh)
+        |SELECT tr.doc_id,
+        |  COUNT(DISTINCT tr.shash) AS n_shared_shingles,
+        |  COUNT(DISTINCT te.doc_id) AS n_test_docs
+        |FROM shh tr JOIN shh te ON tr.shash = te.shash
+        |WHERE tr.bucket < 80 AND te.bucket >= 90
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "t14_sequence_pack" ->
       """WITH t AS (SELECT lang, doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
