@@ -328,7 +328,7 @@ object CoreQueries extends QueryPack {
     //      a join against the per-part aggregate (one shuffle, map-side
     //      combine), never a per-row re-scan. Decimal sum keeps the
     //      single-row result topology-independent.
-    "a15_below_avg_revenue" -> ((s, dir) => {
+    "a15_small_qty_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val avgQ = li.groupBy(col("l_partkey"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
@@ -628,7 +628,7 @@ object CoreQueries extends QueryPack {
         |  ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "a15_below_avg_revenue" ->
+    "a15_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
         |    AS avg_yearly
         |FROM lineitem l JOIN (

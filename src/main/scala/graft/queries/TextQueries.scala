@@ -56,11 +56,11 @@ object TextQueries extends QueryPack {
     //      spans and the digit ratio (the structured-noise signals a
     //      training-data cleaning pass filters on); pure map-side regexes
     "t10_pattern_counts" -> ((s, dir) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^\\s]+"
       Tables.documents(s, dir).select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.emailPattern), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.urlPattern), lit(0))).as("n_urls"),
           round((length(col("text")) -
             length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
             greatest(length(col("text")), lit(1)), 6).as("digit_ratio"))
@@ -103,8 +103,7 @@ object TextQueries extends QueryPack {
     //      per doc (80/10/10), reproducible across runs/engines, no RNG
     //      state; the standard leakage-free train/val/test assignment
     "t7_hash_split" -> ((s, dir) => {
-      val bucket = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":graft-split-v1"))), 1, 15), 16, 10).cast("long"), lit(100))
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"), bucket.as("bucket"))
         .withColumn("split",
@@ -161,8 +160,7 @@ object TextQueries extends QueryPack {
       val kept = exact.join(
         Clusters.dedupPlan(exact, "doc_id", pairs)
           .filter(col("keep")).select("doc_id"), "doc_id")
-      val bucket = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":graft-split-v1"))), 1, 15), 16, 10).cast("long"), lit(100))
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
       kept.select(col("doc_id"), nTokens.as("n_tokens"), bucket.as("bucket"))
         .filter(col("bucket") < 80)
         .orderBy(col("doc_id"))
@@ -217,11 +215,10 @@ object TextQueries extends QueryPack {
     //      placeholder tokens (map-only regexp pass; same patterns t10
     //      counts). The redaction that actually ships in a curation run.
     "t15_redact" -> ((s, dir) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val url = "https?://[^\\s]+"
       Tables.documents(s, dir).select(col("doc_id"),
-          regexp_replace(regexp_replace(col("text"), url, "<URL>"),
-            email, "<EMAIL>").as("redacted"))
+          regexp_replace(
+            regexp_replace(col("text"), TextAnalysis.urlPattern, "<URL>"),
+            TextAnalysis.emailPattern, "<EMAIL>").as("redacted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -231,16 +228,18 @@ object TextQueries extends QueryPack {
     //      hashes: work scales with matches, never train×test; at 100 TB
     //      add df-pruning exactly as d2 does for stop-shingles.
     "c3_contamination" -> ((s, dir) => {
-      val bucket = pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":graft-split-v1"))), 1, 15), 16, 10).cast("long"), lit(100))
-      val withB = Tables.documents(s, dir).withColumn("bucket", bucket)
-      def sh(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      // ONE shingle pipeline with the bucket kept, persisted so the
+      // train/test sides of the self-join don't each re-scan and
+      // re-shingle the corpus (at 100 TB that's a duplicate corpus pass)
+      val shh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
           explode(TextAnalysis.shingles(col("text"), 8)).as("shingle"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("bucket"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
-      val train = sh(withB.filter(col("bucket") < 80))
-      val test = sh(withB.filter(col("bucket") >= 90))
-        .withColumnRenamed("doc_id", "test_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = shh.filter(col("bucket") < 80).select(col("doc_id"), col("shash"))
+      val test = shh.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("test_id"), col("shash"))
       train.join(test, "shash")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("shash")).as("n_shared_shingles"),

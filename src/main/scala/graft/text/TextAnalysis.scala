@@ -145,4 +145,18 @@ object TextAnalysis {
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", (0 until n).map(k => try_element_at(toks, i + k + 1)): _*)))
   }
+
+  /** The dataset-split bucket in [0, 100): salted md5 of the id,
+    * RNG-free. ONE definition shared by the split query (t7), curation
+    * (c1), and decontamination (c3) — the decontamination guarantee is
+    * "flags overlap against the split t7 reports", which only holds if
+    * they compute the same bucket. */
+  def splitBucket(id: Column, salt: String = ":graft-split-v1"): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long"), lit(100))
+
+  /** Email/URL patterns shared by pattern counting (t10) and redaction
+    * (t15) — and mirrored verbatim in their oracle SQL. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
 }
