@@ -138,6 +138,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoFrameFeatures(bad, everyN = 1).count() == 0)
   }
 
+  test("avi codec round-trips across random dimensions, fps, frame counts") {
+    // deterministic pseudo-random sweep (scalatest-scalacheck bridge not
+    // on the offline classpath; a seeded LCG covers the space fine)
+    var s = 42L
+    def next(bound: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (math.abs(s >> 33) % bound).toInt }
+    (1 to 12).foreach { _ =>
+      val w = 8 + next(120); val h = 8 + next(90)
+      val fps = 1 + next(60); val n = 1 + next(9)
+      val frames = (0 until n).map(i => frameOf(w, h, i * 31 + next(1000)))
+      val avi = Avi.encodeMjpeg(frames, fps)
+      val meta = Avi.decodeMeta(avi)
+      assert(meta.contains(Avi.AviMeta(w, h, 1000000 / fps, n)),
+        s"meta mismatch for w=$w h=$h fps=$fps n=$n: $meta")
+      val payloads = Avi.framePayloads(avi)
+      assert(payloads.length == n)
+      payloads.foreach { p =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        assert(img != null && img.getWidth == w && img.getHeight == h)
+      }
+    }
+  }
+
   test("adversarial RIFF with a negative chunk size terminates, not hangs") {
     // 'RIFF' <size> 'AVI ' + one chunk whose size dword is -8: a naive
     // walker advances by 8 + (-8) + 0 = 0 bytes forever

@@ -37,6 +37,24 @@ class KmvSketchSpec extends SparkSpec {
       s"partitioning changed the sketch: $one / $many / $grouped")
   }
 
+  test("estimate stays in band across random cardinalities and k") {
+    var s = 7L
+    def next(bound: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
+      (math.abs(s >> 33) % bound).toInt }
+    (1 to 8).foreach { _ =>
+      val n = 50 + next(5000)
+      val k = 32 << next(3) // 32, 64, 128
+      val est = hashed(n).agg(KmvSketchAgg.kmvDistinct(col("h"), k)).head.getDouble(0)
+      if (n <= k) assert(est == n.toDouble, s"n=$n k=$k est=$est")
+      else {
+        // 5/sqrt(k) ≈ 5-sigma band: deterministic data, so a failure
+        // means a real estimator bug, not sampling bad luck
+        val tol = 5.0 / math.sqrt(k)
+        assert(math.abs(est - n) / n < tol, s"n=$n k=$k est=$est tol=$tol")
+      }
+    }
+  }
+
   test("nulls are ignored; works per group") {
     val sp = spark; import sp.implicits._
     val df = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)), ("b", Some(10L)))
