@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregates them. */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] =
+  private[graft] val packs: Seq[QueryPack] =
     Seq(CoreQueries, ScoreQueries, TextQueries, SimilarityQueries,
       ReshapeQueries, MiscQueries, LifecycleQueries)
 
