@@ -184,6 +184,23 @@ object MinHash {
     * document-frequency pruning is the standard exact-ish variant that
     * keeps the inverted-index join linear-ish at corpus scale: without it,
     * one stop-shingle shared by f docs contributes f² join pairs. */
+  /** Document-frequency cutoff derived from the df DISTRIBUTION instead
+    * of a constant: the q-quantile of per-shingle df. A fixed `maxDf`
+    * is corpus-dependent — measured on a 10× duplicated corpus, df
+    * inflates 10× across the board and a constant cutoff starts pruning
+    * the very shingles that witness true near-dups (SCALE.md, round-3
+    * stress). One scalar aggregate (approx_percentile is a mergeable
+    * sketch, map-side combined); the single driver-side value then
+    * parameterizes [[exactJaccardPairs]] like any threshold. */
+  def dfQuantileCutoff(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, q: Double = 0.999): Int = {
+    import org.apache.spark.sql.functions._
+    val sh = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
+    val cut = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .agg(expr(s"approx_percentile(df, $q)")).head.getLong(0)
+    math.max(1L, cut).toInt
+  }
+
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 20): DataFrame = {
     val sh0 = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)

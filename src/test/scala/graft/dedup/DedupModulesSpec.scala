@@ -48,6 +48,28 @@ class MinHashSpec extends SparkSpec {
       .collect()
     assert(exact.length == 1 && exact.head.getLong(0) == 1L)
   }
+
+  test("quantile df cutoff recovers pairs a fixed cutoff loses on duplicated corpora") {
+    val sp = spark; import sp.implicits._
+    // 8 distinct docs, each duplicated 5x with a unique tag (the 10x-
+    // duplication stress shape): every shingle's df is ~5, so a fixed
+    // maxDf=3 prunes everything and finds no near-dups
+    val docs = (for {
+      d <- 0 until 8
+      c <- 0 until 5
+    } yield (d * 100L + c,
+      s"alpha$d beta$d gamma$d delta$d epsilon$d zeta$d eta$d theta$d tag${d}_$c"))
+      .toDF("doc_id", "text")
+    val fixed = graft.dedup.MinHash.exactJaccardPairs(
+      docs, "doc_id", "text", n = 2, threshold = 0.7, maxDf = 3)
+    assert(fixed.count() == 0, "fixed cutoff should (wrongly) prune all shingles")
+    val cut = graft.dedup.MinHash.dfQuantileCutoff(docs, "doc_id", "text", n = 2)
+    assert(cut >= 5, s"quantile cutoff should clear the duplication factor: $cut")
+    val adaptive = graft.dedup.MinHash.exactJaccardPairs(
+      docs, "doc_id", "text", n = 2, threshold = 0.7, maxDf = cut)
+    // every doc pairs with its 4 co-copies: 8 groups x C(5,2)
+    assert(adaptive.count() == 8 * 10, s"got ${adaptive.count()}")
+  }
 }
 
 class SimHashSpec extends SparkSpec {
