@@ -99,11 +99,15 @@ object Bench {
     val finalKey = (n: String) => if (dupShorts(shortKey(n))) n else shortKey(n)
     println(mapLine(sorted.map { case (n, v) => finalKey(n) -> v }, total, sfLabel))
     // full-name line lands in the repo so per-query regressions stay
-    // diffable even though the driver's stdout capture truncates
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (mapLine(sorted, total, sfLabel) + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // diffable even though the driver's stdout capture truncates.
+    // Filtered (SPARK_GRAFT_ONLY) iteration runs must NOT clobber the
+    // canonical full-suite artifact — a partial map would silently drop
+    // every other query's baseline from the round-over-round diff.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (mapLine(sorted, total, sfLabel) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -196,9 +196,41 @@ object MinHash {
                        n: Int, q: Double = 0.999): Int = {
     import org.apache.spark.sql.functions._
     val sh = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
-    val cut = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-      .agg(expr(s"approx_percentile(df, $q)")).head.getLong(0)
-    math.max(1L, cut).toInt
+    val row = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .agg(expr(s"approx_percentile(df, $q)")).head
+    // zero shingles (empty corpus / all docs shorter than n) → NULL agg
+    if (row.isNullAt(0)) 1 else math.max(1L, row.getLong(0)).toInt
+  }
+
+  /** [[exactJaccardPairs]] with the df cutoff derived IN-PLAN from the
+    * quantile — the cutoff never touches the driver and the shingle
+    * frame + df aggregate are computed once and reused for both the
+    * quantile and the pruning (the standalone [[dfQuantileCutoff]] +
+    * fixed-cutoff combination scans the corpus twice). */
+  def exactJaccardPairsAdaptive(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, threshold: Double,
+                                dfQuantile: Double = 0.999): DataFrame = {
+    val sh0 = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = dfs.agg(coalesce(
+      expr(s"approx_percentile(df, $dfQuantile)"), lit(1L)).as("cut"))
+    // 1-row cutoff frame broadcast into the filter — no driver round-trip
+    val dfc = dfs.crossJoin(org.apache.spark.sql.functions.broadcast(cut))
+      .filter(col("df") <= greatest(col("cut"), lit(1L))).select(col("shash"))
+    val sh = sh0.join(dfc, "shash")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shash"))
+    val b = sh.select(col(idCol).as("id_b"), col("shash"))
+    val inter = a.join(b, "shash").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

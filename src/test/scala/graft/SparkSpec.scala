@@ -20,4 +20,15 @@ object SparkSpec {
 
 trait SparkSpec extends AnyFunSuite {
   def spark: SparkSession = SparkSpec.spark
+
+  /** Deterministic pseudo-random int stream for property-style sweeps
+    * (the scalatest-scalacheck bridge is not on the offline classpath).
+    * One shared LCG so specs don't grow drifting copies. */
+  def seededInts(seed: Long): Int => Int = {
+    var s = seed
+    bound => {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (math.abs(s >> 33) % bound).toInt
+    }
+  }
 }

@@ -69,6 +69,17 @@ class MinHashSpec extends SparkSpec {
       docs, "doc_id", "text", n = 2, threshold = 0.7, maxDf = cut)
     // every doc pairs with its 4 co-copies: 8 groups x C(5,2)
     assert(adaptive.count() == 8 * 10, s"got ${adaptive.count()}")
+    // the one-pass in-plan variant gives the same pairs without the
+    // second corpus scan (cutoff stays distributed, never a driver value)
+    val onePass = graft.dedup.MinHash.exactJaccardPairsAdaptive(
+      docs, "doc_id", "text", n = 2, threshold = 0.7)
+    assert(onePass.orderBy("id_a", "id_b").collect().toSeq ==
+      adaptive.orderBy("id_a", "id_b").collect().toSeq)
+    // empty corpus: cutoff floors at 1 instead of NPE-ing
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.MinHash.dfQuantileCutoff(empty, "doc_id", "text", 2) == 1)
+    assert(graft.dedup.MinHash.exactJaccardPairsAdaptive(
+      empty, "doc_id", "text", 2, 0.7).count() == 0)
   }
 }
 

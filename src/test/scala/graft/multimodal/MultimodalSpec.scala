@@ -139,11 +139,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("avi codec round-trips across random dimensions, fps, frame counts") {
-    // deterministic pseudo-random sweep (scalatest-scalacheck bridge not
-    // on the offline classpath; a seeded LCG covers the space fine)
-    var s = 42L
-    def next(bound: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
-      (math.abs(s >> 33) % bound).toInt }
+    val next = seededInts(42L)
     (1 to 12).foreach { _ =>
       val w = 8 + next(120); val h = 8 + next(90)
       val fps = 1 + next(60); val n = 1 + next(9)

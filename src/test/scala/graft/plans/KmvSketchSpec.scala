@@ -38,21 +38,26 @@ class KmvSketchSpec extends SparkSpec {
   }
 
   test("estimate stays in band across random cardinalities and k") {
-    var s = 7L
-    def next(bound: Int) = { s = s * 6364136223846793005L + 1442695040888963407L
-      (math.abs(s >> 33) % bound).toInt }
-    (1 to 8).foreach { _ =>
-      val n = 50 + next(5000)
-      val k = 32 << next(3) // 32, 64, 128
+    val next = seededInts(7L)
+    var exactSeen = 0
+    var bandSeen = 0
+    (1 to 10).foreach { _ =>
+      val n = 20 + next(800)
+      val k = 128 << next(2) // 128, 256 → both branches get drawn
       val est = hashed(n).agg(KmvSketchAgg.kmvDistinct(col("h"), k)).head.getDouble(0)
-      if (n <= k) assert(est == n.toDouble, s"n=$n k=$k est=$est")
+      // eval is exact strictly BELOW k; at n == k the (k-1)·2^60/h_k
+      // estimator already runs and is not exactly n
+      if (n < k) { exactSeen += 1; assert(est == n.toDouble, s"n=$n k=$k est=$est") }
       else {
+        bandSeen += 1
         // 5/sqrt(k) ≈ 5-sigma band: deterministic data, so a failure
         // means a real estimator bug, not sampling bad luck
         val tol = 5.0 / math.sqrt(k)
         assert(math.abs(est - n) / n < tol, s"n=$n k=$k est=$est tol=$tol")
       }
     }
+    assert(exactSeen > 0 && bandSeen > 0,
+      s"both branches must be exercised: exact=$exactSeen band=$bandSeen")
   }
 
   test("nulls are ignored; works per group") {

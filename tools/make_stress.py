@@ -23,7 +23,8 @@ con.execute(f"""
 COPY (
   SELECT doc_id + i * 10000000 AS doc_id,
          text || ' copytag' || CAST(i AS VARCHAR) AS text,
-         lang, source, CAST(length(text) + 9 AS BIGINT) AS n_chars
+         lang, source,
+         CAST(length(text) + 8 + length(CAST(i AS VARCHAR)) AS BIGINT) AS n_chars
   FROM read_parquet('{src}/documents.parquet')
   CROSS JOIN (SELECT unnest(range(0, {n})) AS i)
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
