@@ -108,6 +108,83 @@ case class KmvSketchAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** The sketch STATE as a storable value: same k-minimum accumulation,
+  * but eval returns the serialized state (binary, ≤ 8k bytes) instead of
+  * the estimate. Store one sketch per day/shard/source, then union them
+  * later with [[KmvMergeAgg]] — incremental data-card maintenance
+  * without re-touching old data. */
+case class KmvStateAgg(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  private val inner = KmvSketchAgg(child, k)
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(b: java.util.TreeSet[java.lang.Long], in: InternalRow) =
+    inner.update(b, in)
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+                     o: java.util.TreeSet[java.lang.Long]) = inner.merge(b, o)
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = serialize(b)
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_state"
+  override def checkInputDataTypes() = inner.checkInputDataTypes()
+  override def withNewMutableAggBufferOffset(o: Int): KmvStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvStateAgg =
+    copy(child = c)
+}
+
+/** Union of STORED sketches: input is the binary state [[KmvStateAgg]]
+  * emits; output is the estimate over the union of everything those
+  * sketches saw. Union of k-minimum sets is exact (the k smallest of a
+  * union are among the per-part k smallest), so
+  * merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) — bit-for-bit. */
+case class KmvMergeAgg(child: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  private val inner = KmvSketchAgg(child, k)
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(b: java.util.TreeSet[java.lang.Long], in: InternalRow) = {
+    child.eval(in) match {
+      case null => b
+      case bytes: Array[Byte] => inner.merge(b, inner.deserialize(bytes))
+    }
+  }
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+                     o: java.util.TreeSet[java.lang.Long]) = inner.merge(b, o)
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = inner.eval(b)
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_merge"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary sketch state, got ${other.simpleString}")
+    }
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvMergeAgg =
+    copy(child = c)
+}
+
 object KmvSketchAgg {
   import org.apache.spark.sql.Column
 
@@ -115,4 +192,12 @@ object KmvSketchAgg {
     * built-in aggregate is (groupBy.agg, window, SQL via extensions). */
   def kmvDistinct(c: Column, k: Int): Column =
     Exprs.toColumn(KmvSketchAgg(Exprs.toExpression(c), k).toAggregateExpression())
+
+  /** Storable sketch state (binary). */
+  def kmvState(c: Column, k: Int): Column =
+    Exprs.toColumn(KmvStateAgg(Exprs.toExpression(c), k).toAggregateExpression())
+
+  /** Estimate over a union of stored sketch states. */
+  def kmvMerge(c: Column, k: Int): Column =
+    Exprs.toColumn(KmvMergeAgg(Exprs.toExpression(c), k).toAggregateExpression())
 }

@@ -60,6 +60,26 @@ class KmvSketchSpec extends SparkSpec {
       s"both branches must be exercised: exact=$exactSeen band=$bandSeen")
   }
 
+  test("stored per-shard sketches merge to the direct whole-corpus estimate") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 3000).map(i => (i % 7, i.toLong * 1000003L)).toDF("day", "h")
+    // one stored sketch per "day" (what an incremental pipeline persists)...
+    val daily = df.groupBy("day").agg(KmvSketchAgg.kmvState(col("h"), 64).as("sketch"))
+    assert(daily.schema("sketch").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(daily.select(length(col("sketch"))).collect().forall(_.getInt(0) <= 64 * 8))
+    // ...merged later across days == sketching the union directly, exactly
+    val merged = daily.agg(KmvSketchAgg.kmvMerge(col("sketch"), 64)).head.getDouble(0)
+    val direct = df.agg(KmvSketchAgg.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    // and a sketch round-tripped through parquet still merges identically
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString + "/s"
+    daily.write.parquet(dir)
+    val reread = sp.read.parquet(dir)
+      .agg(KmvSketchAgg.kmvMerge(col("sketch"), 64)).head.getDouble(0)
+    assert(reread == direct)
+  }
+
   test("nulls are ignored; works per group") {
     val sp = spark; import sp.implicits._
     val df = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)), ("b", Some(10L)))
