@@ -62,6 +62,20 @@ object GraftExtensions {
         case Seq(h, k) => KmvSketchAgg(h, litInt(k, "kmv_distinct k"))
         case _ => throw new IllegalArgumentException(
           "kmv_distinct(hash, k) takes exactly 2 arguments")
+      }),
+    (FunctionIdentifier("kmv_state"),
+      new ExpressionInfo(classOf[KmvStateAgg].getName, "kmv_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, k) => KmvStateAgg(h, litInt(k, "kmv_state k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_state(hash, k) takes exactly 2 arguments")
+      }),
+    (FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, k) => KmvMergeAgg(s, litInt(k, "kmv_merge k"))
+        case _ => throw new IllegalArgumentException(
+          "kmv_merge(sketch, k) takes exactly 2 arguments")
       }))
 
   private def litInt(e: Expression, what: String): Int = e match {

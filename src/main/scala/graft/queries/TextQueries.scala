@@ -247,6 +247,26 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T16: sketch-union cardinality — one stored sketch per
+    //      (lang, source) shard, merged per lang. k-minimum union is
+    //      EXACT, so the merged estimate equals t13's direct estimator
+    //      bit-for-bit and the same DuckDB oracle gates the merge path.
+    //      This is the incremental shape: shard sketches persist, old
+    //      data is never re-read.
+    "t16_sketch_union" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          explode(TextAnalysis.shingles(col("text"), 2)).as("shingle"))
+      val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+      sh.select(col("lang"), col("source"), h.as("h"))
+        .groupBy(col("lang"), col("source"))
+        .agg(graft.plans.KmvSketchAgg.kmvState(col("h"), 256).as("sketch"))
+        .groupBy(col("lang"))
+        .agg(round(graft.plans.KmvSketchAgg.kmvMerge(col("sketch"), 256), 6)
+          .as("est_distinct"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- T14: sequence packing — concatenate documents (in a fixed
     //      deterministic order) into pretraining sequences of ~2048
     //      tokens: pack_id = floor(tokens-before-this-doc / 2048) per
@@ -556,6 +576,23 @@ object TextQueries extends QueryPack {
         |SELECT lang, doc_id, n_tokens,
         |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "t16_sketch_union" ->
+      """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents),
+        |sh AS (SELECT lang, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))]))
+        |  AS shingle FROM w),
+        |hh AS (SELECT DISTINCT lang,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS nd FROM hh),
+        |agg AS (SELECT lang, MAX(nd) AS nd,
+        |  MAX(CASE WHEN rn = 256 THEN h END) AS h_k FROM r GROUP BY lang)
+        |SELECT lang,
+        |  ROUND(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END, 6)
+        |    AS est_distinct
+        |FROM agg ORDER BY lang""".stripMargin,
     "t13_vocab_sketch" ->
       """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS l
         |  FROM documents),
