@@ -3,11 +3,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // cap threads below the host's CPU count: on the contended driver host
+    // 32 threads × tiny tasks oversubscribe the box (ROUNDLOG r02/r03 —
+    // the scheduler + GC threads starve the heartbeat thread itself)
+    val cpus = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, 16).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // r03's driver bench died rc=56: the local executor missed 60+
+      // heartbeat cycles while the host stalled. local-mode heartbeats are
+      // in-process bookkeeping, not liveness — so make them effectively
+      // un-missable on a starved host rather than fatal
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       // default 100 entries: 60+ queries × several generated classes each
       // evict one another, so identical projections re-run Janino inside
       // EVERY task (observed as multi-second stalls with the JIT busy

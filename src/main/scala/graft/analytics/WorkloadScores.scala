@@ -75,9 +75,20 @@ object WorkloadScores {
     if (x == null) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(roundSigFigs(x)))
 
   /** Best score per (unit, workload, entry) — steps 1–3. `scores` needs
-    * columns `benchmark_id`, `score` plus `unitCols`. */
+    * columns `benchmark_id`, `score` plus `unitCols`; an optional `config`
+    * map column carries the per-run configuration. When `entries` has a
+    * `config_filter` map column, a score attaches to an entry only if the
+    * filter matches its config (F4 inside the fan-out, exactly
+    * `workload_profile_scores.py:178-213`'s per-entry gating — a null
+    * filter matches everything, so unfiltered entries are unchanged). */
   def bestScores(scores: DataFrame, entries: DataFrame, unitCols: Seq[String]): DataFrame = {
-    val fanned = scores.join(broadcast(entries), Seq("benchmark_id"))
+    val fanned0 = scores.join(broadcast(entries), Seq("benchmark_id"))
+    val fanned =
+      if (!entries.columns.contains("config_filter")) fanned0
+      else fanned0.filter(configMatches(
+        if (scores.columns.contains("config")) col("config")
+        else lit(null).cast("map<string,string>"),
+        col("config_filter")))
     val keys = unitCols ++ Seq("workload", "entry_idx")
     fanned.groupBy(keys.map(col): _*)
       .agg(

@@ -298,12 +298,13 @@ object CoreQueries extends QueryPack {
     // ---- A14: collection aggregation — per-customer order-key arrays.
     //      sort_array makes the result topology-independent (collect_list
     //      order is partition-dependent); state is bounded by group fan-in,
-    //      the combine still runs map-side.
+    //      the combine still runs map-side. The gated variant serializes
+    //      the array with concat_ws: the driver's pandas comparator cannot
+    //      hash ndarray cells, so the cross-engine contract is a string
+    //      column; orderKeyArrays keeps the array-typed form (spec-covered).
     "a14_order_array" -> ((s, dir) => {
-      Tables.orders(s, dir)
-        .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
-          count(lit(1)).as("n_orders"))
+      orderKeyArrays(s, dir)
+        .withColumn("order_keys", concat_ws(",", col("order_keys")))
         .orderBy(col("o_custkey"))
     }),
 
@@ -474,6 +475,16 @@ object CoreQueries extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
+  /** Array-typed form of a14 — per-customer sorted order-key arrays.
+    * Library users get the real `array<long>` column; the gated query
+    * serializes it only because the driver's comparator can't hash arrays.
+    */
+  def orderKeyArrays(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -637,7 +648,8 @@ object CoreQueries extends QueryPack {
         |ON l.l_partkey = a.l_partkey
         |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
     "a14_order_array" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "a13_rollup" ->

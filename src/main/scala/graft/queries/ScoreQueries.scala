@@ -51,6 +51,31 @@ object ScoreQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // F4 inside the fan-out (reference geekbench single-vs-multi split,
+    // `workload_profiles.py:132-180`): two entries over the SAME benchmark
+    // separated only by config_filter — entry 0 sees runs with cores=1,
+    // entry 1 the cores=16 runs, entry 2 is unfiltered. The config map is
+    // derived from the event's props JSON so both engines compute it.
+    "a3_config_filter" -> ((s, dir) => {
+      val cores = when(get_json_object(col("props"), "$.k").cast("int") % 2 === 0,
+        lit("1")).otherwise(lit("16"))
+      val scores = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("benchmark_id"),
+          col("value").as("score"), map(lit("cores"), cores).as("config"))
+      val entries = WorkloadScores.entriesDf(s, Seq(
+        ("cpu", 0, "view", 1.0, true, "ignore", 1e-4),
+        ("cpu", 1, "view", 1.0, true, "ignore", 1e-4),
+        ("cpu", 2, "click", 1.0, true, "ignore", 1e-4)))
+        .withColumn("config_filter",
+          when(col("entry_idx") === 0, map(lit("cores"), lit("1")))
+            .when(col("entry_idx") === 1, map(lit("cores"), lit("16"))))
+      WorkloadScores.compute(scores, entries, Seq("user_id"), sigFigRound = false)
+        .filter(col("score").isNotNull)
+        .select(col("user_id"), col("workload"),
+          round(col("score"), 6).as("score"), col("n_components"))
+        .orderBy(col("user_id"), col("workload"))
+    }),
+
     // A2 on its own: the fleet-median normalization reference (exact median)
     "a2_fleet_median" -> ((s, dir) => {
       val scores = Tables.events(s, dir)
@@ -93,6 +118,36 @@ object ScoreQueries extends QueryPack {
       s"""WITH $entriesCte
          |SELECT workload, entry_idx, ROUND(fleet_median, 6) AS fleet_median
          |FROM med ORDER BY workload, entry_idx""".stripMargin,
+    "a3_config_filter" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+        |         THEN '1' ELSE '16' END AS cores
+        |  FROM events),
+        |entries(workload, entry_idx, benchmark_id, weight, hib, fcores) AS (VALUES
+        |  ('cpu', 0, 'view', 1.0, true, '1'),
+        |  ('cpu', 1, 'view', 1.0, true, '16'),
+        |  ('cpu', 2, 'click', 1.0, true, NULL)),
+        |best AS (
+        |  SELECT e.workload, e.entry_idx, e.weight, e.hib, ev.user_id,
+        |    CASE WHEN e.hib THEN MAX(ev.value) ELSE MIN(ev.value) END AS best
+        |  FROM ev JOIN entries e ON ev.event_type = e.benchmark_id
+        |  WHERE e.fcores IS NULL OR ev.cores = e.fcores
+        |  GROUP BY e.workload, e.entry_idx, e.weight, e.hib, ev.user_id),
+        |med AS (
+        |  SELECT workload, entry_idx, MEDIAN(best) AS fleet_median
+        |  FROM best GROUP BY workload, entry_idx),
+        |norm AS (
+        |  SELECT b.user_id, b.workload, b.weight,
+        |    CASE WHEN b.hib THEN b.best / m.fleet_median
+        |         ELSE m.fleet_median / b.best END AS norm
+        |  FROM best b JOIN med m USING (workload, entry_idx)
+        |  WHERE (CASE WHEN b.hib THEN b.best / m.fleet_median
+        |              ELSE m.fleet_median / b.best END) > 0)
+        |SELECT user_id, workload,
+        |  ROUND(POWER(2.0, SUM(weight * LOG2(norm)) / SUM(weight)), 6) AS score,
+        |  COUNT(*) AS n_components
+        |FROM norm GROUP BY user_id, workload ORDER BY user_id, workload""".stripMargin,
     "a3_geomean_policies" ->
       """WITH entries(workload, entry_idx, benchmark_id, weight, hib, policy, penalty) AS (
         |  VALUES ('engagement', 0, 'signup', 1.0, true, 'require', 0.0001),

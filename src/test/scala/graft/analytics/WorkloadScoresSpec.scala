@@ -94,6 +94,40 @@ class WorkloadScoresSpec extends SparkSpec {
     assert(math.abs(atMedian.getAs[Double]("impact_pct")) < 1e-9)
   }
 
+  test("config_filter gates which score rows reach an entry (geekbench split)") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    // same benchmark, two runs per unit distinguished only by config
+    val s = Seq(
+      ("u1", "gb", 100.0, Map("cores" -> "1")),
+      ("u1", "gb", 900.0, Map("cores" -> "16")),
+      ("u2", "gb", 200.0, Map("cores" -> "1")),
+      ("u2", "gb", 800.0, Map("cores" -> "16")))
+      .toDF("unit", "benchmark_id", "score", "config")
+    val e = WorkloadScores.entriesDf(spark, Seq(
+      ("wl", 0, "gb", 1.0, true, "ignore", 1e-4),
+      ("wl", 1, "gb", 1.0, true, "ignore", 1e-4)))
+      .withColumn("config_filter",
+        when(col("entry_idx") === 0, map(lit("cores"), lit("1")))
+          .otherwise(map(lit("cores"), lit("16"))))
+    val best = WorkloadScores.bestScores(s, e, Seq("unit"))
+      .collect().map(r => (r.getAs[String]("unit"), r.getAs[Int]("entry_idx")) ->
+        r.getAs[Double]("best")).toMap
+    // without the filter, best per entry would be 900/800 for BOTH entries
+    assert(best(("u1", 0)) == 100.0 && best(("u1", 1)) == 900.0)
+    assert(best(("u2", 0)) == 200.0 && best(("u2", 1)) == 800.0)
+    // float tolerance applies inside the filter ("1.0000001" ≈ "1" fails, 1e-7 diff passes)
+    val sTol = Seq(("u1", "gb", 5.0, Map("cores" -> "1.00000001")))
+      .toDF("unit", "benchmark_id", "score", "config")
+    val bTol = WorkloadScores.bestScores(sTol, e, Seq("unit")).collect()
+    assert(bTol.map(_.getAs[Int]("entry_idx")).toSet == Set(0))
+    // entries without config_filter column behave exactly as before
+    val plain = WorkloadScores.bestScores(s, WorkloadScores.entriesDf(spark, Seq(
+      ("wl", 0, "gb", 1.0, true, "ignore", 1e-4))), Seq("unit"))
+      .collect().map(r => r.getAs[String]("unit") -> r.getAs[Double]("best")).toMap
+    assert(plain("u1") == 900.0 && plain("u2") == 800.0)
+  }
+
   test("exact median uses even-count midpoint (python statistics.median)") {
     val sp = spark; import sp.implicits._
     val e = WorkloadScores.entriesDf(spark, Seq(("wl", 0, "b", 1.0, true, "ignore", 1e-4)))
