@@ -225,25 +225,14 @@ object TextQueries extends QueryPack {
     // ---- C3: benchmark decontamination — train docs sharing any word
     //      8-gram with the held-out split (the t7 hash buckets) are
     //      flagged with overlap counts. Inverted-index join on shingle
-    //      hashes: work scales with matches, never train×test; at 100 TB
-    //      add df-pruning exactly as d2 does for stop-shingles.
+    //      hashes with df-pruning at the 99.9th percentile (the d2
+    //      stop-shingle defense): work scales with matches, never
+    //      train×test, even under license-header duplication.
     "c3_contamination" -> ((s, dir) => {
-      // ONE shingle pipeline with the bucket kept, persisted so the
-      // train/test sides of the self-join don't each re-scan and
-      // re-shingle the corpus (at 100 TB that's a duplicate corpus pass)
-      val shh = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
-          explode(TextAnalysis.shingles(col("text"), 8)).as("shingle"))
-        .select(col("doc_id"), col("bucket"),
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val train = shh.filter(col("bucket") < 80).select(col("doc_id"), col("shash"))
-      val test = shh.filter(col("bucket") >= 90)
-        .select(col("doc_id").as("test_id"), col("shash"))
-      train.join(test, "shash")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("shash")).as("n_shared_shingles"),
-          countDistinct(col("test_id")).as("n_test_docs"))
+      val bucket = graft.text.TextAnalysis.splitBucket(col("doc_id"))
+      graft.text.Decontaminate.overlaps(
+          Tables.documents(s, dir), "doc_id", "text", 8,
+          trainPred = bucket < 80, testPred = bucket >= 90)
         .orderBy(col("doc_id"))
     }),
 
@@ -558,11 +547,16 @@ object TextQueries extends QueryPack {
         |   for i in range(1, greatest(len(l) - 7, 1) + 1)])) AS shingle
         |  FROM w),
         |shh AS (SELECT doc_id, bucket,
-        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh)
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh
+        |  WHERE bucket < 80 OR bucket >= 90),
+        |dfs AS (SELECT shash, COUNT(*) AS df FROM shh GROUP BY shash),
+        |cut AS (SELECT greatest(round(quantile_cont(df, 0.999), 4), 1.0) AS cut FROM dfs),
+        |keep AS (SELECT shash FROM dfs, cut WHERE df <= cut)
         |SELECT tr.doc_id,
         |  COUNT(DISTINCT tr.shash) AS n_shared_shingles,
         |  COUNT(DISTINCT te.doc_id) AS n_test_docs
         |FROM shh tr JOIN shh te ON tr.shash = te.shash
+        |JOIN keep k ON tr.shash = k.shash
         |WHERE tr.bucket < 80 AND te.bucket >= 90
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "t14_sequence_pack" ->

@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (C3): flag training documents that share any
+  * word n-gram with a held-out split, with document-frequency pruning on
+  * the shingle index — the same stop-shingle defense d2's Jaccard uses
+  * ([[graft.dedup.MinHash.exactJaccardPairsAdaptive]]). Without it, one
+  * boilerplate n-gram (license header, nav bar) present in f_train train
+  * docs and f_test test docs contributes f_train·f_test join rows before
+  * the groupBy; with license-header duplication at corpus scale that
+  * product is the job-killer, while a df cutoff at the 99.9th percentile
+  * drops only the hot keys that carry no contamination signal.
+  */
+object Decontaminate {
+
+  /** Per-train-doc overlap counts against the test split.
+    *
+    * One shingle pass, persisted: the df aggregate, the train side, and
+    * the test side all reuse it (re-shingling a 100 TB corpus twice is a
+    * duplicate corpus pass). The df cutoff is derived IN-PLAN from the
+    * df distribution (q-quantile, exact percentile — per-group state is
+    * one counts-map over the few distinct df values) and broadcast into
+    * the filter, so no scalar ever round-trips through the driver. The
+    * cutoff is rounded to 4 dp so an independent engine computing the
+    * same quantile lands on the same keep-set (cross-engine ulp guard).
+    *
+    * @param trainPred predicate over the doc columns selecting train docs
+    * @param testPred  predicate selecting held-out docs
+    * @param dfQuantile quantile of the per-shingle doc-frequency
+    *                   distribution above which shingles are pruned;
+    *                   1.0 disables pruning (every shingle kept)
+    */
+  def overlaps(docs: DataFrame, idCol: String, textCol: String, n: Int,
+               trainPred: Column, testPred: Column,
+               dfQuantile: Double = 0.999): DataFrame = {
+    val shh = docs
+      .select(col(idCol), trainPred.as("__is_train"), testPred.as("__is_test"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .filter(col("__is_train") || col("__is_test"))
+      .select(col(idCol), col("__is_train"), col("__is_test"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned =
+      if (dfQuantile >= 1.0) shh
+      else {
+        // shingles() is per-doc distinct, so count(*) per shash IS the
+        // document frequency; the aggregate combines map-side and its
+        // output (distinct shingles, 8-byte keys) joins back hash-to-hash
+        val dfs = shh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+        val cut = dfs.agg(greatest(
+          round(expr(s"percentile(df, $dfQuantile)"), 4), lit(1.0)).as("cut"))
+        val keep = dfs.crossJoin(broadcast(cut))
+          .filter(col("df") <= col("cut")).select(col("shash"))
+        shh.join(keep, "shash")
+      }
+    val train = pruned.filter(col("__is_train")).select(col(idCol), col("shash"))
+    val test = pruned.filter(col("__is_test"))
+      .select(col(idCol).as("__test_id"), col("shash"))
+    train.join(test, "shash")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shash")).as("n_shared_shingles"),
+        countDistinct(col("__test_id")).as("n_test_docs"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C3's df-pruned inverted-index join: the boilerplate shingle shared by
+  * every doc must be pruned from the index (it carries no contamination
+  * signal and its join fan-out is f_train·f_test), while rare shared
+  * shingles still flag true contamination. */
+class DecontaminateSpec extends SparkSpec {
+
+  // 12 docs sharing one boilerplate 3-gram ("all rights reserved",
+  // df=12); docs 0 and 10 also share the rare "the stolen answer"
+  // (df=2); every other trigram is per-doc unique (doc-id-salted
+  // neighbors). id >= 10 → test split. df distribution: 36×1, 2, 12 —
+  // percentile(df, 0.98) = 4.6, so pruning drops exactly the boilerplate.
+  private def corpus = {
+    val sp = spark; import sp.implicits._
+    val boiler = "all rights reserved"
+    (0 until 12).map { i =>
+      val tail = if (i == 0 || i == 10) s"x$i the stolen answer" else s"b$i c$i d$i"
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+  }
+
+  test("hot boilerplate shingle is pruned; rare shared shingle survives") {
+    val out = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10,
+        dfQuantile = 0.98)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only doc 0 overlaps the test split once the boilerplate is pruned
+    assert(out == Map(0L -> 1L), s"got $out")
+  }
+
+  test("dfQuantile = 1.0 disables pruning: every train doc is flagged") {
+    val out = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10,
+        dfQuantile = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (0L until 10L).toSet, s"got $out")
+    // boilerplate-only docs share exactly the boilerplate shingle;
+    // the contaminated doc additionally shares the stolen answer
+    assert(out(5L) == 1)
+    assert(out(0L) == 2)
+  }
+
+  test("pruned plan filters the index on the broadcast df cutoff") {
+    val df = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
+      trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("percentile(df"), s"no in-plan df quantile:\n$plan")
+    val physical = df.queryExecution.executedPlan.toString()
+    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"),
+      s"cutoff not broadcast:\n$physical")
+  }
+}
