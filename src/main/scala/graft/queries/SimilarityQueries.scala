@@ -32,10 +32,12 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("bucket"), col("id_a"), col("id_b"))
     }),
 
-    // ---- X5: IVF training — per-cell elementwise centroids with a
-    //      sorted-fold sum (topology-independent, oracle-reproducible)
+    // ---- X5: IVF training — per-cell elementwise centroids. The gate
+    //      runs the sorted-fold variant (bit-reproducible by the oracle);
+    //      the library default is plain avg (bounded state — see
+    //      Cosine.cellCentroids; plan shape pinned in PlanShapeSpec).
     "x5_cell_centroids" -> ((s, dir) => {
-      Cosine.cellCentroids(Tables.embeddings(s, dir), "label", "embedding")
+      Cosine.cellCentroidsSorted(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy(col("label"), col("dim"))
     }),
 
@@ -43,7 +45,7 @@ object SimilarityQueries extends QueryPack {
     //      over a broadcast k×dim centroid table; k-means iteration shape)
     "x6_centroid_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = Cosine.cellCentroids(emb, "label", "embedding")
+      val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
       Cosine.assignToCentroids(emb, "vec_id", "embedding", cents, "label")
         .orderBy(col("vec_id"))
     }),

@@ -119,15 +119,28 @@ object Cosine {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF TRAINING step: per-cell elementwise centroid. The sum per
-    * (cell, dimension) folds over the SORTED values, making the double
-    * result independent of partition merge order (and reproducible by an
-    * external oracle doing the same sorted fold) — at the cost of a
-    * collect_list per group, bounded by cell size. A production pipeline
-    * that tolerates last-ulp drift uses plain `avg` instead; the shuffle
-    * shape (one combine-enabled aggregation keyed by (cell, dim)) is the
-    * same. */
+  /** IVF TRAINING step: per-cell elementwise centroid — the DEFAULT path.
+    * Plain `avg` keyed by (cell, dim): a combine-enabled HashAggregate
+    * whose per-group state is (sum, count) — two doubles — regardless of
+    * cell size, so a 10M-vector cell costs the same executor memory as a
+    * 10-vector one. The double result can drift in the last ulp with
+    * partition merge order (floating-point addition isn't associative);
+    * that is the correct trade at corpus scale. */
   def cellCentroids(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(cellCol), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg(avg(col("x")).as("c"))
+      .select(col(cellCol), (col("pos") + 1).cast("long").as("dim"),
+        round(col("c"), 6).as("centroid"))
+
+  /** [[cellCentroids]] variant that folds the sum over the SORTED values,
+    * making the double bit-for-bit independent of partition merge order —
+    * and therefore reproducible by an external engine doing the same
+    * sorted fold (the cross-engine harness gate needs exactly this). The
+    * cost is a collect_list per (cell, dim) — state linear in cell size —
+    * so this is the verification path, never the 100 TB default. */
+  def cellCentroidsSorted(corpus: DataFrame, cellCol: String, vecCol: String): DataFrame =
     corpus
       .select(col(cellCol), posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
       .groupBy(col(cellCol), col("pos"))

@@ -65,6 +65,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split("HashAggregate").length >= 3, plan)
   }
 
+  test("default IVF centroid path carries (sum,count) state — no collect_list") {
+    val df = graft.similarity.Cosine.cellCentroids(
+      Tables.embeddings(spark, dir), "label", "embedding")
+    val plan = physical(df)
+    assert(!plan.contains("collect_list"), s"default centroids collect values:\n$plan")
+    // avg is codegen'd HashAggregate; collect_list would force ObjectHashAggregate
+    assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"), plan)
+    // numerically the two paths agree to the rounding the API exposes
+    val a = df.collect().map(r => (r.get(0).toString, r.getLong(1)) -> r.getDouble(2)).toMap
+    val b = graft.similarity.Cosine.cellCentroidsSorted(
+        Tables.embeddings(spark, dir), "label", "embedding")
+      .collect().map(r => (r.get(0).toString, r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-5, s"$k: $v vs ${b(k)}") }
+  }
+
   test("hive-style partitioned writes prune directories at read time") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
