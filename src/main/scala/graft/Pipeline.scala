@@ -185,6 +185,17 @@ object Pipeline {
       s"servers=${gridCounts("server")} prices=${gridCounts("server_price")}")
     assert(gridCounts.size == 19 && gridCounts("server") == 5)
 
+    // third concrete vendor: paginated retail-price meters with O2 tier
+    // chains (Azure-shaped) through the SAME orchestrator and sinks
+    val meterDir = java.nio.file.Files.createTempDirectory("graft-pipeline-meter").toString
+    val meterCounts = graft.ingest.Pull.pull(spark, new graft.ingest.MeterVendor,
+      graft.ingest.Pull.parquetSink(meterDir))
+    val meterTiers = spark.read.parquet(s"$meterDir/storage_price")
+      .select(explode(col("price_tiered"))).count()
+    println(s"[pipeline] meter pull: ${meterCounts.size} record types, " +
+      s"prices=${meterCounts("server_price")} storage_tiers=$meterTiers")
+    assert(meterCounts.size == 19 && meterCounts("server_price") == 9 && meterTiers == 5)
+
     // recompute workload scores from the written benchmark_score table
     val scores = spark.read.parquet(s"$dir/benchmark_score")
       .filter(col("status") === "active")

@@ -34,6 +34,17 @@ object TierOps {
     df.withColumn("lower", lag(col(upperCol), 1, 0.0).over(w))
   }
 
+  /** Inverse chain (O2, `_azure.py:1412-1431` `get_tiers`): per-key tier
+    * ROWS carry a `lower` bound (Azure's tierMinimumUnits); each tier's
+    * `upper` becomes the NEXT tier's lower, the last tier is unbounded. */
+  def cumulativeUppers(df: DataFrame, keys: Seq[String], lowerCol: String,
+                       tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(lowerCol).asc +: tieBreak: _*)
+    df.withColumn("upper",
+      coalesce(lead(col(lowerCol), 1).over(w), lit(Double.PositiveInfinity)))
+  }
+
   /** Same cumulative chain entirely inside an array column (no shuffle):
     * sort tiers by upper, then zip each with its predecessor's upper. */
   def cumulativeBoundsArray(tiers: Column): Column = {

@@ -77,6 +77,20 @@ object MiscQueries extends QueryPack {
       Tables.region(s, dir).orderBy(col("r_regionkey"))
     }),
 
+    // ---- O2 inside a real ingest: the meter vendor's paginated storage
+    //      meters become per-(region, storage) tier chains — upper = disk
+    //      GB, lower = previous upper, headline = lowest tier's price.
+    //      Tiers flattened to rows (arrays can't cross the driver gate).
+    "o2_tier_ingest" -> ((s, _) => {
+      new graft.ingest.MeterVendor().inventoryStoragePrices(s)
+        .select(col("region_id"), col("storage_id"), col("price").as("headline"),
+          explode(col("price_tiered")).as("t"))
+        .select(col("region_id"), col("storage_id"),
+          col("t.lower").as("tier_lower"), col("t.upper").as("tier_upper"),
+          col("t.price").as("tier_price"), col("headline"))
+        .orderBy(col("region_id"), col("storage_id"), col("tier_upper"))
+    }),
+
     // ---- P1: validation conform — add missing cols, cast, fill defaults
     "p1_conform" -> ((s, dir) => {
       val target = org.apache.spark.sql.types.StructType(Seq(
@@ -208,6 +222,24 @@ object MiscQueries extends QueryPack {
          |FROM (VALUES ${SeedTables.countryValuesSql}) t(country_id, continent)
          |ORDER BY country_id""".stripMargin,
     "s6_table_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "o2_tier_ingest" ->
+      s"""WITH meters(meter, region_id, monthly) AS (VALUES
+         |  ${graft.ingest.MeterVendor.storageMeterValuesSql}),
+         |map(meter, storage_id, size_gib) AS (VALUES
+         |  ${graft.ingest.MeterVendor.storageMappingValuesSql}),
+         |t AS (SELECT region_id, storage_id,
+         |    round(size_gib * 1.073741824, 4) AS tier_upper,
+         |    round(monthly / size_gib / 1.073741824, 4) AS tier_price
+         |  FROM meters JOIN map USING (meter)),
+         |c AS (SELECT region_id, storage_id, tier_upper, tier_price,
+         |    COALESCE(lag(tier_upper) OVER (
+         |      PARTITION BY region_id, storage_id ORDER BY tier_upper), 0.0)
+         |      AS tier_lower,
+         |    first_value(tier_price) OVER (
+         |      PARTITION BY region_id, storage_id ORDER BY tier_upper) AS headline
+         |  FROM t)
+         |SELECT region_id, storage_id, tier_lower, tier_upper, tier_price, headline
+         |FROM c ORDER BY region_id, storage_id, tier_upper""".stripMargin,
     "p7_override" ->
       """SELECT n_nationkey,
         |  CASE WHEN n_nationkey % 2 = 0 THEN 'gcp' ELSE 'aws' END AS vendor_id,

@@ -59,6 +59,56 @@ class PullSpec extends SparkSpec {
     assert(prices.filter(_._1 == "3005").forall(_._3 == 1.12))
   }
 
+  test("meter vendor: paginated meters, capability pairs, tier chains") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-meter").toString
+    val counts = Pull.pull(spark, new MeterVendor, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    assert(counts("region") == 2 && counts("zone") == 6) // 3 AZs per region
+    assert(counts("server") == 3)
+
+    // capability-pair projection: arch from Arm64 capability, memory GB→MB
+    val servers = sp.read.parquet(s"$dir/server")
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(servers("Standard_D4ps_v5").getAs[String]("cpu_architecture") == "arm64")
+    assert(servers("Standard_D4_v5").getAs[String]("cpu_architecture") == "x86_64")
+    assert(servers("Standard_E8_v5").getAs[Int]("vcpus") == 8)
+    assert(servers("Standard_E8_v5").getAs[Long]("memory_amount") == 65536L)
+
+    // on-demand: D4 in 2 regions + E8 in 1, × 3 zones; spot is its own
+    // inventory surface (meterName-based spot detection)
+    assert(counts("server_price") == 9)
+    val spot = new MeterVendor().inventoryServerPricesSpot(spark).collect()
+    assert(spot.length == 3 && spot.forall(_.getAs[Double]("price") == 0.0768))
+
+    // O2 chain: storage tiers lower = previous upper, headline = lowest tier
+    val st = sp.read.parquet(s"$dir/storage_price").collect()
+      .map(r => r.getAs[String]("region_id") -> r).toMap
+    val east = st("mt-east").getSeq[org.apache.spark.sql.Row](
+      st("mt-east").fieldIndex("price_tiered"))
+    assert(east.size == 3)
+    assert(east.head.getAs[Double]("lower") == 0.0)
+    assert(east(1).getAs[Double]("lower") == east.head.getAs[Double]("upper"))
+    assert(east(2).getAs[Double]("lower") == east(1).getAs[Double]("upper"))
+    assert(st("mt-east").getAs[Double]("price") == east.head.getAs[Double]("price"))
+
+    // inverse O2: traffic uppers = next lower, last unbounded
+    val trRow = sp.read.parquet(s"$dir/traffic_price")
+      .filter(col("direction") === "out").collect().head
+    val tr = trRow.getSeq[org.apache.spark.sql.Row](trRow.fieldIndex("price_tiered"))
+    assert(tr.map(_.getAs[Double]("lower")) == Seq(0.0, 100.0, 10240.0))
+    assert(tr.map(_.getAs[Double]("upper")) == Seq(100.0, 10240.0, Double.PositiveInfinity))
+  }
+
+  test("meter vendor refuses a broken page chain") {
+    val missingTail = MeterVendor.defaultPricePages.take(2) // link → absent page 3
+    val e = intercept[IllegalArgumentException] {
+      new MeterVendor(missingTail).inventoryRegions(spark).count()
+    }
+    assert(e.getMessage.contains("broken page chain"))
+  }
+
   test("metadata sink: versioned key/value upsert on Derby (K6)") {
     val sp = spark
     val url = "jdbc:derby:memory:metatest;create=true"
