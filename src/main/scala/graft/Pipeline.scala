@@ -96,7 +96,7 @@ object Pipeline {
     c2.close()
     println(s"[pipeline] final: $total countries ($inactive inactive), US → $us, $scd scd rows")
     // 3 scd rows: new XX + updated US + deleted ZA (all versioned)
-    assert(total == 30 && inactive == 1 && us == "NORTH AMERICA" && scd == 3)
+    assert(total == 40 && inactive == 1 && us == "NORTH AMERICA" && scd == 3)
 
     vendorStage(spark, url)
     pullStage(spark, url)

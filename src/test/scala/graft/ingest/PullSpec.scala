@@ -12,9 +12,9 @@ class PullSpec extends SparkSpec {
     val counts = Pull.pull(spark, new DemoVendor, Pull.parquetSink(dir))
     // every registry table except the orchestrator-owned _metadata
     assert(counts.keySet == Schemas.tables.keySet - "_metadata")
-    assert(counts("vendor") == 1 && counts("benchmark") == 14)
+    assert(counts("vendor") == 1 && counts("benchmark") == 57)
     assert(counts("server_price") == 4) // zone fan-out
-    assert(counts("country") == 29)
+    assert(counts("country") == 39)
     assert(counts("benchmark_score") == 2) // bw_mem rd + wr
 
     // written frames conform to registry schemas (names + order)

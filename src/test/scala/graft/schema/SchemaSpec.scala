@@ -78,11 +78,28 @@ class SchemaSpec extends SparkSpec {
       .exists(_.contains("CREATE TABLE \"SERVER_SCD\"")))
   }
 
-  test("seed tables conform to their schemas") {
+  test("seed tables conform to their schemas at reference literal parity") {
     import graft.ingest.SeedTables
-    assert(SeedTables.countries(spark).count() == 29)
+    // lookup.py:18-58 — all 39 countries
+    assert(SeedTables.countries(spark).count() == 39)
     assert(SeedTables.complianceFrameworks(spark).count() == 3)
-    assert(SeedTables.benchmarks(spark).filter(col("higher_is_better")).count() == 13)
-    assert(SeedTables.workloads(spark).select("workload").distinct().count() == 6)
+    // lookup.py:213-766 — 24 direct + 17 geekbench + 16 passmark entries
+    val bm = SeedTables.benchmarks(spark)
+    assert(bm.count() == 57)
+    assert(bm.filter(col("benchmark_id").startsWith("geekbench:")).count() == 17)
+    assert(bm.filter(col("benchmark_id").startsWith("passmark:")).count() == 16)
+    // lower-is-better: compression ratio, 3 latency benchmarks, passmark latency
+    assert(bm.filter(!col("higher_is_better")).count() == 5)
+    // workload_profiles.py:125-470 — 6 live profiles, 39 entries, weights
+    // summing to 1 per profile, filters on the entries that carry them
+    val wl = SeedTables.workloads(spark)
+    assert(wl.select("workload").distinct().count() == 6)
+    assert(wl.count() == 39)
+    val sums = wl.groupBy(col("workload")).agg(sum(col("weight")).as("w"))
+      .collect().map(_.getAs[Double]("w"))
+    assert(sums.length == 6 && sums.forall(w => math.abs(w - 1.0) < 1e-9))
+    val clang = wl.filter(col("workload") === "cicd" && col("entry_idx") === 0)
+      .collect().head
+    assert(clang.getAs[Map[String, String]]("config_filter") == Map("cores" -> "multi"))
   }
 }
