@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * reason GraphFrames checkpoints its CC iterations). */
 object Clusters {
 
+  /** Convergence metrics of the most recent fixpoint run in this JVM —
+    * (algorithm, iterations, rows still changing at exit). Exposed as a
+    * metric instead of a debug print: monitoring reads it after a run;
+    * a rising iteration count on stable data is the early signal of a
+    * growing graph diameter (time to switch to [[connectedComponentsLSS]]). */
+  final case class FixpointStats(algorithm: String, iterations: Int, lastChanged: Long)
+  private val lastStatsRef =
+    new java.util.concurrent.atomic.AtomicReference[Option[FixpointStats]](None)
+  def lastRunStats: Option[FixpointStats] = lastStatsRef.get()
+
   /** (id, cluster_id) for every node appearing in `pairs`; cluster_id is
     * the minimum id in the node's connected component. */
   def connectedComponents(pairs: DataFrame, colA: String = "id_a", colB: String = "id_b",
@@ -58,13 +68,12 @@ object Clusters {
           col("old"))
         .localCheckpoint(true)
       val changed = next.filter(col("cluster_id") =!= col("old")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] iter=$i changed=$changed")
       labels = next.drop("old")
       lastChanged = changed
       converged = changed == 0
       i += 1
     }
+    lastStatsRef.set(Some(FixpointStats("min-label", i, lastChanged)))
     // min-label propagation needs ~diameter rounds; a silently-unconverged
     // exit would keep multiple representatives of one cluster with no
     // signal. Fail loudly — the caller can raise maxIterations (per-round
@@ -133,9 +142,9 @@ object Clusters {
         small.count() != edges.count()
       edges = small
       converged = !changed
-      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc-lss] iter=$i changed=$changed")
       i += 1
     }
+    lastStatsRef.set(Some(FixpointStats("large-small-star", i, if (converged) 0L else -1L)))
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsLSS did not converge after $maxIterations rounds")

@@ -10,6 +10,41 @@ object Sync {
 
   case class SyncResult(stats: Map[String, Long], standard: DataFrame, scd: DataFrame)
 
+  /** Thrown when source and target schema revisions differ — syncing
+    * across migrations corrupts the target, so the orchestrator refuses
+    * up front (reference `cli.py:429-442`: "not risking the sync"). */
+  final class SchemaRevisionMismatch(msg: String) extends IllegalStateException(msg)
+
+  /** The metadata key carrying the schema revision (the engine's analogue
+    * of the reference's alembic revision stamp). */
+  val RevisionKey = "schema_revision"
+
+  /** Read the schema revision out of a `_metadata` key/value frame; None
+    * when the table has no revision row (pre-migration database). */
+  def revisionOf(metadata: DataFrame): Option[String] =
+    metadata.filter(col("key") === RevisionKey).select(col("value"))
+      .collect().headOption.map(_.getString(0))
+
+  /** The reference's pre-sync fence: both sides must report the SAME
+    * revision, and both must report one at all. */
+  def requireMatchingRevisions(source: Option[String], target: Option[String]): Unit =
+    (source, target) match {
+      case (Some(a), Some(b)) if a == b => ()
+      case (a, b) => throw new SchemaRevisionMismatch(
+        s"database revisions do NOT match (source=${a.getOrElse("<none>")}, " +
+          s"target=${b.getOrElse("<none>")}), so not risking the sync — " +
+          "upgrade the database(s) before trying again")
+    }
+
+  /** [[sync]] behind the revision fence: compares the two `_metadata`
+    * frames' `schema_revision` rows before any hashing happens. */
+  def syncGuarded(source: DataFrame, target: DataFrame, pks: Seq[String],
+                  sourceMetadata: DataFrame, targetMetadata: DataFrame,
+                  scdObservedAt: org.apache.spark.sql.Column = current_timestamp()): SyncResult = {
+    requireMatchingRevisions(revisionOf(sourceMetadata), revisionOf(targetMetadata))
+    sync(source, target, pks, scdObservedAt)
+  }
+
   /** Compare source → target on `pks`.
     *  - `standard`: rows to upsert into the live table — new + updated
     *    source rows, plus target rows flipped inactive when deleted;

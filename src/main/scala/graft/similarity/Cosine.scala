@@ -76,14 +76,15 @@ object Cosine {
   /** SRP-LSH near-duplicate pairs: bucket = sign bits of `nPlanes` random
     * projections; only same-bucket pairs are compared. The general scale
     * path when no coarse cell id exists — recall is tunable via nPlanes
-    * (fewer planes → bigger buckets → higher recall, more compute). */
+    * (fewer planes → bigger buckets → higher recall, more compute).
+    * `dim` is the embedding width: required explicitly, because probing it
+    * with a `head()` would run a driver-side job over the full corpus
+    * lineage just to read one array length. */
   def srpPairs(corpus: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, nPlanes: Int = 8, dim: Int = -1): DataFrame = {
+               threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be the positive embedding width, got $dim")
     val v0 = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
-    // probing the dimension costs a job over the corpus lineage; callers
-    // that know their embedding width pass it explicitly
-    val d = if (dim > 0) dim else v0.select(size(col("v"))).head().getInt(0)
-    val planes = hyperplanes(nPlanes, d)
+    val planes = hyperplanes(nPlanes, dim)
     val bucket = planes.zipWithIndex.map { case (h, i) =>
       when(dot(col("v"), array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -128,6 +128,34 @@ class WorkloadScoresSpec extends SparkSpec {
     assert(plain("u1") == 900.0 && plain("u2") == 800.0)
   }
 
+  test("seed workload profiles drive compute end-to-end (cicd clang split)") {
+    val sp = spark; import sp.implicits._
+    // two units, each with single- and multi-core clang runs plus a bestn
+    // run — the cicd profile's filtered entries must pick the right rows
+    val s = Seq(
+      ("u1", "geekbench:clang", 1000.0, Map("cores" -> "multi")),
+      ("u1", "geekbench:clang", 200.0, Map("cores" -> "single")),
+      ("u1", "stress_ng:bestn", 50.0, Map.empty[String, String]),
+      ("u2", "geekbench:clang", 2000.0, Map("cores" -> "multi")),
+      ("u2", "geekbench:clang", 100.0, Map("cores" -> "single")),
+      ("u2", "stress_ng:bestn", 150.0, Map.empty[String, String]))
+      .toDF("unit", "benchmark_id", "score", "config")
+    val entries = graft.ingest.SeedTables.workloads(spark)
+      .filter(org.apache.spark.sql.functions.col("workload") === "cicd")
+    val out = WorkloadScores.compute(s, entries, Seq("unit"),
+        sigFigRound = false, withBreakdown = true)
+      .collect().map(r => r.getAs[String]("unit") -> r).toMap
+    // norms: medians are clang-multi 1500, clang-single 150, bestn 100.
+    // weights renormalize over present entries (0.5 + 0.1 + 0.2 = 0.8)
+    def expected(multi: Double, single: Double, bestn: Double) =
+      math.pow(multi / 1500.0, 0.5 / 0.8) * math.pow(single / 150.0, 0.1 / 0.8) *
+        math.pow(bestn / 100.0, 0.2 / 0.8)
+    assert(math.abs(out("u1").getAs[Double]("score") - expected(1000, 200, 50)) < 1e-9)
+    assert(math.abs(out("u2").getAs[Double]("score") - expected(2000, 100, 150)) < 1e-9)
+    // each unit matched exactly 3 of the 7 cicd entries (filters split clang)
+    assert(out("u1").getAs[Long]("n_components") == 3)
+  }
+
   test("exact median uses even-count midpoint (python statistics.median)") {
     val sp = spark; import sp.implicits._
     val e = WorkloadScores.entriesDf(spark, Seq(("wl", 0, "b", 1.0, true, "ignore", 1e-4)))

@@ -89,6 +89,28 @@ class SyncSpec extends SparkSpec {
     assert(current == Map("a" -> ((1.0, "inactive")), "b" -> ((2.5, "active")),
       "c" -> ((3.0, "inactive")), "d" -> ((4.0, "active"))))
   }
+
+  test("revision guard: matching revisions sync, mismatch or absence refuse") {
+    val sp = spark; import sp.implicits._
+    def meta(rev: Option[String]) =
+      (Seq("sc_version" -> "0.1.1") ++ rev.map(Sync.RevisionKey -> _))
+        .toDF("key", "value")
+    val target = Seq(("a", 1.0, "active")).toDF("id", "v", "status")
+    val source = Seq(("a", 2.0, "active")).toDF("id", "v", "status")
+
+    val ok = Sync.syncGuarded(source, target, Seq("id"),
+      meta(Some("r7")), meta(Some("r7")))
+    assert(ok.stats == Map("update" -> 1L))
+
+    val mismatch = intercept[Sync.SchemaRevisionMismatch] {
+      Sync.syncGuarded(source, target, Seq("id"), meta(Some("r7")), meta(Some("r8")))
+    }
+    assert(mismatch.getMessage.contains("r7") && mismatch.getMessage.contains("r8"))
+    // an un-stamped side is as unsafe as a mismatched one
+    intercept[Sync.SchemaRevisionMismatch] {
+      Sync.syncGuarded(source, target, Seq("id"), meta(None), meta(Some("r8")))
+    }
+  }
 }
 
 class JsonDumpSpec extends SparkSpec {
