@@ -12,11 +12,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // r03's driver bench died rc=56: the local executor missed 60+
-      // heartbeat cycles while the host stalled. local-mode heartbeats are
-      // in-process bookkeeping, not liveness — so make them effectively
-      // un-missable on a starved host rather than fatal
-      .config("spark.executor.heartbeatInterval", "60s")
+      // r03's driver bench died rc=56: the local executor accumulated 60
+      // failed heartbeat RPCs (default maxFailures) while the host
+      // stalled. Raise the FAILURE BUDGET and the RPC timeout, not the
+      // interval — lengthening heartbeatInterval to 60s measured a ~60%
+      // suite slowdown in local mode (metrics piggyback on heartbeats),
+      // while a bigger budget is free and makes a fatal exit require the
+      // host to stall for ~100 consecutive minutes
+      .config("spark.executor.heartbeat.maxFailures", "600")
       .config("spark.network.timeout", "600s")
       // default 100 entries: 60+ queries × several generated classes each
       // evict one another, so identical projections re-run Janino inside

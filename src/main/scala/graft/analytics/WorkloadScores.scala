@@ -59,6 +59,23 @@ object WorkloadScores {
   private def toDoubleOpt(s: String): Option[Double] =
     try { val d = s.toDouble; if (d.isNaN) None else Some(d) } catch { case _: Throwable => None }
 
+  /** [[configMatches]] as a native Column expression — same semantics,
+    * but codegen'd (higher-order `forall` over the filter's entries, with
+    * `try_cast` supplying the float-tolerance branch), so the fan-out
+    * filter never leaves whole-stage codegen at corpus scale. NaN casts
+    * fall back to string equality exactly like `toDoubleOpt`. */
+  def configMatchesCol(config: Column, filt: Column): Column = {
+    val matches = filt.isNull || forall(map_entries(filt), e => {
+      val fv = e.getField("value")
+      val cv = element_at(config, e.getField("key"))
+      val fd = fv.try_cast("double")
+      val cd = cv.try_cast("double")
+      val bothNumeric = fd.isNotNull && !isnan(fd) && cd.isNotNull && !isnan(cd)
+      cv.isNotNull && when(bothNumeric, abs(cd - fd) <= lit(1e-6)).otherwise(cv === fv)
+    })
+    coalesce(matches, lit(false))
+  }
+
   /** 3-significant-figure rounding; integers once |x| ≥ 1000 (reference
     * `workload_profile_scores.py:37-57`). */
   def roundSigFigs(x: Double, sig: Int = 3): Double = {
@@ -85,7 +102,7 @@ object WorkloadScores {
     val fanned0 = scores.join(broadcast(entries), Seq("benchmark_id"))
     val fanned =
       if (!entries.columns.contains("config_filter")) fanned0
-      else fanned0.filter(configMatches(
+      else fanned0.filter(configMatchesCol(
         if (scores.columns.contains("config")) col("config")
         else lit(null).cast("map<string,string>"),
         col("config_filter")))

@@ -128,6 +128,39 @@ class WorkloadScoresSpec extends SparkSpec {
     assert(plain("u1") == 900.0 && plain("u2") == 800.0)
   }
 
+  test("native config match agrees with the UDF on every edge case") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val cases: Seq[(Option[Map[String, String]], Option[Map[String, String]])] = Seq(
+      (Some(Map("a" -> "1")), None),                            // null filter
+      (Some(Map("a" -> "1")), Some(Map.empty)),                 // empty filter
+      (None, Some(Map("a" -> "1"))),                            // null config
+      (None, Some(Map.empty)),                                  // null config, empty filter
+      (Some(Map("a" -> "1")), Some(Map("b" -> "1"))),           // missing key
+      (Some(Map("a" -> "1.0000004")), Some(Map("a" -> "1"))),   // within tolerance
+      (Some(Map("a" -> "1.5")), Some(Map("a" -> "1"))),         // outside tolerance
+      (Some(Map("a" -> "8")), Some(Map("a" -> "8.0"))),         // int vs float text
+      (Some(Map("a" -> "x")), Some(Map("a" -> "x"))),           // string equal
+      (Some(Map("a" -> "x")), Some(Map("a" -> "y"))),           // string differ
+      (Some(Map("a" -> "NaN")), Some(Map("a" -> "NaN"))),       // NaN → string path
+      (Some(Map("a" -> "x", "b" -> "2")), Some(Map("a" -> "x", "b" -> "2.0000001"))))
+    val df = cases.toDF("config", "filt")
+      .withColumn("viaUdf", WorkloadScores.configMatches(col("config"), col("filt")))
+      .withColumn("viaCol", WorkloadScores.configMatchesCol(col("config"), col("filt")))
+    val rows = df.collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getBoolean(r.fieldIndex("viaUdf")) == r.getBoolean(r.fieldIndex("viaCol")),
+        s"divergence on $c: udf=${r.get(r.fieldIndex("viaUdf"))} col=${r.get(r.fieldIndex("viaCol"))}")
+    }
+    // and the filtered fan-out itself plans without any UDF call
+    val s = Seq(("u1", "gb", 1.0, Map("cores" -> "1"))).toDF("unit", "benchmark_id", "score", "config")
+    val e = WorkloadScores.entriesDf(spark, Seq(("wl", 0, "gb", 1.0, true, "ignore", 1e-4)))
+      .withColumn("config_filter", map(lit("cores"), lit("1")))
+    val plan = WorkloadScores.bestScores(s, e, Seq("unit"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("UDF"), s"config filter left codegen:\n$plan")
+  }
+
   test("seed workload profiles drive compute end-to-end (cicd clang split)") {
     val sp = spark; import sp.implicits._
     // two units, each with single- and multi-core clang runs plus a bestn
