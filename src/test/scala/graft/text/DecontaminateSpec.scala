@@ -44,13 +44,15 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(0L) == 2)
   }
 
-  test("pruned plan filters the index on the broadcast df cutoff") {
+  test("pruned plan: in-plan quantile, hot set applied as broadcast ANTI join") {
     val df = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
       trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
     val plan = df.queryExecution.optimizedPlan.toString()
     assert(plan.contains("percentile(df"), s"no in-plan df quantile:\n$plan")
     val physical = df.queryExecution.executedPlan.toString()
-    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"),
-      s"cutoff not broadcast:\n$physical")
+    // the hot set prunes map-side: a broadcast LeftAnti, never a shuffle
+    // of the shingle frame against a keep set
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+      s"hot set not a broadcast anti join:\n$physical")
   }
 }
