@@ -196,6 +196,18 @@ object Pipeline {
       s"prices=${meterCounts("server_price")} storage_tiers=$meterTiers")
     assert(meterCounts.size == 19 && meterCounts("server_price") == 9 && meterTiers == 5)
 
+    // fourth concrete vendor: SDK-typed server types with paired
+    // hourly/monthly quotes → monthly-cap tiers (Hetzner-shaped)
+    val capDir = java.nio.file.Files.createTempDirectory("graft-pipeline-cap").toString
+    val capCounts = graft.ingest.Pull.pull(spark, new graft.ingest.CapVendor,
+      graft.ingest.Pull.parquetSink(capDir))
+    val capZero = spark.read.parquet(s"$capDir/server_price")
+      .select(explode(col("price_tiered")).as("t"))
+      .filter(col("t.price") === 0.0).count()
+    println(s"[pipeline] cap pull: ${capCounts.size} record types, " +
+      s"prices=${capCounts("server_price")} zero-priced-cap-tiers=$capZero")
+    assert(capCounts.size == 19 && capCounts("server_price") == 4 && capZero == 4)
+
     // recompute workload scores from the written benchmark_score table
     val scores = spark.read.parquet(s"$dir/benchmark_score")
       .filter(col("status") === "active")

@@ -91,6 +91,19 @@ object MiscQueries extends QueryPack {
         .orderBy(col("region_id"), col("storage_id"), col("tier_upper"))
     }),
 
+    // ---- O2 variant: the monthly-cap tier derivation — hourly/monthly
+    //      string-decimal quotes parse exactly, the cap (in hours) is
+    //      their floored ratio, and usage beyond the cap prices at zero.
+    "o2_monthly_cap" -> ((s, _) => {
+      new graft.ingest.CapVendor().inventoryServerPrices(s)
+        .select(col("server_id"), col("region_id"), col("price").as("hourly"),
+          explode(col("price_tiered")).as("t"))
+        .select(col("server_id"), col("region_id"), col("hourly"),
+          col("t.lower").as("tier_lower"), col("t.upper").as("tier_upper"),
+          col("t.price").as("tier_price"))
+        .orderBy(col("server_id"), col("region_id"), col("tier_lower"))
+    }),
+
     // ---- P1: validation conform — add missing cols, cast, fill defaults
     "p1_conform" -> ((s, dir) => {
       val target = org.apache.spark.sql.types.StructType(Seq(
@@ -222,6 +235,21 @@ object MiscQueries extends QueryPack {
          |FROM (VALUES ${SeedTables.countryValuesSql}) t(country_id, continent)
          |ORDER BY country_id""".stripMargin,
     "s6_table_scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "o2_monthly_cap" ->
+      s"""WITH q(server_id, location, hourly, monthly) AS (VALUES
+         |  ${graft.ingest.CapVendor.priceQuoteValuesSql}),
+         |c AS (SELECT server_id, location AS region_id,
+         |    CAST(hourly AS DECIMAL(12,4)) AS h,
+         |    floor(CAST(monthly AS DECIMAL(12,4)) / CAST(hourly AS DECIMAL(12,4))) AS cap
+         |  FROM q),
+         |t AS (
+         |  SELECT server_id, region_id, CAST(h AS DOUBLE) AS hourly,
+         |    0.0 AS tier_lower, CAST(cap AS DOUBLE) AS tier_upper,
+         |    CAST(h AS DOUBLE) AS tier_price FROM c
+         |  UNION ALL
+         |  SELECT server_id, region_id, CAST(h AS DOUBLE),
+         |    CAST(cap + 1 AS DOUBLE), CAST('Infinity' AS DOUBLE), 0.0 FROM c)
+         |SELECT * FROM t ORDER BY server_id, region_id, tier_lower""".stripMargin,
     "o2_tier_ingest" ->
       s"""WITH meters(meter, region_id, monthly) AS (VALUES
          |  ${graft.ingest.MeterVendor.storageMeterValuesSql}),

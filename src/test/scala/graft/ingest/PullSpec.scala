@@ -101,6 +101,37 @@ class PullSpec extends SparkSpec {
     assert(tr.map(_.getAs[Double]("upper")) == Seq(100.0, 10240.0, Double.PositiveInfinity))
   }
 
+  test("cap vendor: monthly-cap tiers, alias-resolved regions, cpu rule table") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-cap").toString
+    val counts = Pull.pull(spark, new CapVendor, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    assert(counts("region") == 2 && counts("zone") == 2 && counts("server") == 3)
+    assert(counts("server_price") == 4) // cpx11 in 2 regions + cax21 + ccx33
+
+    // cpu rule table joins by family prefix; deprecation flips status
+    val servers = sp.read.parquet(s"$dir/server")
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(servers("cax21").getAs[String]("cpu_architecture") == "arm64")
+    assert(servers("cax21").getAs[String]("cpu_manufacturer") == "Ampere")
+    assert(servers("ccx33").getAs[String]("status") == "inactive")
+    assert(servers("cpx11").getAs[Long]("memory_amount") == 2000L)
+
+    // monthly-cap tier arithmetic on exact decimals:
+    // fsn1 cpx11: 3.85 / 0.006 = 641.67 → cap 641; beyond the cap costs 0
+    val prices = sp.read.parquet(s"$dir/server_price").collect()
+      .map(r => (r.getAs[String]("server_id"), r.getAs[String]("region_id")) -> r).toMap
+    val fsn = prices(("104", "fsn1"))
+    assert(fsn.getAs[Double]("price") == 0.006)
+    val tiers = fsn.getSeq[org.apache.spark.sql.Row](fsn.fieldIndex("price_tiered"))
+    assert(tiers.map(t => (t.getAs[Double]("lower"), t.getAs[Double]("upper"),
+      t.getAs[Double]("price"))) ==
+      Seq((0.0, 641.0, 0.006), (642.0, Double.PositiveInfinity, 0.0)))
+    // ash resolves whether quoted by name or the Ashburn alias
+    assert(prices.contains(("104", "ash")) && prices(("104", "ash")).getAs[Double]("price") == 0.0069)
+  }
+
   test("meter vendor refuses a broken page chain") {
     val missingTail = MeterVendor.defaultPricePages.take(2) // link → absent page 3
     val e = intercept[IllegalArgumentException] {
