@@ -1,16 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry on
+ *  `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+ *
+ *  The artifact is self-diagnosing (judge round-4 mandate): four rounds
+ *  running the driver produced 3-20× host-starved numbers that looked like
+ *  engine regressions, and round 4's rc=0 run even recorded a crashed query
+ *  (s4) as a fast success. Three defenses now live in the artifact itself:
+ *    1. per-query ok-flags — a query whose every run throws is reported in
+ *       `failed` and EXCLUDED from the total (time-to-crash is not a time);
+ *    2. a fixed-work single-thread calibration probe (600M-iteration
+ *       xorshift chain, ~0.97 s nominal on this host class, measured
+ *       unloaded) run before AND after the suite: a starved host shows
+ *       cal ≫ nominal, so a reader can classify the run from the JSON
+ *       alone without access to the host;
+ *    3. per-query run counts (2, or 3 when the first two disagree >1.5×),
+ *       reported in `r3` — heavy retry activity is itself a noise signal.
+ */
 object Bench {
+  /** Fixed-work serial probe. The xorshift step is a 3-op dependency chain,
+   *  so the loop measures unshared single-core throughput — exactly the
+   *  resource a co-tenant steals. Work amount is a compile-time constant:
+   *  the probe's wall time is comparable across rounds and hosts. */
+  def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val N = 600000000L // ~0.97 s nominal (unloaded), see scaladoc
+    while (i < N) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    // data-dependent sink so the JIT cannot eliminate the loop
+    if (x == 42L) System.err.println("improbable")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    val calPre = calibrate() // before ANY Spark/JVM-warmup work
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // cap threads below the host's CPU count: on the contended driver host
     // 32 threads × tiny tasks oversubscribe the box (ROUNDLOG r02/r03 —
-    // the scheduler + GC threads starve the heartbeat thread itself)
-    val cpus = math.min(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, 16).toString
+    // the scheduler + GC threads starve the heartbeat thread itself).
+    // Parse defensively: a non-integer value (e.g. "*") passes through to
+    // the master URL uncapped rather than crashing the bench (ADVICE r04).
+    val rawCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
+    val cpus = scala.util.Try(rawCpus.toInt).toOption
+      .map(n => math.min(n, 16).toString).getOrElse(rawCpus)
+    val shufflePartitions = scala.util.Try(cpus.toInt).getOrElse(16)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       // r03's driver bench died rc=56: the local executor accumulated 60
       // failed heartbeat RPCs (default maxFailures) while the host
@@ -26,6 +64,11 @@ object Bench {
       // EVERY task (observed as multi-second stalls with the JIT busy
       // compiling the Janino compiler itself)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // shuffle files are only reclaimed when the ContextCleaner GCs their
+      // dependency objects; the default driver-GC nudge is 30 min — longer
+      // than the whole suite, so 100+ queries' shuffle dirs pile up on
+      // disk (judge r04: c1 inflated 4-6× in-suite vs isolated)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=d3_minhash_lsh,d5_dedup_clusters → time just those
@@ -46,34 +89,56 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // full between-query state reset: clearCache drops CacheManager
+    // entries (persist), but localCheckpoint blocks live ONLY in the
+    // BlockManager — the CC fixpoints' surviving frontier/edge checkpoints
+    // would otherwise accumulate across 100+ queries and squeeze the
+    // storage pool (judge r04's c1 suite-inflation finding)
+    def resetState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     selected.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      resetState()
     }
     // best of 2 runs per query (3 when the two disagree badly): the host
     // shows sporadic multi-second hiccups that would otherwise land on one
     // arbitrary query's number — the minimum is the steady-state cost of
     // the plan. The retry catches a hiccup hitting ONE of the two runs
     // (the common case: r02's 25s-for-a-2s-query); a hiccup inflating
-    // both runs equally is indistinguishable from a genuinely slow plan
-    // without an external baseline, so that residual risk remains.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // both runs equally is caught by the calibration probes instead.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
       val s = (System.nanoTime() - t0) / 1e9
       // operators persist within their own pipeline (MinHash shingle
-      // arrays, inverted indexes); drop those blocks so no query is
-      // measured under another query's storage-memory pressure
-      spark.catalog.clearCache()
-      s
+      // arrays, inverted indexes) and checkpoint fixpoint rounds; drop all
+      // of it so no query is measured under another query's storage
+      // pressure
+      resetState()
+      (s, ok)
     }
-    val results = selected.map { case (name, fn) =>
+    // Per query: (best-of ok runs | time-to-crash, ok?, run count).
+    // A query is ok iff at least one run completed; its sec is then the
+    // min over COMPLETED runs only (a crash is not a measurement).
+    case class QRes(sec: Double, ok: Boolean, runs: Int)
+    val results: Map[String, QRes] = selected.map { case (name, fn) =>
       val two = Seq(timeOnce(fn), timeOnce(fn))
-      val sec =
-        if (two.min > 0.5 && two.max / two.min > 1.5) (two :+ timeOnce(fn)).min
-        else two.min
-      name -> sec
+      val okTimes2 = two.collect { case (s, true) => s }
+      val needThird =
+        okTimes2.size < 2 || (okTimes2.min > 0.5 && okTimes2.max / okTimes2.min > 1.5)
+      val all = if (needThird) two :+ timeOnce(fn) else two
+      val okTimes = all.collect { case (s, true) => s }
+      val res =
+        if (okTimes.nonEmpty) QRes(okTimes.min, ok = true, all.size)
+        else QRes(all.map(_._1).min, ok = false, all.size)
+      name -> res
     }
+    spark.stop()
+    val calPost = calibrate() // after the suite: brackets the whole run
     // ms precision keeps the one-line contract under capture-truncation
     // limits (the full-precision r01 line was cut mid-map by the driver's
     // tail capture); sorted keys make round-over-round diffs stable
@@ -82,13 +147,10 @@ object Bench {
         .underlying.stripTrailingZeros
       if (b.scale < 0) b.setScale(0) else b // 1.200 → 1.2, but never 1E+1
     }
-    def mapLine(entries: Seq[(String, Double)], total: Double, sfLabel: String) = {
-      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
-    }
     val sorted = results.toSeq.sortBy(_._1)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the total covers OK queries only — an errored query's time-to-crash
+    // must never masquerade as suite throughput (judge r04 mandate)
+    val total = sorted.collect { case (_, r) if r.ok => r.sec }.sum
     val sfLabel = new java.io.File(sfDir).getName // short: keeps the line under capture limits
     // the driver keeps only the last ~2000 bytes of stdout, and sbt's
     // [success] trailer eats ~70 of them: the r02 line (2165 bytes, full
@@ -110,7 +172,23 @@ object Bench {
     val shortNames = sorted.map { case (n, _) => shortKey(n) }
     val dupShorts = shortNames.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSet
     val finalKey = (n: String) => if (dupShorts(shortKey(n))) n else shortKey(n)
-    println(mapLine(sorted.map { case (n, v) => finalKey(n) -> v }, total, sfLabel))
+    def jStr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cal: the self-diagnosis block. nominal is the unloaded single-core
+    // time for the fixed work on this host class; pre/post ≫ nominal ⇒
+    // the run was starved and its numbers are host noise, not plans.
+    def diag(key: String => String) = {
+      val failed = sorted.collect { case (n, r) if !r.ok => key(n) }
+      val thrice = sorted.collect { case (n, r) if r.runs > 2 => key(n) }
+      s""""cal":{"pre":${ms(calPre)},"post":${ms(calPost)},"nominal":0.97},""" +
+        s""""failed":${jStr(failed)},"r3":${jStr(thrice)}"""
+    }
+    def mapLine(entries: Seq[(String, QRes)], key: String => String) = {
+      val qs = entries.map { case (k, r) => "\"" + key(k) + "\":" + ms(r.sec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfLabel",${diag(key)}}"""
+    }
+    println(mapLine(sorted, finalKey))
     // full-name line lands in the repo so per-query regressions stay
     // diffable even though the driver's stdout capture truncates.
     // Filtered (SPARK_GRAFT_ONLY) iteration runs must NOT clobber the
@@ -118,9 +196,8 @@ object Bench {
     // every other query's baseline from the round-over-round diff.
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (mapLine(sorted, total, sfLabel) + "\n")
+        (mapLine(sorted, identity) + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
-    spark.stop()
   }
 }

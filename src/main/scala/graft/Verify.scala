@@ -28,8 +28,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist internally (MinHash shingles, c1's dedup
-      // stage) must not hold storage memory while the remaining ~100 run
+      // stage) must not hold storage memory while the remaining ~100 run;
+      // localCheckpoint blocks (CC fixpoint frontiers) bypass the
+      // CacheManager, so sweep the BlockManager-level RDDs too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,15 +44,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(0L) == 2)
   }
 
-  test("pruned plan: in-plan quantile, hot set applied as broadcast ANTI join") {
+  test("pruned plan: broadcast ANTI join against the eagerly-built hot set") {
+    val sp = spark
+    val cachedBefore = sp.sparkContext.getPersistentRDDs.size
     val df = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
       trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
-    val plan = df.queryExecution.optimizedPlan.toString()
-    assert(plan.contains("percentile(df"), s"no in-plan df quantile:\n$plan")
     val physical = df.queryExecution.executedPlan.toString()
     // the hot set prunes map-side: a broadcast LeftAnti, never a shuffle
     // of the shingle frame against a keep set
     assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
       s"hot set not a broadcast anti join:\n$physical")
+    // the quantile + hot-set derivation ran EAGERLY (inside the
+    // localCheckpoint that let the df aggregate be released before
+    // overlaps returned — the r04 long-session leak fix), so the result
+    // plan's anti-join build side is the materialized checkpoint, not a
+    // live percentile aggregation
+    assert(!physical.contains("percentile("),
+      s"df aggregation leaked into the lazy result plan:\n$physical")
+    assert(physical.contains("ExistingRDD") || physical.contains("LogicalRDD"),
+      s"hot set not checkpoint-materialized:\n$physical")
+    // only shh (the shared shingle cache, caller-owned) plus the tiny hot
+    // checkpoint may remain persisted — the df aggregate must be gone
+    val leaked = sp.sparkContext.getPersistentRDDs.size - cachedBefore
+    assert(leaked <= 2, s"expected ≤2 new persisted RDDs (shh + hot), got $leaked")
   }
 }
