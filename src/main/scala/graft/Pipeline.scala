@@ -208,6 +208,16 @@ object Pipeline {
       s"prices=${capCounts("server_price")} zero-priced-cap-tiers=$capZero")
     assert(capCounts.size == 19 && capCounts("server_price") == 4 && capZero == 4)
 
+    // fifth concrete vendor: per-zone price list with dynamic attribute
+    // keys + separate storage-billing catalog (UpCloud-shaped)
+    val zonalDir = java.nio.file.Files.createTempDirectory("graft-pipeline-zonal").toString
+    val zonalCounts = graft.ingest.Pull.pull(spark, new graft.ingest.ZonalVendor,
+      graft.ingest.Pull.parquetSink(zonalDir))
+    println(s"[pipeline] zonal pull: ${zonalCounts.size} record types, " +
+      s"prices=${zonalCounts("server_price")} storage_prices=${zonalCounts("storage_price")}")
+    assert(zonalCounts.size == 19 && zonalCounts("server_price") == 8 &&
+      zonalCounts("storage_price") == 5)
+
     // recompute workload scores from the written benchmark_score table
     val scores = spark.read.parquet(s"$dir/benchmark_score")
       .filter(col("status") === "active")

@@ -198,6 +198,36 @@ object MiscQueries extends QueryPack {
         .orderBy(col("tier"))
     }),
 
+    // ---- P2 variant (ZonalVendor): dynamic-key price pivot — the plan id
+    //      lives in the JSON KEY NAME; keys route to ondemand/spot rows,
+    //      GPU plans gate on device availability, and the monthly cap is
+    //      the constant 672-hour billing-policy tier.
+    "p2_zonal_pivot" -> ((s, _) => {
+      val v = new graft.ingest.ZonalVendor()
+      val od = v.inventoryServerPrices(s)
+        .select(col("region_id"), col("server_id"), col("allocation"), col("price"),
+          element_at(col("price_tiered"), 1).getField("upper").as("cap_hours"))
+      val spot = v.inventoryServerPricesSpot(s)
+        .select(col("region_id"), col("server_id"), col("allocation"), col("price"),
+          lit(null).cast("double").as("cap_hours"))
+      od.unionByName(spot)
+        .orderBy(col("region_id"), col("server_id"), col("allocation"))
+    }),
+
+    // ---- P2 variant (ZonalVendor): the separate storage-billing catalog —
+    //      storage_* price keys resolve against the static catalog (unknown
+    //      ids drop), hourly cents convert to gb_month.
+    "p2_storage_billing" -> ((s, _) => {
+      val v = new graft.ingest.ZonalVendor()
+      v.inventoryStoragePrices(s)
+        .join(v.inventoryStorages(s)
+          .select(col("storage_id"), col("storage_type"), col("max_iops")),
+          Seq("storage_id"))
+        .select(col("region_id"), col("storage_id"), col("storage_type"),
+          col("max_iops"), col("unit"), col("price"))
+        .orderBy(col("region_id"), col("storage_id"))
+    }),
+
     // ---- O3: global top-k. orderBy().limit(k) compiles to
     //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
     //      merges 32 heaps — no global sort, no single-task window. The
@@ -214,6 +244,42 @@ object MiscQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    // ZonalVendor fixture literals as VALUES (drift against the JSON
+    // payload turns this row red — self-checking duplication, like
+    // o2_monthly_cap's)
+    "p2_zonal_pivot" ->
+      s"""WITH pk(zone, key, cents) AS (VALUES
+         |  ${graft.ingest.ZonalVendor.priceKeyValuesSql}),
+         |avail(zone, plan, amount) AS (VALUES
+         |  ${graft.ingest.ZonalVendor.gpuAvailabilityValuesSql}),
+         |sp AS (SELECT zone AS region_id, substring(key, 13) AS plan,
+         |    CAST(cents AS DOUBLE) AS cents
+         |  FROM pk WHERE key LIKE 'server_plan_%'),
+         |gated AS (SELECT s.* FROM sp s
+         |  LEFT JOIN avail a ON s.region_id = a.zone AND s.plan = a.plan
+         |  WHERE s.plan NOT LIKE 'GPU%' OR COALESCE(a.amount, 0) > 0),
+         |od AS (SELECT region_id, plan AS server_id, 'ondemand' AS allocation,
+         |    round(cents / 100, 4) AS price, CAST(672 AS DOUBLE) AS cap_hours
+         |  FROM gated WHERE plan NOT LIKE '%SPOT%'),
+         |spot AS (SELECT region_id, replace(plan, 'SPOT-', '') AS server_id,
+         |    'spot' AS allocation, round(cents / 100, 4) AS price,
+         |    CAST(NULL AS DOUBLE) AS cap_hours
+         |  FROM gated WHERE plan LIKE '%SPOT%')
+         |SELECT * FROM od UNION ALL SELECT * FROM spot
+         |ORDER BY region_id, server_id, allocation""".stripMargin,
+    "p2_storage_billing" ->
+      s"""WITH pk(zone, key, cents) AS (VALUES
+         |  ${graft.ingest.ZonalVendor.priceKeyValuesSql}),
+         |cat(storage_id, storage_type, max_iops) AS (VALUES
+         |  ${graft.ingest.ZonalVendor.storageCatalogValuesSql}),
+         |sp AS (SELECT zone AS region_id, substring(key, 9) AS storage_id,
+         |    CAST(cents AS DOUBLE) AS cents
+         |  FROM pk WHERE key LIKE 'storage_%')
+         |SELECT region_id, storage_id, storage_type,
+         |  CAST(max_iops AS BIGINT) AS max_iops, 'gb_month' AS unit,
+         |  round(cents / 100 * 24 * 30, 4) AS price
+         |FROM sp JOIN cat USING (storage_id)
+         |ORDER BY region_id, storage_id""".stripMargin,
     // the fixture derives every field deterministically from nation rows;
     // nationkey 13 is written corrupt and multiples of 5 incomplete, so
     // the oracle filters exactly the rows the validator must skip

@@ -132,6 +132,71 @@ class PullSpec extends SparkSpec {
     assert(prices.contains(("104", "ash")) && prices(("104", "ash")).getAs[Double]("price") == 0.0069)
   }
 
+  test("zonal vendor: dynamic-key pivot, gpu gating, storage catalog") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-zonal").toString
+    val v = new ZonalVendor
+    val counts = Pull.pull(spark, v, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    // dev-lab is non-public: 3 regions, 1-1 dummy zones
+    assert(counts("region") == 3 && counts("zone") == 3)
+    assert(counts("server") == 6) // 7 plans minus the SPOT one
+    // ondemand pivot: de-fra1 3 keys + us-chi1 2 (GPU gated: amount=0)
+    // + fi-hel2 3 — the spot key and the spot-GPU key route elsewhere
+    assert(counts("server_price") == 8)
+    // storage keys resolve against the catalog: backup drops, 5 survive
+    assert(counts("storage_price") == 5)
+    assert(counts("traffic_price") == 4)  // 2 zones quote bandwidth × 2 dirs
+    assert(counts("ipv4_price") == 3)
+
+    // plan-name parsing: family mapping + GPU metadata off the rule tables
+    val servers = sp.read.parquet(s"$dir/server")
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(servers("1xCPU-2GB").getAs[String]("family") == "General Purpose")
+    assert(servers("HICPU-8xCPU-12GB").getAs[String]("family") == "High CPU")
+    assert(servers("HICPU-8xCPU-12GB").getAs[String]("description") ==
+      "High CPU (8 vCPUs, 12 GiB RAM)")
+    val gpu = servers("GPU-8xCPU-64GB-1xL40S")
+    assert(gpu.getAs[String]("gpu_model") == "L40S")
+    assert(gpu.getAs[String]("gpu_family") == "Ada Lovelace")
+    assert(gpu.getAs[Long]("gpu_memory_total") == 48L * 1024)
+    assert(servers("CLOUDNATIVE-2xCPU-4GB").getAs[Int]("ipv4") == 0)
+
+    // per-zone prices: cents → EUR, constant 672-hour cap tier
+    val prices = sp.read.parquet(s"$dir/server_price").collect()
+      .map(r => (r.getAs[String]("server_id"), r.getAs[String]("region_id")) -> r).toMap
+    val fra = prices(("1xCPU-2GB", "de-fra1"))
+    assert(fra.getAs[Double]("price") == 0.0149)
+    val tiers = fra.getSeq[org.apache.spark.sql.Row](fra.fieldIndex("price_tiered"))
+    assert(tiers.map(t => (t.getAs[Double]("lower"), t.getAs[Double]("upper"))) ==
+      Seq((0.0, 672.0), (673.0, Double.PositiveInfinity)))
+    // GPU plan present where devices exist, gated out where amount = 0
+    assert(prices.contains(("GPU-8xCPU-64GB-1xL40S", "de-fra1")))
+    assert(!prices.contains(("GPU-8xCPU-64GB-1xL40S", "us-chi1")))
+
+    // spot: SPOT- strips after gating; spot GPU never matches availability
+    val spot = v.inventoryServerPricesSpot(spark).collect()
+      .map(r => (r.getAs[String]("server_id"), r.getAs[String]("region_id"))).toSet
+    assert(spot == Set(("2xCPU-4GB", "de-fra1")))
+
+    // storage billing: catalog-joined, gb_month conversion
+    val storage = sp.read.parquet(s"$dir/storage_price").collect()
+      .map(r => (r.getAs[String]("region_id"), r.getAs[String]("storage_id")) -> r.getAs[Double]("price")).toMap
+    assert(storage(("de-fra1", "maxiops")) == 0.2232) // 0.031/100*24*30
+    assert(!storage.contains(("de-fra1", "backup")))
+  }
+
+  test("zonal vendor fails loudly on a public zone without manual metadata") {
+    val v = new ZonalVendor {
+      override private[ingest] val regionMeta = Seq(
+        ("de-fra1", "DE", "Frankfurt", 8.6821, 50.1109, 2017, true),
+        ("us-chi1", "US", "Chicago", -87.6298, 41.8781, 2014, false))
+    }
+    val e = intercept[IllegalStateException] { v.inventoryRegions(spark) }
+    assert(e.getMessage.contains("fi-hel2"))
+  }
+
   test("meter vendor refuses a broken page chain") {
     val missingTail = MeterVendor.defaultPricePages.take(2) // link → absent page 3
     val e = intercept[IllegalArgumentException] {
