@@ -78,6 +78,38 @@ object Cli {
       println(s"database ${HashDiff.databaseHash(tables, exclude)}")
       spark.stop()
 
+    // migrate <up|current|stamp|sql> <dir|dialect> [revision] — reference
+    // `alembic` sub-app (cli.py:124-239): upgrade-to-head on a parquet
+    // store, revision inspection, stamping, and --sql rendering
+    case "migrate" :: "up" :: dir :: rest =>
+      val spark = session()
+      val applied = schema.Migrations.upgrade(spark, dir,
+        rest.headOption.getOrElse(schema.Migrations.head))
+      println(
+        if (applied.isEmpty) s"already at ${schema.Migrations.head}"
+        else s"applied ${applied.mkString(" -> ")}")
+      spark.stop()
+
+    case "migrate" :: "current" :: dir :: Nil =>
+      val spark = session()
+      println(schema.Migrations.current(spark, dir).getOrElse("<unstamped>") +
+        s" (head: ${schema.Migrations.head})")
+      spark.stop()
+
+    case "migrate" :: "stamp" :: dir :: rev :: Nil =>
+      val spark = session()
+      schema.Migrations.stamp(spark, dir, rev)
+      println(s"stamped $rev")
+      spark.stop()
+
+    case "migrate" :: "sql" :: dialect :: Nil =>
+      val d = dialect match {
+        case "postgres" => DdlGen.Postgres
+        case "derby" => DdlGen.Derby
+        case _ => DdlGen.Sqlite
+      }
+      schema.Migrations.alterSql(d).foreach(s => println(s + ";"))
+
     case "dump" :: dir :: table :: pks :: outDir :: Nil =>
       val spark = session()
       JsonDump.dump(Tables(spark, dir, table), outDir, table, pks.split(",").toSeq)

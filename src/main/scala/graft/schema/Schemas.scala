@@ -100,7 +100,9 @@ object Schemas {
     f("cpu_flags", ArrayType(StringType)), f("cpus", ArrayType(cpuType)),
     f("memory_amount", LongType), f("memory_generation", StringType),
     f("memory_speed", IntegerType), f("memory_ecc", BooleanType),
-    f("gpu_count", IntegerType), f("gpu_memory_min", LongType), f("gpu_memory_total", LongType),
+    // float, not int: fractional GPU offerings exist (reference migration
+    // aeae56af8ca6 v0.3.4 converted this column; `table_bases.py:734`)
+    f("gpu_count", DoubleType), f("gpu_memory_min", LongType), f("gpu_memory_total", LongType),
     f("gpu_manufacturer", StringType), f("gpu_family", StringType), f("gpu_model", StringType),
     f("gpus", ArrayType(gpuType)),
     f("storage_size", LongType), f("storage_type", StringType),
@@ -182,6 +184,8 @@ object Schemas {
 
   val benchmark: StructType = StructType(Seq(
     f("benchmark_id", StringType, nullable = false),
+    // added by reference migration 8c5bd4869b90 (v0.5.1); `table_bases.py:1059`
+    f("category", StringType),
     f("name", StringType), f("description", StringType),
     f("framework", StringType), f("config_fields", MapType(StringType, StringType)),
     f("measurement", StringType), f("unit", StringType),

@@ -42,7 +42,7 @@ class PullSpec extends SparkSpec {
     assert(byName("n2-standard-4").getAs[String]("cpu_architecture") == "x86_64")
     assert(byName("e2-micro").getAs[String]("cpu_allocation") == "shared")
     assert(byName("n1-standard-2").getAs[String]("status") == "inactive")
-    assert(byName("g2-standard-4").getAs[Int]("gpu_count") == 1)
+    assert(byName("g2-standard-4").getAs[Double]("gpu_count") == 1.0)
     assert(byName("g2-standard-4").getAs[String]("gpu_model") == "nvidia-l4")
     assert(byName("n2-standard-4").getAs[String]("family") == "n2")
 
