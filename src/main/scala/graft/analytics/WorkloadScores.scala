@@ -56,21 +56,31 @@ object WorkloadScores {
       }
     }
   }
+  // non-finite parses (NaN/±Infinity) fall back to the STRING path: a
+  // tolerance window around infinity is meaningless (inf-inf = NaN would
+  // reject two equal "Infinity" strings), and Spark's try_cast accepts
+  // more spellings ("inf", case-insensitive "nan") than String.toDouble —
+  // routing every non-finite to string equality keeps the UDF and the
+  // native Column in agreement on ALL of them (ADVICE r04)
   private def toDoubleOpt(s: String): Option[Double] =
-    try { val d = s.toDouble; if (d.isNaN) None else Some(d) } catch { case _: Throwable => None }
+    try { val d = s.toDouble; if (d.isNaN || d.isInfinite) None else Some(d) }
+    catch { case _: Throwable => None }
 
   /** [[configMatches]] as a native Column expression — same semantics,
     * but codegen'd (higher-order `forall` over the filter's entries, with
     * `try_cast` supplying the float-tolerance branch), so the fan-out
-    * filter never leaves whole-stage codegen at corpus scale. NaN casts
-    * fall back to string equality exactly like `toDoubleOpt`. */
+    * filter never leaves whole-stage codegen at corpus scale. Non-finite
+    * casts fall back to string equality exactly like `toDoubleOpt` (see
+    * its note; `between(±MaxValue)` is false for NaN and ±Infinity both). */
   def configMatchesCol(config: Column, filt: Column): Column = {
+    def finite(c: Column) =
+      c.isNotNull && c.between(lit(-Double.MaxValue), lit(Double.MaxValue))
     val matches = filt.isNull || forall(map_entries(filt), e => {
       val fv = e.getField("value")
       val cv = element_at(config, e.getField("key"))
       val fd = fv.try_cast("double")
       val cd = cv.try_cast("double")
-      val bothNumeric = fd.isNotNull && !isnan(fd) && cd.isNotNull && !isnan(cd)
+      val bothNumeric = finite(fd) && finite(cd)
       cv.isNotNull && when(bothNumeric, abs(cd - fd) <= lit(1e-6)).otherwise(cv === fv)
     })
     coalesce(matches, lit(false))

@@ -97,17 +97,31 @@ class MeterVendor(
   /** The page-walk invariant the driver-side fetcher maintains: exactly one
     * terminal page, and every NextPageLink resolves to a fetched page.
     * Throws on a broken chain — a silently half-fetched price list is the
-    * worst possible ingest outcome. */
-  private[ingest] def validatedPages(spark: SparkSession): DataFrame = {
-    val p = pages(spark)
-    val links = p.select(col("next")).filter(col("next").isNotNull)
-    val dangling = links.join(p.select(col("url")),
-      links("next") === col("url"), "left_anti").count()
-    val terminals = p.filter(col("next").isNull).count()
-    require(dangling == 0 && terminals == 1,
-      s"broken page chain: $dangling dangling links, $terminals terminal pages")
-    p
-  }
+    * worst possible ingest outcome.
+    *
+    * Chain validation is two eager jobs over every page, and a Pull hits
+    * ~8 inventory surfaces that each start from this frame — so the check
+    * is memoized per session (ADVICE r04): on a thousand-page pull the
+    * pages are parsed and walked once, not once per surface. Weak keys let
+    * a stopped session's entry be collected. */
+  private val validatedCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, DataFrame]())
+
+  private[ingest] def validatedPages(spark: SparkSession): DataFrame =
+    validatedCache.synchronized {
+      Option(validatedCache.get(spark)).getOrElse {
+        val p = pages(spark)
+        val links = p.select(col("next")).filter(col("next").isNotNull)
+        val dangling = links.join(p.select(col("url")),
+          links("next") === col("url"), "left_anti").count()
+        val terminals = p.filter(col("next").isNull).count()
+        require(dangling == 0 && terminals == 1,
+          s"broken page chain: $dangling dangling links, $terminals terminal pages")
+        validatedCache.put(spark, p)
+        p
+      }
+    }
 
   /** Every meter row across all pages (the reference's accumulated
     * `data += json['Items']`, as one explode). */

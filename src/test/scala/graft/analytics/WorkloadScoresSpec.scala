@@ -143,6 +143,11 @@ class WorkloadScoresSpec extends SparkSpec {
       (Some(Map("a" -> "x")), Some(Map("a" -> "x"))),           // string equal
       (Some(Map("a" -> "x")), Some(Map("a" -> "y"))),           // string differ
       (Some(Map("a" -> "NaN")), Some(Map("a" -> "NaN"))),       // NaN → string path
+      (Some(Map("a" -> "inf")), Some(Map("a" -> "inf"))),       // cast-only-in-Spark literal
+      (Some(Map("a" -> "inf")), Some(Map("a" -> "Infinity"))),  // spellings differ → no match
+      (Some(Map("a" -> "Infinity")), Some(Map("a" -> "Infinity"))), // non-finite → string path
+      (Some(Map("a" -> "-inf")), Some(Map("a" -> "-inf"))),
+      (Some(Map("a" -> "nan")), Some(Map("a" -> "nan"))),
       (Some(Map("a" -> "x", "b" -> "2")), Some(Map("a" -> "x", "b" -> "2.0000001"))))
     val df = cases.toDF("config", "filt")
       .withColumn("viaUdf", WorkloadScores.configMatches(col("config"), col("filt")))
