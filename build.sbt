@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the host has 128 GiB, and at 8g the bench measured GC
+  // instead of plans — once ~17 queries' broadcast blocks and codegen
+  // classes accumulated, every subsequent query ran 2-11× slower purely
+  // from allocation pressure (r5 bisection: same 21-query prefix, 17.4 s
+  // at 8g vs 8.8 s at 24g, calibration clean in both).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

