@@ -218,6 +218,21 @@ object Pipeline {
     assert(zonalCounts.size == 19 && zonalCounts("server_price") == 8 &&
       zonalCounts("storage_price") == 5)
 
+    // sixth concrete vendor: one commerce catalog with nested addon blobs,
+    // GPU specs inferred from flavor names, computed storage keys
+    // (OVH-shaped)
+    val catDir = java.nio.file.Files.createTempDirectory("graft-pipeline-catalog").toString
+    val catCounts = graft.ingest.Pull.pull(spark, new graft.ingest.CatalogVendor,
+      graft.ingest.Pull.parquetSink(catDir))
+    val catGpus = spark.read.parquet(s"$catDir/server")
+      .agg(sum(col("gpu_count"))).collect().head.getDouble(0)
+    println(s"[pipeline] catalog pull: ${catCounts.size} record types, " +
+      s"servers=${catCounts("server")} prices=${catCounts("server_price")} " +
+      s"storage_prices=${catCounts("storage_price")} gpus=$catGpus")
+    assert(catCounts.size == 19 && catCounts("server") == 7 &&
+      catCounts("server_price") == 18 && catCounts("storage_price") == 9 &&
+      catGpus == 4.0)
+
     // recompute workload scores from the written benchmark_score table
     val scores = spark.read.parquet(s"$dir/benchmark_score")
       .filter(col("status") === "active")

@@ -228,6 +228,44 @@ object MiscQueries extends QueryPack {
         .orderBy(col("region_id"), col("storage_id"))
     }),
 
+    // ---- P2 variant (CatalogVendor): commerce-catalog server projection —
+    //      keep-last dedupe by invoice name (catalog insert order), GPU
+    //      count/memory inferred from the FLAVOR NAME via the broadcast
+    //      rule table with the technical blob as fallback, and the two
+    //      differently-shaped disk arrays folded with array HOFs.
+    "p2_gpu_name_rules" -> ((s, _) => {
+      new graft.ingest.CatalogVendor().inventoryServers(s)
+        .select(col("server_id"), col("family"), col("vcpus"),
+          col("cpu_allocation"), col("memory_amount"), col("gpu_count"),
+          col("gpu_memory_min"), col("gpu_memory_total"),
+          col("gpu_manufacturer"), col("gpu_model"), col("storage_size"),
+          col("storage_type"), col("network_speed"),
+          col("network_speed_max"), col("status"))
+        .orderBy(col("server_id"))
+    }),
+
+    // ---- J5 variant (CatalogVendor): computed storage-price key — the
+    //      plan code is BUILT from the storage id plus a `.3AZ` suffix
+    //      exactly when the region's zone count (an aggregate of another
+    //      inventory) exceeds one; microcent hourly quotes → gb_month.
+    "j5_storage_key" -> ((s, _) => {
+      new graft.ingest.CatalogVendor().inventoryStoragePrices(s)
+        .select(col("region_id"), col("storage_id"), col("unit"),
+          col("price"), col("currency"))
+        .orderBy(col("region_id"), col("storage_id"))
+    }),
+
+    // ---- J3 variant (CatalogVendor): offer→zone fan-out with synthetic
+    //      zones for zone-less regions, windows/unknown-region decoys
+    //      dropped, microcent prices ÷ 10^8.
+    "j3_catalog_fanout" -> ((s, _) => {
+      new graft.ingest.CatalogVendor().inventoryServerPrices(s)
+        .select(col("region_id"), col("zone_id"), col("server_id"),
+          col("operating_system"), col("allocation"), col("unit"),
+          col("price"), col("price_upfront"), col("currency"))
+        .orderBy(col("region_id"), col("zone_id"), col("server_id"))
+    }),
+
     // ---- O3: global top-k. orderBy().limit(k) compiles to
     //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
     //      merges 32 heaps — no global sort, no single-task window. The
@@ -244,6 +282,86 @@ object MiscQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    // CatalogVendor fixture literals as VALUES (self-checking duplication:
+    // drift against the JSON payload turns the row red). The oracle
+    // rebuilds keep-last dedupe, name-prefix rule joins and the blob
+    // fallbacks from the literal columns.
+    "p2_gpu_name_rules" ->
+      s"""WITH a(invoice_name, plan_code, pos, vcpus, mem_gb, subtype,
+         |       gpu_blob_n, gpu_blob_gib, gpu_blob_model, nvme_gb, ssd_gb,
+         |       active, microcents, bw_level, vrack_level) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.serverAddonValuesSql}),
+         |g(prefix, divisor, gib_per_gpu, rule_model) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.gpuRuleValuesSql}),
+         |f(prefix, family) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.familyRuleValuesSql}),
+         |last AS (SELECT *, row_number() OVER (
+         |    PARTITION BY invoice_name ORDER BY pos DESC) AS rn FROM a),
+         |b AS (SELECT *,
+         |    regexp_extract(invoice_name, '^([a-z0-9]+)', 1) AS prefix,
+         |    TRY_CAST(NULLIF(regexp_extract(invoice_name, '([0-9]+)$$', 1), '')
+         |      AS INTEGER) AS name_size
+         |  FROM last WHERE rn = 1),
+         |j AS (SELECT b.*, g.divisor, g.gib_per_gpu, g.rule_model, f.family
+         |  FROM b LEFT JOIN g USING (prefix) LEFT JOIN f USING (prefix)),
+         |c AS (SELECT *,
+         |    COALESCE(CASE WHEN divisor IS NOT NULL AND name_size IS NOT NULL
+         |        THEN CAST(floor(name_size / divisor) AS INTEGER) END,
+         |      NULLIF(gpu_blob_n, 0), 0) AS gpu_count,
+         |    COALESCE(gib_per_gpu * 1024,
+         |      NULLIF(gpu_blob_gib, 0) * CAST(1024 AS BIGINT)) AS mem_each
+         |  FROM j)
+         |SELECT invoice_name AS server_id, family, vcpus,
+         |  CASE WHEN subtype = 'discovery' THEN 'shared'
+         |       ELSE 'dedicated' END AS cpu_allocation,
+         |  CAST(mem_gb AS BIGINT) * 1024 AS memory_amount, gpu_count,
+         |  CASE WHEN gpu_count > 0 THEN mem_each END AS gpu_memory_min,
+         |  CASE WHEN gpu_count > 0 THEN mem_each * gpu_count END AS gpu_memory_total,
+         |  CASE WHEN gpu_count > 0 THEN 'NVIDIA' END AS gpu_manufacturer,
+         |  CASE WHEN gpu_count > 0
+         |    THEN COALESCE(rule_model, NULLIF(gpu_blob_model, '')) END AS gpu_model,
+         |  CAST(nvme_gb + ssd_gb AS BIGINT) AS storage_size,
+         |  CASE WHEN nvme_gb > 0 THEN 'nvme_ssd'
+         |       WHEN ssd_gb > 0 THEN 'ssd' END AS storage_type,
+         |  bw_level / 1000.0 AS network_speed,
+         |  NULLIF(vrack_level, 0) / 1000.0 AS network_speed_max,
+         |  CASE WHEN active = 1 THEN 'active' ELSE 'inactive' END AS status
+         |FROM c ORDER BY server_id""".stripMargin,
+    "j5_storage_key" ->
+      s"""WITH v(plan_code, microcents) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.volumeValuesSql}),
+         |z(region_id, n_zones) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.regionZoneValuesSql}),
+         |s(storage_id) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.storageIdValuesSql}),
+         |k AS (SELECT region_id, storage_id,
+         |    'volume.' || storage_id || '.consumption' ||
+         |      CASE WHEN n_zones > 1 THEN '.3AZ' ELSE '' END AS plan_code
+         |  FROM s CROSS JOIN z)
+         |SELECT region_id, storage_id, 'gb_month' AS unit,
+         |  round(microcents / 1e8 * 730, 4) AS price, 'EUR' AS currency
+         |FROM k JOIN v USING (plan_code)
+         |ORDER BY region_id, storage_id""".stripMargin,
+    "j3_catalog_fanout" ->
+      s"""WITH a(invoice_name, plan_code, pos, vcpus, mem_gb, subtype,
+         |       gpu_blob_n, gpu_blob_gib, gpu_blob_model, nvme_gb, ssd_gb,
+         |       active, microcents, bw_level, vrack_level) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.serverAddonValuesSql}),
+         |o(region_id, os_type, plan_code) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.offerValuesSql}),
+         |z(region_id, zone_id) AS (VALUES
+         |  ${graft.ingest.CatalogVendor.zoneValuesSql}),
+         |last AS (SELECT *, row_number() OVER (
+         |    PARTITION BY invoice_name ORDER BY pos DESC) AS rn FROM a)
+         |SELECT o.region_id, z.zone_id, l.invoice_name AS server_id,
+         |  'linux' AS operating_system, 'ondemand' AS allocation,
+         |  'hour' AS unit, round(l.microcents / 1e8, 4) AS price,
+         |  0.0 AS price_upfront, 'EUR' AS currency
+         |FROM o
+         |JOIN last l ON o.plan_code = l.plan_code AND l.rn = 1
+         |JOIN z ON o.region_id = z.region_id
+         |WHERE o.os_type = 'linux'
+         |ORDER BY o.region_id, z.zone_id, server_id""".stripMargin,
     // ZonalVendor fixture literals as VALUES (drift against the JSON
     // payload turns this row red — self-checking duplication, like
     // o2_monthly_cap's)

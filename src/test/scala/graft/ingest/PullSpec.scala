@@ -187,6 +187,76 @@ class PullSpec extends SparkSpec {
     assert(!storage.contains(("de-fra1", "backup")))
   }
 
+  test("catalog vendor: addon filtering, name-rule gpus, computed storage keys") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-catalog").toString
+    val v = new CatalogVendor
+    val counts = Pull.pull(spark, v, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    // 12 catalog addons → 7 servers: monthly/windows/blob-less decoys drop,
+    // the duplicate b3-8 dedups keep-last
+    assert(counts("server") == 7)
+    assert(counts("region") == 3)
+    // one listed 3-zone region + two synthetic single-zone regions
+    assert(counts("zone") == 5)
+    // PAR 5 linux offers × 3 zones + BHS 2 × 1 + SGP 1 × 1; windows and
+    // unknown-region offers drop
+    assert(counts("server_price") == 18)
+    // 3 storage products × 3 regions, every computed key resolves
+    assert(counts("storage_price") == 9)
+
+    val servers = sp.read.parquet(s"$dir/server")
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    // keep-last dedupe: the revised b3-8 row (bandwidth 2000) won
+    assert(servers("b3-8").getAs[Double]("network_speed") == 2.0)
+    // name rule beats the blob: h100-760 → 760/380 = 2 × 80 GiB Hopper
+    assert(servers("h100-760").getAs[Double]("gpu_count") == 2.0)
+    assert(servers("h100-760").getAs[Long]("gpu_memory_total") == 2L * 80 * 1024)
+    assert(servers("h100-760").getAs[String]("gpu_model") == "H100")
+    // rule fires with no gpu blob at all: a10-45 → 45/45 = 1 × A10
+    assert(servers("a10-45").getAs[Double]("gpu_count") == 1.0)
+    assert(servers("a10-45").getAs[String]("gpu_model") == "A10")
+    // no rule prefix → technical blob fallback
+    assert(servers("gpu-custom-1").getAs[Double]("gpu_count") == 1.0)
+    assert(servers("gpu-custom-1").getAs[String]("gpu_model") == "RTX 4000")
+    // nvme disks replicate by number; storage disks classify by substring
+    assert(servers("h100-760").getAs[Long]("storage_size") == 2L * 3840 + 200)
+    assert(servers("i1-180").getAs[Long]("storage_size") == 4L * 1920)
+    assert(servers("a10-45").getAs[String]("storage_type") == "ssd")
+    assert(servers("c3-32").getAs[String]("storage_type") == "nvme_ssd")
+    // discovery subtype shares cores; empty tag list deactivates
+    assert(servers("d2-4").getAs[String]("cpu_allocation") == "shared")
+    assert(servers("i1-180").getAs[String]("status") == "inactive")
+
+    // synthetic zones for the zone-less regions
+    val zones = sp.read.parquet(s"$dir/zone")
+      .collect().map(_.getAs[String]("zone_id")).toSet
+    assert(zones.contains("na-east-bhs-a") && zones.contains("ap-sgp-a"))
+
+    // computed storage key: `.3AZ` exactly in the multi-zone region
+    val storage = sp.read.parquet(s"$dir/storage_price").collect()
+      .map(r => (r.getAs[String]("region_id"), r.getAs[String]("storage_id"))
+        -> r.getAs[Double]("price")).toMap
+    assert(storage(("EU-WEST-PAR", "classic")) == 0.06)  // 8220 microcents ×730
+    assert(storage(("AP-SGP", "classic")) == 0.04)       // 5480 microcents ×730
+    assert(storage(("EU-WEST-PAR", "high-speed-gen2")) == 0.24)
+
+    // the unknown-region offer is surfaced, not silently lost
+    val unknown = v.unknownRegionOffers(spark).collect()
+    assert(unknown.length == 1 && unknown.head.getAs[String]("region_id") == "EU-CENTRAL-XX")
+
+    // APAC-only tiered outbound traffic: 1 TiB free then overage
+    val tr = sp.read.parquet(s"$dir/traffic_price")
+      .filter(col("direction") === "out").collect()
+      .map(r => r.getAs[String]("region_id") -> r).toMap
+    val sgp = tr("AP-SGP").getSeq[org.apache.spark.sql.Row](
+      tr("AP-SGP").fieldIndex("price_tiered"))
+    assert(sgp.size == 2 && sgp.head.getAs[Double]("price") == 0.0)
+    assert(tr("EU-WEST-PAR").getSeq[org.apache.spark.sql.Row](
+      tr("EU-WEST-PAR").fieldIndex("price_tiered")).isEmpty)
+  }
+
   test("zonal vendor fails loudly on a public zone without manual metadata") {
     val v = new ZonalVendor {
       override private[ingest] val regionMeta = Seq(
