@@ -266,6 +266,36 @@ object MiscQueries extends QueryPack {
         .orderBy(col("region_id"), col("zone_id"), col("server_id"))
     }),
 
+    // ---- P7 variant (OverrideVendor): field-level per-location price
+    //      overrides inside the location fan-out — a sparse override MAP
+    //      beats the plan's base price field by field, the monthly cap
+    //      derives from whichever pair won, zero-price plans carry no cap.
+    "p7_location_override" -> ((s, _) => {
+      val v = new graft.ingest.OverrideVendor()
+      v.inventoryServerPrices(s).unionByName(v.inventoryServerPricesSpot(s))
+        .select(col("region_id"), col("server_id"), col("allocation"),
+          col("price"),
+          when(size(col("price_tiered")) > 0,
+            element_at(col("price_tiered"), 1).getField("upper")).as("cap_hours"))
+        .orderBy(col("region_id"), col("server_id"), col("allocation"))
+    }),
+
+    // ---- P5 variant (OverrideVendor): fractional GPU counts over the
+    //      union of two plan catalogs — string fractions ("1/2"), the
+    //      vram-total/per-GPU ratio, and the metal fallback rule table;
+    //      allocation derived from which CPU field the catalog quotes;
+    //      iterative CPU-model prefix strip.
+    "p5_fractional_gpu" -> ((s, _) => {
+      new graft.ingest.OverrideVendor().inventoryServers(s)
+        .select(col("server_id"), col("family"), col("vcpus"),
+          col("cpu_cores"), col("cpu_allocation"), col("cpu_speed"),
+          col("cpu_family"), col("cpu_model"), col("gpu_count"),
+          col("gpu_memory_min"), col("gpu_memory_total"),
+          col("gpu_manufacturer"), col("gpu_family"), col("gpu_model"),
+          col("storage_size"), col("storage_type"), col("ipv4"), col("status"))
+        .orderBy(col("server_id"))
+    }),
+
     // ---- O3: global top-k. orderBy().limit(k) compiles to
     //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
     //      merges 32 heaps — no global sort, no single-task window. The
@@ -398,6 +428,111 @@ object MiscQueries extends QueryPack {
          |  round(cents / 100 * 24 * 30, 4) AS price
          |FROM sp JOIN cat USING (storage_id)
          |ORDER BY region_id, storage_id""".stripMargin,
+    // OverrideVendor fixture literals as VALUES (self-checking duplication
+    // against the JSON payloads): the oracle replays the location fan-out
+    // with field-level override precedence and the derived monthly cap.
+    "p7_location_override" ->
+      s"""WITH p(plan_id, ptype, vcpu_count, cpu_count, cpu_threads, cpu_model,
+         |       cpu_mhz, ram_mb, disk, disk_count, disk_type, gpu_brand,
+         |       gpu_type, gpu_vram_gb, gpu_count_str, hourly, monthly,
+         |       deploy_od, deploy_spot, spot_hourly, spot_monthly) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.planValuesSql}),
+         |l(plan_id, region_id) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.locationValuesSql}),
+         |o(plan_id, region_id, ov_h, ov_m, ov_sh, ov_sm) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.overrideValuesSql}),
+         |od AS (SELECT l.region_id, p.plan_id AS server_id,
+         |    'ondemand' AS allocation,
+         |    COALESCE(o.ov_h, p.hourly) AS h, COALESCE(o.ov_m, p.monthly) AS m
+         |  FROM p JOIN l USING (plan_id)
+         |  LEFT JOIN o ON o.plan_id = p.plan_id AND o.region_id = l.region_id
+         |  WHERE p.deploy_od = 1),
+         |sp AS (SELECT l.region_id, p.plan_id AS server_id,
+         |    'spot' AS allocation,
+         |    COALESCE(o.ov_sh, p.spot_hourly) AS h,
+         |    COALESCE(o.ov_sm, p.spot_monthly) AS m
+         |  FROM p JOIN l USING (plan_id)
+         |  LEFT JOIN o ON o.plan_id = p.plan_id AND o.region_id = l.region_id
+         |  WHERE p.deploy_spot = 1),
+         |u AS (SELECT * FROM od UNION ALL SELECT * FROM sp)
+         |SELECT region_id, server_id, allocation, h AS price,
+         |  CASE WHEN h > 0 THEN floor(m / h) END AS cap_hours
+         |FROM u ORDER BY region_id, server_id, allocation""".stripMargin,
+    // OverrideVendor server projection: two unioned plan catalogs, the
+    // existence-driven CPU allocation, string-fraction / ratio-derived /
+    // fallback-table GPU counts, min(per-GPU, total) VRAM, iterative
+    // CPU-model prefix strip, substring family rules.
+    "p5_fractional_gpu" ->
+      s"""WITH p(plan_id, ptype, vcpu_count, cpu_count, cpu_threads, cpu_model,
+         |       cpu_mhz, ram_mb, disk, disk_count, disk_type, gpu_brand,
+         |       gpu_type, gpu_vram_gb, gpu_count_str, hourly, monthly,
+         |       deploy_od, deploy_spot, spot_hourly, spot_monthly) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.planValuesSql}),
+         |f(ptype, family) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.planTypeValuesSql}),
+         |dk(disk_key, storage_type) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.diskTypeValuesSql}),
+         |g(gpu_type, vram_gb, rule_gpu_family) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.gpuTypeValuesSql}),
+         |fb(plan_id, fb_gpu_type, fb_gpu_count, fb_vram_total) AS (VALUES
+         |  ${graft.ingest.OverrideVendor.fallbackValuesSql}),
+         |b AS (SELECT p.*, f.family,
+         |    COALESCE(p.gpu_type, fb.fb_gpu_type) AS eff_gpu_type,
+         |    COALESCE(NULLIF(p.gpu_vram_gb, 0), fb.fb_vram_total, 0) AS vram_total,
+         |    COALESCE(
+         |      CASE WHEN p.gpu_count_str LIKE '%/%'
+         |        THEN round(CAST(split_part(p.gpu_count_str, '/', 1) AS DOUBLE) /
+         |                   CAST(split_part(p.gpu_count_str, '/', 2) AS DOUBLE), 4)
+         |        ELSE TRY_CAST(p.gpu_count_str AS DOUBLE) END,
+         |      CAST(fb.fb_gpu_count AS DOUBLE)) AS api_count
+         |  FROM p LEFT JOIN f USING (ptype) LEFT JOIN fb USING (plan_id)),
+         |c AS (SELECT b.*, g.vram_gb, g.rule_gpu_family,
+         |    COALESCE(b.api_count,
+         |      CASE WHEN g.vram_gb IS NOT NULL AND b.vram_total > 0
+         |        THEN round(CAST(b.vram_total AS DOUBLE) / g.vram_gb, 4) END,
+         |      0.0) AS gpu_count_eff,
+         |    COALESCE(b.disk_type, b.ptype) AS disk_key
+         |  FROM b LEFT JOIN g ON b.eff_gpu_type = g.gpu_type)
+         |SELECT c.plan_id AS server_id, c.family,
+         |  COALESCE(c.vcpu_count, c.cpu_threads) AS vcpus,
+         |  c.cpu_count AS cpu_cores,
+         |  CASE WHEN c.vcpu_count IS NOT NULL THEN 'shared'
+         |       ELSE 'dedicated' END AS cpu_allocation,
+         |  c.cpu_mhz / 1000.0 AS cpu_speed,
+         |  CASE WHEN lower(c.cpu_model) LIKE '%epyc%'
+         |         OR lower(c.cpu_model) LIKE '%turin%'
+         |         OR lower(c.cpu_model) LIKE '%genoa%' THEN 'EPYC'
+         |       WHEN lower(c.cpu_model) LIKE '%grace%'
+         |         OR lower(c.cpu_model) LIKE '%neoverse%' THEN 'Grace'
+         |       WHEN lower(c.cpu_model) LIKE 'e-%'
+         |         OR lower(c.cpu_model) LIKE 'e3-%'
+         |         OR lower(c.cpu_model) LIKE 'gold %'
+         |         OR lower(c.cpu_model) LIKE 'platinum %' THEN 'Xeon'
+         |  END AS cpu_family,
+         |  NULLIF(trim(regexp_replace(c.cpu_model,
+         |    '^(?:(?:EPYC|Grace|Platinum|Gold) +|E3-|E-)+', '')), '') AS cpu_model,
+         |  c.gpu_count_eff AS gpu_count,
+         |  CASE WHEN c.vram_gb IS NOT NULL AND c.vram_total > 0
+         |    THEN CAST(least(c.vram_gb, c.vram_total) AS BIGINT) * 1024
+         |    ELSE CAST(0 AS BIGINT) END AS gpu_memory_min,
+         |  CAST(c.vram_total AS BIGINT) * 1024 AS gpu_memory_total,
+         |  CASE WHEN c.eff_gpu_type IS NOT NULL
+         |    THEN COALESCE(NULLIF(c.gpu_brand, ''),
+         |                  split_part(c.eff_gpu_type, '_', 1))
+         |  END AS gpu_manufacturer,
+         |  c.rule_gpu_family AS gpu_family,
+         |  CASE WHEN c.eff_gpu_type IS NOT NULL THEN
+         |    CASE WHEN strpos(c.eff_gpu_type, '_') > 0
+         |      THEN split_part(c.eff_gpu_type, '_', 2)
+         |      ELSE c.eff_gpu_type END
+         |  END AS gpu_model,
+         |  CAST(c.disk AS BIGINT) * COALESCE(c.disk_count, 1) AS storage_size,
+         |  dk.storage_type,
+         |  CASE WHEN c.plan_id = 'vc2-1c-0.5gb-v6' THEN 0 ELSE 1 END AS ipv4,
+         |  CASE WHEN c.plan_id = 'vc2-1c-0.5gb-free' THEN 'inactive'
+         |       ELSE 'active' END AS status
+         |FROM c LEFT JOIN dk USING (disk_key)
+         |ORDER BY server_id""".stripMargin,
     // the fixture derives every field deterministically from nation rows;
     // nationkey 13 is written corrupt and multiples of 5 incomplete, so
     // the oracle filters exactly the rows the validator must skip

@@ -322,4 +322,83 @@ class PullSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows("dc-east") == 0.006)
   }
+
+  test("override vendor: field-level location overrides, fractional gpus, gated storage") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-override").toString
+    val v = new OverrideVendor
+    val counts = Pull.pull(spark, v, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    assert(counts("region") == 3 && counts("zone") == 3)
+    assert(counts("server") == 8) // 6 virtual + 2 metal, one unioned parse
+    assert(counts("server_price") == 12) // ondemand fan-out over locations
+    assert(counts("storage") == 2)
+    // options-gated: ams sells both block products, ewr one, sgp none
+    assert(counts("storage_price") == 3)
+    assert(counts("traffic_price") == 6 && counts("ipv4_price") == 3)
+
+    def tiers(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("price_tiered"))
+        .map(t => (t.getAs[Double]("lower"), t.getAs[Double]("upper"),
+          t.getAs[Double]("price")))
+
+    // field-level override precedence inside the fan-out: sgp overrides
+    // the ondemand pair, the other regions keep the base; the monthly cap
+    // derives from whichever pair won (16.0/0.024 → 666 vs 12.0/0.018)
+    val od = sp.read.parquet(s"$dir/server_price").collect()
+      .map(r => (r.getAs[String]("server_id"), r.getAs[String]("region_id")) -> r).toMap
+    assert(od(("vc2-2c-4gb", "ams")).getAs[Double]("price") == 0.018)
+    val sgp = od(("vc2-2c-4gb", "sgp"))
+    assert(sgp.getAs[Double]("price") == 0.024)
+    assert(tiers(sgp) == Seq((0.0, 666.0, 0.024),
+      (667.0, Double.PositiveInfinity, 0.0)))
+
+    // zero-price plan survives with an EMPTY tier chain
+    val free = od(("vc2-1c-0.5gb-free", "ams"))
+    assert(free.getAs[Double]("price") == 0.0 && tiers(free).isEmpty)
+
+    // partial spot override: ewr's map entry only carries the spot pair,
+    // so ewr overrides while ams falls back to the base, field by field
+    val spot = v.inventoryServerPricesSpot(spark).collect()
+      .map(r => (r.getAs[String]("server_id"), r.getAs[String]("region_id")) -> r).toMap
+    assert(spot.keySet == Set(("vhf-4c-16gb", "ams"), ("vhf-4c-16gb", "ewr")))
+    assert(spot(("vhf-4c-16gb", "ams")).getAs[Double]("price") == 0.019)
+    assert(spot(("vhf-4c-16gb", "ewr")).getAs[Double]("price") == 0.017)
+
+    // fractional GPU counts: "1/2" string fraction, vram ratio, and the
+    // manual metal fallback for API rows with no GPU fields at all
+    val servers = sp.read.parquet(s"$dir/server").collect()
+      .map(r => r.getAs[String]("server_id") -> r).toMap
+    val half = servers("vcg-l40s-12c-100g-24vram")
+    assert(half.getAs[Double]("gpu_count") == 0.5)
+    assert(half.getAs[Long]("gpu_memory_min") == 24L * 1024) // min(48, 24) GiB
+    val ratio = servers("vcg-a16-2c-8g-2vram")
+    assert(ratio.getAs[Double]("gpu_count") == 0.125) // 2 GiB of a 16 GiB card
+    assert(ratio.getAs[String]("gpu_model") == "A16")
+    val metal = servers("vdm-mi300x-96c-1536gb-1536vram")
+    assert(metal.getAs[Double]("gpu_count") == 8.0)
+    assert(metal.getAs[String]("gpu_manufacturer") == "AMD")
+    assert(metal.getAs[String]("gpu_family") == "CDNA3")
+    assert(metal.getAs[Long]("gpu_memory_total") == 1536L * 1024)
+
+    // which CPU field exists decides the allocation; iterative prefix strip
+    assert(metal.getAs[String]("cpu_allocation") == "dedicated")
+    assert(metal.getAs[String]("cpu_model") == "9334")
+    assert(metal.getAs[String]("cpu_family") == "EPYC")
+    val vbm = servers("vbm-24c-256gb")
+    assert(vbm.getAs[String]("cpu_model") == "6448H")
+    assert(vbm.getAs[String]("cpu_family") == "Xeon")
+    assert(vbm.getAs[Int]("vcpus") == 48) // threads fill vcpus for metal
+    assert(servers("vc2-2c-4gb").getAs[String]("cpu_allocation") == "shared")
+    assert(servers("vc2-1c-0.5gb-v6").getAs[Int]("ipv4") == 0)
+    assert(servers("vc2-1c-0.5gb-free").getAs[String]("status") == "inactive")
+
+    // options-gated storage pricing joins the static catalog
+    val storage = sp.read.parquet(s"$dir/storage_price").collect()
+      .map(r => (r.getAs[String]("region_id"), r.getAs[String]("storage_id")) ->
+        r.getAs[Double]("price")).toMap
+    assert(storage.keySet.map(_._1) == Set("ams", "ewr"))
+    assert(storage(("ams", "block_storage_storage_opt")) == 0.025)
+    assert(storage(("ewr", "block_storage_high_perf")) == 0.10)
+  }
 }
