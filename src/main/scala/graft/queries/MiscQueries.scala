@@ -296,6 +296,48 @@ object MiscQueries extends QueryPack {
         .orderBy(col("server_id"))
     }),
 
+    // ---- P2 variant (SkuVendor): SKU price list keyed by INTERNAL region
+    //      ids resolved through alias lists, one price per region fanned
+    //      out to its zones, each row ANNOTATED active/inactive from the
+    //      nested availability tree (WithStock only) — rows are kept
+    //      either way, unlike the zonal vendor's gating.
+    "p2_sku_status" -> ((s, _) => {
+      new graft.ingest.SkuVendor().inventoryServerPrices(s)
+        .select(col("region_id"), col("zone_id"), col("server_id"),
+          col("operating_system"), col("price"), col("currency"), col("status"))
+        .orderBy(col("region_id"), col("zone_id"), col("server_id"))
+    }),
+
+    // ---- P5 variant (SkuVendor): GPU-spec suffix parsing ("A10*1/12" →
+    //      0.0833), the memory-total rule that switches semantics on the
+    //      count (total for fractional/single, per-GPU for multiples),
+    //      internal model-name rules, burstable-beats-shared allocation,
+    //      and bandwidth-weighting network speeds with per-field unit
+    //      conversions.
+    "p5_gpu_spec_rules" -> ((s, _) => {
+      new graft.ingest.SkuVendor().inventoryServers(s)
+        .select(col("server_id"), col("family"), col("vcpus"),
+          col("cpu_allocation"), col("cpu_architecture"), col("cpu_speed"),
+          col("memory_amount"), col("gpu_count"), col("gpu_memory_min"),
+          col("gpu_memory_total"), col("gpu_manufacturer"), col("gpu_family"),
+          col("gpu_model"), col("storage_size"), col("storage_type"),
+          col("network_speed"), col("network_speed_max"),
+          col("network_storage_speed_baseline"),
+          col("network_storage_speed_max"), col("status"))
+        .orderBy(col("server_id"))
+    }),
+
+    // ---- F2 variant (SkuVendor): storage SKUs filtered by performance
+    //      level (flat products keep PL1 only, ESSD keeps PL0-PL3 with an
+    //      id suffix), hourPrice rows convert to gb_month via ×730,
+    //      unknown regions skipped.
+    "f2_storage_pl_filter" -> ((s, _) => {
+      new graft.ingest.SkuVendor().inventoryStoragePrices(s)
+        .select(col("region_id"), col("storage_id"), col("unit"),
+          col("price"), col("currency"))
+        .orderBy(col("region_id"), col("storage_id"))
+    }),
+
     // ---- O3: global top-k. orderBy().limit(k) compiles to
     //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
     //      merges 32 heaps — no global sort, no single-task window. The
@@ -428,6 +470,119 @@ object MiscQueries extends QueryPack {
          |  round(cents / 100 * 24 * 30, 4) AS price
          |FROM sp JOIN cat USING (storage_id)
          |ORDER BY region_id, storage_id""".stripMargin,
+    // SkuVendor fixtures as VALUES. The availability triples and SKU rows
+    // are the SAME Scala lists the nested JSON payloads are generated
+    // from (cannot drift); the instance-type rows are hand-mirrored from
+    // the JSON pages (drift turns the gate red).
+    "p2_sku_status" ->
+      s"""WITH s(vm_region_no, server_id, price) AS (VALUES
+         |  ${graft.ingest.SkuVendor.serverSkuValuesSql}),
+         |a(alias_id, region_id) AS (VALUES
+         |  ${graft.ingest.SkuVendor.aliasValuesSql}),
+         |z(region_id, zone_id) AS (VALUES
+         |  ${graft.ingest.SkuVendor.zoneValuesSql}),
+         |av(region_id, zone_id, server_id, status_category) AS (VALUES
+         |  ${graft.ingest.SkuVendor.availabilityValuesSql})
+         |SELECT a.region_id, z.zone_id, s.server_id,
+         |  'linux' AS operating_system, s.price, 'USD' AS currency,
+         |  CASE WHEN av.status_category = 'WithStock' THEN 'active'
+         |       ELSE 'inactive' END AS status
+         |FROM s
+         |JOIN a ON s.vm_region_no = a.alias_id
+         |JOIN z ON z.region_id = a.region_id
+         |LEFT JOIN av ON av.region_id = a.region_id AND av.zone_id = z.zone_id
+         |  AND av.server_id = s.server_id
+         |ORDER BY a.region_id, z.zone_id, s.server_id""".stripMargin,
+    "p5_gpu_spec_rules" ->
+      s"""WITH it(server_id, family, vcpus, mem_gib, category, credit, arch,
+         |        freq, gpu_spec, gpu_amount, gpu_mem_gib, ls_amount,
+         |        ls_capacity, ls_category, bw_rx) AS (VALUES
+         |  ${graft.ingest.SkuVendor.instanceTypeValuesSql}),
+         |w(server_id, vpc_bw, vpc_burst, ebs_bw, ebs_burst) AS (VALUES
+         |  ${graft.ingest.SkuVendor.weightingValuesSql}),
+         |av(region_id, zone_id, server_id, status_category) AS (VALUES
+         |  ${graft.ingest.SkuVendor.availabilityValuesSql}),
+         |act AS (SELECT DISTINCT server_id FROM av
+         |  WHERE status_category = 'WithStock'),
+         |wflat AS (SELECT server_id, v, kind FROM (
+         |    SELECT server_id, vpc_bw AS v, 'vpc' AS kind FROM w
+         |    UNION ALL SELECT server_id, vpc_burst, 'vpc' FROM w
+         |    UNION ALL SELECT server_id, ebs_bw, 'ebs' FROM w
+         |    UNION ALL SELECT server_id, ebs_burst, 'ebs' FROM w) u
+         |  WHERE v IS NOT NULL),
+         |wagg AS (SELECT server_id,
+         |    max(CASE WHEN kind = 'vpc' THEN v END) / 1024.0 / 1000 AS net_max,
+         |    CAST(min(CASE WHEN kind = 'ebs'
+         |      THEN round(CAST(v AS BIGINT) * 8 / 1000000.0) END) AS BIGINT) AS nss_base,
+         |    CAST(max(CASE WHEN kind = 'ebs'
+         |      THEN round(CAST(v AS BIGINT) * 8 / 1000000.0) END) AS BIGINT) AS nss_max
+         |  FROM wflat GROUP BY server_id),
+         |g AS (SELECT it.*,
+         |    NULLIF(regexp_extract(gpu_spec, '/(\\d+)$$', 1), '') AS den,
+         |    NULLIF(regexp_extract(gpu_spec, '\\*(\\d+)/\\d+$$', 1), '') AS num,
+         |    NULLIF(regexp_extract(gpu_spec, '\\*(\\d+)$$', 1), '') AS mult,
+         |    CASE WHEN gpu_spec IN ('', '0', 'NULL', 'NA', 'N/A') THEN NULL
+         |         ELSE regexp_replace(regexp_replace(regexp_replace(gpu_spec,
+         |           '^(NVIDIA |Tesla |Nvidia Tesla |Radeon Pro |AMD |Quadro |Gaudi |GeeForce )', ''),
+         |           '(\\*1)?/\\d+$$', ''), '\\*1$$', '') END AS m0
+         |  FROM it),
+         |c AS (SELECT g.*,
+         |    CASE WHEN gpu_spec = '' THEN CAST(gpu_amount AS DOUBLE)
+         |         WHEN den IS NOT NULL THEN
+         |           round(CAST(COALESCE(num, '1') AS DOUBLE) / CAST(den AS DOUBLE), 4)
+         |         WHEN mult IS NOT NULL THEN CAST(mult AS DOUBLE)
+         |         ELSE CAST(gpu_amount AS DOUBLE) END AS gpu_count,
+         |    CAST(gpu_mem_gib AS BIGINT) * 1024 AS per_gpu
+         |  FROM g)
+         |SELECT c.server_id, c.family, c.vcpus,
+         |  CASE WHEN credit > 0 THEN 'burstable'
+         |       WHEN category = 'Shared' THEN 'shared'
+         |       ELSE 'dedicated' END AS cpu_allocation,
+         |  CASE WHEN arch = 'ARM' THEN 'arm64' ELSE 'x86_64' END AS cpu_architecture,
+         |  NULLIF(freq, 0) AS cpu_speed,
+         |  CAST(mem_gib * 1024 AS BIGINT) AS memory_amount,
+         |  gpu_count, per_gpu AS gpu_memory_min,
+         |  CASE WHEN gpu_count >= 1 THEN CAST(gpu_count * per_gpu AS BIGINT)
+         |       ELSE per_gpu END AS gpu_memory_total,
+         |  CASE WHEN m0 LIKE 'G49%' OR m0 IN ('L20', 'L20N', 'vGPU8')
+         |    THEN 'NVIDIA' END AS gpu_manufacturer,
+         |  CASE WHEN m0 LIKE 'G49%' OR m0 IN ('L20', 'vGPU8') THEN 'Ada Lovelace'
+         |       WHEN m0 = 'L20N' THEN 'Blackwell' END AS gpu_family,
+         |  CASE WHEN m0 LIKE 'G49%' OR m0 LIKE 'GPU H%' OR m0 IN ('L20N', 'vGPU8')
+         |    THEN NULL ELSE m0 END AS gpu_model,
+         |  CAST(floor(ls_amount * ls_capacity * 1073741824.0 / 1000000000.0)
+         |    AS BIGINT) AS storage_size,
+         |  CASE WHEN ls_category = 'local_ssd_pro' THEN 'ssd'
+         |       WHEN ls_category = 'local_hdd_pro' THEN 'hdd' END AS storage_type,
+         |  NULLIF(bw_rx / 1024.0 / 1000, 0) AS network_speed,
+         |  wagg.net_max AS network_speed_max,
+         |  wagg.nss_base AS network_storage_speed_baseline,
+         |  wagg.nss_max AS network_storage_speed_max,
+         |  CASE WHEN act.server_id IS NOT NULL THEN 'active'
+         |       ELSE 'inactive' END AS status
+         |FROM c
+         |LEFT JOIN wagg ON c.server_id = wagg.server_id
+         |LEFT JOIN act ON c.server_id = act.server_id
+         |ORDER BY c.server_id""".stripMargin,
+    "f2_storage_pl_filter" ->
+      s"""WITH r(vm_region_no, category, pl, price, price_type) AS (VALUES
+         |  ${graft.ingest.SkuVendor.storageSkuValuesSql}),
+         |a(alias_id, region_id) AS (VALUES
+         |  ${graft.ingest.SkuVendor.aliasValuesSql}),
+         |k AS (SELECT a.region_id,
+         |    CASE WHEN category IN ('cloud', 'cloud_ssd', 'cloud_efficiency')
+         |         THEN category
+         |         ELSE category || '-' || lower(pl) END AS storage_id,
+         |    CASE WHEN price_type = 'hourPrice' THEN price * 730
+         |         ELSE price END AS price
+         |  FROM r JOIN a ON r.vm_region_no = a.alias_id
+         |  WHERE (category IN ('cloud', 'cloud_ssd', 'cloud_efficiency')
+         |         AND pl = 'PL1')
+         |     OR (category NOT IN ('cloud', 'cloud_ssd', 'cloud_efficiency')
+         |         AND pl IN ('PL0', 'PL1', 'PL2', 'PL3')))
+         |SELECT region_id, storage_id, 'gb_month' AS unit, price,
+         |  'USD' AS currency
+         |FROM k ORDER BY region_id, storage_id""".stripMargin,
     // OverrideVendor fixture literals as VALUES (self-checking duplication
     // against the JSON payloads): the oracle replays the location fan-out
     // with field-level override precedence and the derived monthly cap.

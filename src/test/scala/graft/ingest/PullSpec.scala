@@ -323,6 +323,103 @@ class PullSpec extends SparkSpec {
     assert(rows("dc-east") == 0.006)
   }
 
+  test("sku vendor: alias-resolved sku prices, availability annotation, gpu spec rules") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-pull-sku").toString
+    val v = new SkuVendor
+    val counts = Pull.pull(spark, v, Pull.parquetSink(dir))
+    assert(counts.keySet == Schemas.tables.keySet - "_metadata")
+    assert(counts("region") == 3 && counts("zone") == 5)
+    assert(counts("server") == 8)
+    // 6 SKU rows: one quotes an unknown internal region (skipped), the 5
+    // resolved ones fan out to their region's zones (2+2+2+2+1)
+    assert(counts("server_price") == 9)
+    assert(counts("storage") == 7)
+    // 10 storage SKUs: PLX + non-PL1 flat + unknown region drop → 7
+    assert(counts("storage_price") == 7)
+    assert(counts("traffic_price") == 6 && counts("ipv4_price") == 3)
+
+    // availability ANNOTATES instead of gating: rows survive inactive
+    val prices = sp.read.parquet(s"$dir/server_price").collect()
+      .map(r => (r.getAs[String]("region_id"), r.getAs[String]("zone_id"),
+        r.getAs[String]("server_id")) -> r).toMap
+    assert(prices(("hz-north", "hz-north-a", "ecs.g7.large"))
+      .getAs[String]("status") == "active")
+    assert(prices(("hz-north", "hz-north-b", "ecs.g7.large"))
+      .getAs[String]("status") == "inactive") // not listed in that zone
+    assert(prices(("hz-north", "hz-north-a", "ecs.t6.large"))
+      .getAs[String]("status") == "inactive") // ClosedWithStock ≠ WithStock
+    assert(prices(("us-east", "us-east-b", "ecs.gn8v.48xlarge"))
+      .getAs[String]("status") == "active")
+    assert(prices(("us-east", "us-east-b", "ecs.gn8v.48xlarge"))
+      .getAs[Double]("price") == 12.708)
+    assert(!prices.keySet.exists(_._1.startsWith("ap-south"))) // unknown skipped
+
+    // spot: only quotes carrying the preemptible-discount rule survive,
+    // priced from the instanceType detail line
+    val spot = v.inventoryServerPricesSpot(spark).collect()
+      .map(r => (r.getAs[String]("zone_id"), r.getAs[String]("server_id")) ->
+        r.getAs[Double]("price")).toMap
+    assert(spot == Map(("us-east-b", "ecs.gn8v.48xlarge") -> 3.812,
+      ("us-east-a", "ecs.g7.large") -> 0.049))
+
+    // GPU spec rules + the count-dependent memory-total semantics
+    val servers = sp.read.parquet(s"$dir/server").collect()
+      .map(r => r.getAs[String]("server_id") -> r).toMap
+    val frac = servers("ecs.sgn7i.2xlarge") // "A10*1/12" → 0.0833, total = GPUMemorySize
+    assert(frac.getAs[Double]("gpu_count") == 0.0833)
+    assert(frac.getAs[Long]("gpu_memory_total") == 2048L)
+    assert(frac.getAs[String]("gpu_model") == "A10")
+    val multi = servers("ecs.gn8v.48xlarge") // 8 GPUs → per-GPU semantics
+    assert(multi.getAs[Long]("gpu_memory_min") == 48L * 1024)
+    assert(multi.getAs[Long]("gpu_memory_total") == 8 * 48L * 1024)
+    assert(multi.getAs[String]("gpu_model") == "L20") // rule keeps the model
+    assert(multi.getAs[String]("gpu_family") == "Ada Lovelace")
+    val internal = servers("ecs.gi7s.16xlarge") // internal name G49
+    assert(internal.getAs[Double]("gpu_count") == 4.0)
+    assert(internal.getAs[String]("gpu_model") == null)
+    assert(internal.getAs[String]("gpu_family") == "Ada Lovelace")
+    assert(internal.getAs[String]("gpu_manufacturer") == "NVIDIA")
+
+    // burstable beats the Shared category check; ARM maps; local storage
+    // converts GiB → GB truncated
+    assert(servers("ecs.t6.large").getAs[String]("cpu_allocation") == "burstable")
+    assert(servers("ecs.s6.small").getAs[String]("cpu_allocation") == "shared")
+    assert(servers("ecs.g7.large").getAs[String]("cpu_allocation") == "dedicated")
+    val arm = servers("ecs.i4.4xlarge")
+    assert(arm.getAs[String]("cpu_architecture") == "arm64")
+    assert(arm.getAs[Long]("storage_size") == 3839L) // int(2*1788 GiB → GB)
+    assert(arm.getAs[String]("storage_type") == "ssd")
+    // server status: WithStock anywhere → active
+    assert(servers("ecs.g7.large").getAs[String]("status") == "active")
+    assert(servers("ecs.t6.large").getAs[String]("status") == "inactive")
+    assert(servers("ecs.i4.4xlarge").getAs[String]("status") == "inactive")
+
+    // bandwidth weighting (pre-conform frame carries the extended fields)
+    val g7 = v.inventoryServers(spark).collect()
+      .map(r => r.getAs[String]("server_id") -> r).toMap.apply("ecs.g7.large")
+    assert(g7.getAs[Double]("network_speed") == 1.2)
+    assert(g7.getAs[Double]("network_speed_max") == 5.0)
+    assert(g7.getAs[Long]("network_storage_speed_baseline") == 2000L)
+    assert(g7.getAs[Long]("network_storage_speed_max") == 4000L)
+
+    // storage SKU filter + hourPrice conversion
+    val storage = sp.read.parquet(s"$dir/storage_price").collect()
+      .map(r => (r.getAs[String]("region_id"), r.getAs[String]("storage_id")) ->
+        r.getAs[Double]("price")).toMap
+    assert(storage(("hz-north", "cloud_essd-pl0")) == 0.0001 * 730)
+    assert(storage(("hz-north", "cloud_essd-pl3")) == 0.1956)
+    assert(storage(("us-east", "cloud_ssd")) == 0.0953)
+    assert(!storage.contains(("hz-north", "cloud_essd-plx")))
+
+    // traffic: first POSITIVE tier wins; inbound free
+    val traffic = sp.read.parquet(s"$dir/traffic_price").collect()
+      .map(r => (r.getAs[String]("region_id"), r.getAs[String]("direction")) ->
+        r.getAs[Double]("price")).toMap
+    assert(traffic(("hz-north", "out")) == 0.076)
+    assert(traffic(("hz-north", "in")) == 0.0)
+  }
+
   test("override vendor: field-level location overrides, fractional gpus, gated storage") {
     val sp = spark
     val dir = Files.createTempDirectory("graft-pull-override").toString
