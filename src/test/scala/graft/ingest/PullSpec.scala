@@ -275,6 +275,18 @@ class PullSpec extends SparkSpec {
     assert(e.getMessage.contains("broken page chain"))
   }
 
+  test("sku vendor refuses an incomplete page chain") {
+    // drop the tail page: remaining pages still declare TotalCount=6 but
+    // only 4 rows parse — the batch analogue of a dangling NextPageToken
+    val v = new SkuVendor {
+      override private[ingest] def serverSkuPages = super.serverSkuPages.init
+    }
+    val e = intercept[IllegalArgumentException] {
+      v.inventoryServerPrices(spark).count()
+    }
+    assert(e.getMessage.contains("SKU page chain incomplete"))
+  }
+
   test("metadata sink: versioned key/value upsert on Derby (K6)") {
     val sp = spark
     val url = "jdbc:derby:memory:metatest;create=true"
