@@ -316,6 +316,17 @@ object TextQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- D9: duplicate-SPAN detection (exact substring dedup, Lee et al.
+    //      2021): 5-token windows occurring >1× anywhere in the corpus
+    //      mark spans, overlapping/adjacent spans merge per doc — finds
+    //      which PARTS of kept docs are boilerplate, complementing the
+    //      whole-document dedup family
+    "d9_dup_spans" -> ((s, dir) => {
+      graft.dedup.Spans.duplicateSpans(Tables.documents(s, dir),
+          "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- D5: near-dup CLUSTER dedup — connected components over the
     //      Jaccard pair graph, one representative kept per component
     "d5_dedup_clusters" -> ((s, dir) => {
@@ -670,6 +681,44 @@ object TextQueries extends QueryPack {
         |WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
         |ORDER BY doc_id""".stripMargin,
+    // d9: token positions renumber AFTER empty-token drop so both engines
+    // agree on the position space; spans all have length k, so sorted
+    // starts merge while each is within k of its predecessor
+    "d9_dup_spans" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS ord
+        |  FROM documents),
+        |tok1 AS (SELECT doc_id, token, ord FROM tok0 WHERE token <> ''),
+        |tok AS (SELECT doc_id, token,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+        |  FROM tok1),
+        |sh0 AS (SELECT doc_id, pos,
+        |    string_agg(token, ' ') OVER w AS shingle, count(*) OVER w AS cnt
+        |  FROM tok
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+        |sh AS (SELECT doc_id, pos, shingle FROM sh0 WHERE cnt = 5),
+        |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+        |starts AS (SELECT doc_id, pos FROM sh JOIN dup USING (shingle)),
+        |brk AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |         THEN 1
+        |         WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM starts),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+        |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |tot AS (SELECT doc_id, count(*) AS total_tokens FROM tok GROUP BY doc_id)
+        |SELECT sp.doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens,
+        |  any_value(total_tokens) AS total_tokens,
+        |  round(sum(e - s) / CAST(any_value(total_tokens) AS DOUBLE), 4)
+        |    AS dup_ratio
+        |FROM spans sp JOIN tot USING (doc_id)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),

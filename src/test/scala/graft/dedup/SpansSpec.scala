@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class SpansSpec extends SparkSpec {
+
+  // crafted corpus, k=3:
+  //  - doc 1 shares "a b c" and "e f g" with doc 2, separated by a gap of
+  //    unique tokens → TWO islands per doc
+  //  - doc 3 repeats "r s t u" WITHIN itself — within-doc repeats count,
+  //    and the overlapping/adjacent starts merge to one maximal span
+  //  - doc 4 has no duplicated 3-gram (and a double space whose empty
+  //    token must drop from the position space)
+  private def corpus = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "a b c G1 G2 G3 G4 e f g"),
+      (2L, "p a b c q e f g"),
+      (3L, "r s t u r s t u"),
+      (4L, "solo  tokens only here nothing repeats ever"))
+      .toDF("doc_id", "text")
+  }
+
+  test("duplicate spans: cross-doc, within-doc, island merge, rollup") {
+    val out = Spans.duplicateSpans(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // doc 4 clean → absent
+    assert(out(1L) == ((2L, 6L, 10L, 0.6)))  // [0,3) + [7,10) of 10 tokens
+    assert(out(2L) == ((2L, 6L, 8L, 0.75))) // [1,4) + [5,8) of 8 tokens
+    assert(out(3L) == ((1L, 8L, 8L, 1.0)))  // starts 0,1,4,5 all merge
+  }
+
+  test("span list emits the maximal merged intervals") {
+    val spans = Spans.spanList(corpus, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set(
+      (1L, 0, 3), (1L, 7, 10),
+      (2L, 1, 4), (2L, 5, 8),
+      (3L, 0, 8)))
+  }
+
+  test("documents shorter than k produce no shingles and no spans") {
+    val sp = spark; import sp.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Spans.duplicateSpans(tiny, "doc_id", "text", k = 3).count() == 0)
+  }
+}
