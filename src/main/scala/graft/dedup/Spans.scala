@@ -73,6 +73,39 @@ object Spans {
         round(col("dup_tokens") / col("total_tokens").cast("double"), 4))
   }
 
+  /** The cut step of ExactSubstr dedup: every token covered by a merged
+    * duplicated span is removed and the document re-assembled from the
+    * surviving tokens (single-space joined — the tokenizer already
+    * collapsed whitespace, so this is idempotent). ALL input docs come
+    * back, clean docs unchanged modulo whitespace normalization:
+    * `(idCol, clean_text, n_kept, n_removed)`.
+    *
+    * Plan shape: spans per doc collapse to ONE array row
+    * (`collect_list` bounded by doc_len/k entries — safe state), join
+    * back to the corpus on the id (co-partitioned with the span
+    * window's own partitioning), and the cut itself is a map-side
+    * higher-order `filter` over the token array — no per-token shuffle,
+    * no UDF. */
+  def cleanText(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val spans = spanList(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("toks"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (t, i) =>
+            !exists(col("spans"),
+              s => i >= s("span_start") && i < s("span_end")))))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** The maximal merged spans themselves — `(idCol, span_start, span_end)`
     * with `span_end` exclusive; the substrate a cleaning pass cuts. */
   def spanList(docs: DataFrame, idCol: String, textCol: String,

@@ -327,6 +327,16 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C4: the CUT step of ExactSubstr dedup — d9's merged spans
+    //      removed from the text, docs re-assembled from surviving
+    //      tokens. Every doc comes back (clean docs pass through), so
+    //      this composes directly under c1-style curation.
+    "c4_span_clean" -> ((s, dir) => {
+      graft.dedup.Spans.cleanText(Tables.documents(s, dir),
+          "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- D5: near-dup CLUSTER dedup — connected components over the
     //      Jaccard pair graph, one representative kept per component
     "d5_dedup_clusters" -> ((s, dir) => {
@@ -719,6 +729,52 @@ object TextQueries extends QueryPack {
         |    AS dup_ratio
         |FROM spans sp JOIN tot USING (doc_id)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+    // c4: same span derivation as d9, then tokens anti-joined against the
+    // merged spans and re-aggregated in position order; merged spans are
+    // disjoint by construction so the removal join cannot duplicate rows
+    "c4_span_clean" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token,
+        |    generate_subscripts(string_split_regex(text, '\s+'), 1) AS ord
+        |  FROM documents),
+        |tok1 AS (SELECT doc_id, token, ord FROM tok0 WHERE token <> ''),
+        |tok AS (SELECT doc_id, token,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+        |  FROM tok1),
+        |sh0 AS (SELECT doc_id, pos,
+        |    string_agg(token, ' ') OVER w AS shingle, count(*) OVER w AS cnt
+        |  FROM tok
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+        |sh AS (SELECT doc_id, pos, shingle FROM sh0 WHERE cnt = 5),
+        |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+        |starts AS (SELECT doc_id, pos FROM sh JOIN dup USING (shingle)),
+        |brk AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |         THEN 1
+        |         WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM starts),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+        |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |rm AS (SELECT t.doc_id, t.pos FROM tok t JOIN spans sp
+        |    ON t.doc_id = sp.doc_id AND t.pos >= sp.s AND t.pos < sp.e),
+        |kept AS (SELECT t.doc_id, t.token, t.pos FROM tok t
+        |    LEFT JOIN rm r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        |    WHERE r.pos IS NULL),
+        |tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.token, ' ' ORDER BY k.pos), '') AS clean_text,
+        |  count(k.pos) AS n_kept,
+        |  coalesce(any_value(t.n), 0) - count(k.pos) AS n_removed
+        |FROM documents d
+        |LEFT JOIN tot t ON d.doc_id = t.doc_id
+        |LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),

@@ -41,6 +41,19 @@ class SpansSpec extends SparkSpec {
       (3L, 0, 8)))
   }
 
+  test("cleanText cuts merged spans and passes clean docs through") {
+    val out = Spans.cleanText(corpus, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // ALL docs come back
+    assert(out(1L) == (("G1 G2 G3 G4", 4L, 6L)))
+    assert(out(2L) == (("p q", 2L, 6L)))
+    assert(out(3L) == (("", 0L, 8L))) // fully duplicated doc → empty
+    // doc 4 is clean; double space normalizes to single
+    assert(out(4L) == (("solo tokens only here nothing repeats ever", 7L, 0L)))
+  }
+
   test("documents shorter than k produce no shingles and no spans") {
     val sp = spark; import sp.implicits._
     val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
