@@ -76,6 +76,28 @@ object GraftExtensions {
         case Seq(s, k) => KmvMergeAgg(s, litInt(k, "kmv_merge k"))
         case _ => throw new IllegalArgumentException(
           "kmv_merge(sketch, k) takes exactly 2 arguments")
+      }),
+    (FunctionIdentifier("bloom_state"),
+      new ExpressionInfo(classOf[BloomStateAgg].getName, "bloom_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, m, j) => BloomStateAgg(h,
+          litInt(m, "bloom_state numBits"), litInt(j, "bloom_state numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "bloom_state(hash, numBits, numHashes) takes exactly 3 arguments")
+      }),
+    (FunctionIdentifier("bloom_merge"),
+      new ExpressionInfo(classOf[BloomMergeAgg].getName, "bloom_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => BloomMergeAgg(s)
+        case _ => throw new IllegalArgumentException(
+          "bloom_merge(state) takes exactly 1 argument")
+      }),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, h) => BloomContains(s, h)
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains(state, hash) takes exactly 2 arguments")
       }))
 
   private def litInt(e: Expression, what: String): Int = e match {

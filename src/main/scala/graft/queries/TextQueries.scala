@@ -236,6 +236,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C5: bloom-prefiltered decontamination — the held-out split's
+    //      shingles become ONE broadcast Bloom state and the train side
+    //      is pre-filtered map-side before its shuffle; the exact join
+    //      kills false positives, so the result (and the oracle) is the
+    //      EXACT unpruned contamination answer. This is the 100 TB
+    //      membership shape: shuffle volume scales with matches + fp
+    //      rate, never with the corpus.
+    "c5_bloom_decontaminate" -> ((s, dir) => {
+      val bucket = graft.text.TextAnalysis.splitBucket(col("doc_id"))
+      graft.text.Decontaminate.overlapsBloom(
+          Tables.documents(s, dir), "doc_id", "text", 8,
+          trainPred = bucket < 80, testPred = bucket >= 90)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T16: sketch-union cardinality — one stored sketch per
     //      (lang, source) shard, merged per lang. k-minimum union is
     //      EXACT, so the merged estimate equals t13's direct estimator
@@ -729,6 +744,28 @@ object TextQueries extends QueryPack {
         |    AS dup_ratio
         |FROM spans sp JOIN tot USING (doc_id)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+    // c5: the bloom prefilter is transparent to the answer (exact join
+    // removes fp, no fn exist), so the oracle is plain exact
+    // contamination — c3's SQL without the df-pruning CTEs
+    "c5_bloom_decontaminate" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |w AS (SELECT doc_id, bucket, regexp_split_to_array(trim(text), '\s+') AS l FROM b),
+        |sh AS (SELECT doc_id, bucket, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4], l[i+5], l[i+6], l[i+7])
+        |   for i in range(1, greatest(len(l) - 7, 1) + 1)])) AS shingle
+        |  FROM w),
+        |shh AS (SELECT doc_id, bucket,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh
+        |  WHERE bucket < 80 OR bucket >= 90)
+        |SELECT tr.doc_id,
+        |  COUNT(DISTINCT tr.shash) AS n_shared_shingles,
+        |  COUNT(DISTINCT te.doc_id) AS n_test_docs
+        |FROM shh tr JOIN shh te ON tr.shash = te.shash
+        |WHERE tr.bucket < 80 AND te.bucket >= 90
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     // c4: same span derivation as d9, then tokens anti-joined against the
     // merged spans and re-aggregated in position order; merged spans are
     // disjoint by construction so the removal join cannot duplicate rows

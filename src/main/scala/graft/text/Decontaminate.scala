@@ -91,4 +91,43 @@ object Decontaminate {
       .agg(countDistinct(col("shash")).as("n_shared_shingles"),
         countDistinct(col("__test_id")).as("n_test_docs"))
   }
+
+  /** Bloom-prefiltered variant of [[overlaps]]: the held-out split's
+    * shingle hashes are absorbed into ONE m-bit Bloom state
+    * ([[graft.plans.BloomStateAgg]], combine-enabled aggregate → a few
+    * hundred KB), that single row is broadcast, and the TRAIN side is
+    * pre-filtered map-side with `bloom_contains` BEFORE its shuffle.
+    * The exact join that follows sees only survivors (true matches +
+    * the fp rate), so shuffle volume scales with the contamination, not
+    * the corpus — at 100 TB the train side never shuffles in full. The
+    * composed result is EXACT: the exact join removes false positives
+    * and a Bloom filter has no false negatives, so this equals the
+    * unpruned [[overlaps]] result row-for-row (and shares an oracle
+    * with it). No df pruning here — the bloom probe is per-row O(j)
+    * and immune to hot-shingle blowup on the filter side (the exact
+    * join behind it still benefits from AQE skew splitting).
+    */
+  def overlapsBloom(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                    trainPred: Column, testPred: Column,
+                    numBits: Int = 1 << 22, numHashes: Int = 7): DataFrame = {
+    import graft.plans.BloomSketchAgg.{bloomContains, bloomState}
+    val shh = docs
+      .select(col(idCol), trainPred.as("__is_train"), testPred.as("__is_test"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .filter(col("__is_train") || col("__is_test"))
+      .select(col(idCol), col("__is_train"), col("__is_test"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val test = shh.filter(col("__is_test"))
+      .select(col(idCol).as("__test_id"), col("shash"))
+    val filterRow = test.agg(bloomState(col("shash"), numBits, numHashes).as("__bloom"))
+    val train = shh.filter(col("__is_train")).select(col(idCol), col("shash"))
+      .crossJoin(broadcast(filterRow))
+      .filter(bloomContains(col("__bloom"), col("shash")))
+      .drop("__bloom")
+    train.join(test, "shash")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shash")).as("n_shared_shingles"),
+        countDistinct(col("__test_id")).as("n_test_docs"))
+  }
 }

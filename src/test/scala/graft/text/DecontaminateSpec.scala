@@ -44,6 +44,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(0L) == 2)
   }
 
+  test("bloom prefilter is transparent: overlapsBloom equals unpruned overlaps") {
+    val exact = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10,
+        dfQuantile = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Decontaminate.overlapsBloom(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+  }
+
+  test("bloom plan: single-row state broadcast; probe filters the train side pre-shuffle") {
+    val df = Decontaminate.overlapsBloom(corpus, "doc_id", "text", 3,
+      trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
+    val physical = df.queryExecution.executedPlan.toString()
+    // the one-row bloom state arrives via a broadcast nested-loop join
+    // (no join key), and the probe itself runs as a Filter on the
+    // stream side — before the exact join's exchange
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      s"bloom state not broadcast:\n$physical")
+    assert(physical.contains("bloom_contains"),
+      s"bloom probe missing from the plan:\n$physical")
+  }
+
   test("pruned plan: broadcast ANTI join against the eagerly-built hot set") {
     val sp = spark
     val cachedBefore = sp.sparkContext.getPersistentRDDs.size
