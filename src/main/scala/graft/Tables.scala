@@ -51,7 +51,7 @@ object Tables {
     * thousands of row groups and this is a no-op (no shuffle). Row order is
     * never load-bearing here: every oracle-gated query ends in a total
     * ORDER BY, and ordered dedup derives order from data columns. */
-  private def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

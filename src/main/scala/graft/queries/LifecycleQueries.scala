@@ -50,7 +50,11 @@ object LifecycleQueries extends QueryPack {
         """{"OnDemand":{"sku.%d":{"priceDimensions":{"dim.%d":{"pricePerUnit":{"%s":"%s"}}}}}}""",
         col("o_orderkey"), col("o_orderkey"), currency, col("o_totalprice"))
       val schema = "map<string,map<string,struct<priceDimensions:map<string,struct<pricePerUnit:map<string,string>>>>>>"
-      val parsed = Tables.orders(s, dir)
+      // spread: the JSON parse is the heavy per-row stage and orders
+      // arrives as one split at harness scale (see Tables.spread) — the
+      // honest-force bench exposed p6 running its 150k from_json calls
+      // in a single task (6.4 s; 0.7 s spread across cores)
+      val parsed = Tables.spread(Tables.orders(s, dir))
         .select(col("o_orderkey"), from_json(terms, schema, Map.empty[String, String]).as("terms"))
         .select(col("o_orderkey"),
           try_element_at(map_values(try_element_at(col("terms"), lit("OnDemand"))), lit(1))
