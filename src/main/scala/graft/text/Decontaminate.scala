@@ -39,50 +39,8 @@ object Decontaminate {
   def overlaps(docs: DataFrame, idCol: String, textCol: String, n: Int,
                trainPred: Column, testPred: Column,
                dfQuantile: Double = 0.999): DataFrame = {
-    val shh = docs
-      .select(col(idCol), trainPred.as("__is_train"), testPred.as("__is_test"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
-      .filter(col("__is_train") || col("__is_test"))
-      .select(col(idCol), col("__is_train"), col("__is_test"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned =
-      if (dfQuantile >= 1.0) shh
-      else {
-        // shingles() is per-doc distinct, so count(*) per shash IS the
-        // document frequency (one map-combined aggregation). The filter
-        // then removes the HOT keys — and because high-order shingles are
-        // mostly unique, the hot set (df above the q-quantile) is ~(1-q)
-        // of the distinct shingles, thousands of keys where the keep set
-        // would be millions. A broadcast ANTI join against that tiny set
-        // prunes without re-shuffling the shingle frame (measured 8.6 s →
-        // 3.1 s at sf0.1 vs the keep-set inner join; the residual ~2×
-        // over the unpruned join is the df aggregation itself — one
-        // linear pass buying quadratic-blowup immunity). At a corpus
-        // scale where even the hot set outgrows a broadcast, raise
-        // dfQuantile — its size is (1-q)·|distinct shingles| by
-        // construction.
-        // persisted: the quantile's broadcast exchange and the hot-set's
-        // broadcast exchange each evaluate dfs independently otherwise
-        // (same reason MinHash.exactJaccardPairsAdaptive persists its df
-        // frame) — measured 3× the aggregation without it
-        val dfs = shh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cut = dfs.agg(greatest(
-          round(expr(s"percentile(df, $dfQuantile)"), 4), lit(1.0)).as("cut"))
-        // materialize the hot set eagerly (it is tiny by construction —
-        // (1-q)·|distinct shingles| keys), which lets the df frame be
-        // released right here instead of leaking one cached aggregate per
-        // invocation into long-lived sessions (ADVICE r04): dfs is only
-        // needed to derive this set. The checkpoint also truncates the
-        // anti-join's build side to a LogicalRDD, so the broadcast
-        // exchange never re-plans the aggregation.
-        val hot = dfs.crossJoin(broadcast(cut))
-          .filter(col("df") > col("cut")).select(col("shash"))
-          .localCheckpoint(true)
-        dfs.unpersist(false)
-        shh.join(broadcast(hot), Seq("shash"), "left_anti")
-      }
+    val shh = shingleHashes(docs, idCol, textCol, n, trainPred, testPred)
+    val pruned = prunedByDf(shh, dfQuantile)
     val train = pruned.filter(col("__is_train")).select(col(idCol), col("shash"))
     val test = pruned.filter(col("__is_test"))
       .select(col(idCol).as("__test_id"), col("shash"))
@@ -92,39 +50,104 @@ object Decontaminate {
         countDistinct(col("__test_id")).as("n_test_docs"))
   }
 
-  /** Bloom-prefiltered variant of [[overlaps]]: the held-out split's
-    * shingle hashes are absorbed into ONE m-bit Bloom state
-    * ([[graft.plans.BloomStateAgg]], combine-enabled aggregate → a few
-    * hundred KB), that single row is broadcast, and the TRAIN side is
-    * pre-filtered map-side with `bloom_contains` BEFORE its shuffle.
-    * The exact join that follows sees only survivors (true matches +
-    * the fp rate), so shuffle volume scales with the contamination, not
-    * the corpus — at 100 TB the train side never shuffles in full. The
-    * composed result is EXACT: the exact join removes false positives
-    * and a Bloom filter has no false negatives, so this equals the
-    * unpruned [[overlaps]] result row-for-row (and shares an oracle
-    * with it). No df pruning here — the bloom probe is per-row O(j)
-    * and immune to hot-shingle blowup on the filter side (the exact
-    * join behind it still benefits from AQE skew splitting).
-    */
-  def overlapsBloom(docs: DataFrame, idCol: String, textCol: String, n: Int,
-                    trainPred: Column, testPred: Column,
-                    numBits: Int = 1 << 22, numHashes: Int = 7): DataFrame = {
-    import graft.plans.BloomSketchAgg.{bloomContains, bloomState}
-    val shh = docs
+  /** Shared shingle pass: `(idCol, __is_train, __is_test, shash)`,
+    * persisted — the df aggregate and both join sides reuse it (the
+    * cache is caller-owned, see [[overlaps]] scaladoc). */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, trainPred: Column,
+                            testPred: Column): DataFrame =
+    docs
       .select(col(idCol), trainPred.as("__is_train"), testPred.as("__is_test"),
         explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
       .filter(col("__is_train") || col("__is_test"))
       .select(col(idCol), col("__is_train"), col("__is_test"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The stop-shingle defense shared by both variants. */
+  private def prunedByDf(shh: DataFrame, dfQuantile: Double): DataFrame =
+    if (dfQuantile >= 1.0) shh
+    else {
+      // shingles() is per-doc distinct, so count(*) per shash IS the
+      // document frequency (one map-combined aggregation). The filter
+      // then removes the HOT keys — and because high-order shingles are
+      // mostly unique, the hot set (df above the q-quantile) is ~(1-q)
+      // of the distinct shingles, thousands of keys where the keep set
+      // would be millions. A broadcast ANTI join against that tiny set
+      // prunes without re-shuffling the shingle frame (measured 8.6 s →
+      // 3.1 s at sf0.1 vs the keep-set inner join; the residual ~2×
+      // over the unpruned join is the df aggregation itself — one
+      // linear pass buying quadratic-blowup immunity). At a corpus
+      // scale where even the hot set outgrows a broadcast, raise
+      // dfQuantile — its size is (1-q)·|distinct shingles| by
+      // construction.
+      // persisted: the quantile's broadcast exchange and the hot-set's
+      // broadcast exchange each evaluate dfs independently otherwise
+      // (same reason MinHash.exactJaccardPairsAdaptive persists its df
+      // frame) — measured 3× the aggregation without it
+      val dfs = shh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cut = dfs.agg(greatest(
+        round(expr(s"percentile(df, $dfQuantile)"), 4), lit(1.0)).as("cut"))
+      // materialize the hot set eagerly (it is tiny by construction —
+      // (1-q)·|distinct shingles| keys), which lets the df frame be
+      // released right here instead of leaking one cached aggregate per
+      // invocation into long-lived sessions (ADVICE r04): dfs is only
+      // needed to derive this set. The checkpoint also truncates the
+      // anti-join's build side to a LogicalRDD, so the broadcast
+      // exchange never re-plans the aggregation.
+      val hot = dfs.crossJoin(broadcast(cut))
+        .filter(col("df") > col("cut")).select(col("shash"))
+        .localCheckpoint(true)
+      dfs.unpersist(false)
+      shh.join(broadcast(hot), Seq("shash"), "left_anti")
+    }
+
+  /** Bloom-prefiltered variant of [[overlaps]]: the held-out split's
+    * shingle hashes are absorbed into ONE m-bit Bloom state
+    * ([[graft.plans.BloomStateAgg]], combine-enabled aggregate → a few
+    * hundred KB), and the TRAIN side is pre-filtered map-side with
+    * `bloom_contains` BEFORE its shuffle. The exact join that follows
+    * sees only survivors (true matches + the fp rate), so shuffle
+    * volume scales with the contamination, not the corpus — at 100 TB
+    * the train side never shuffles in full. The composed result is
+    * EXACT: the exact join removes false positives and a Bloom filter
+    * has no false negatives, so this equals the unpruned [[overlaps]]
+    * result row-for-row (and shares an exact oracle with it).
+    *
+    * The state reaches the probe as a SCALAR SUBQUERY — evaluated once
+    * per execution and inlined as a constant, the same shape Spark's
+    * own runtime row-level filters use. It must NOT flow as a join
+    * column: reading a binary column out of an `UnsafeRow` copies it,
+    * so a broadcast-join'd state would memcpy the full filter for
+    * EVERY probed row (measured 8-13 s vs 0.05-0.9 s for the subquery
+    * form on a 1.7M-shingle probe at sf1 — the state copy, not the
+    * probe, was the whole cost).
+    *
+    * The two defenses are orthogonal and COMPOSE: the bloom probe is
+    * per-row O(j) and immune to hot-shingle blowup on the filter side,
+    * while the exact confirm join behind it still fans out on
+    * boilerplate shingles shared between the splits — `dfQuantile < 1`
+    * applies [[overlaps]]'s stop-shingle anti-join to both sides first
+    * (the production configuration at corpus scale; the default keeps
+    * the result exactly equal to unpruned [[overlaps]] so it can share
+    * an exact oracle).
+    */
+  def overlapsBloom(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                    trainPred: Column, testPred: Column,
+                    numBits: Int = 1 << 22, numHashes: Int = 7,
+                    dfQuantile: Double = 1.0): DataFrame = {
+    import graft.plans.BloomSketchAgg.{bloomContains, bloomState}
+    val shh = prunedByDf(
+      shingleHashes(docs, idCol, textCol, n, trainPred, testPred), dfQuantile)
     val test = shh.filter(col("__is_test"))
       .select(col(idCol).as("__test_id"), col("shash"))
     val filterRow = test.agg(bloomState(col("shash"), numBits, numHashes).as("__bloom"))
+    val stateScalar = graft.plans.Exprs.toColumn(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        filterRow.queryExecution.analyzed))
     val train = shh.filter(col("__is_train")).select(col(idCol), col("shash"))
-      .crossJoin(broadcast(filterRow))
-      .filter(bloomContains(col("__bloom"), col("shash")))
-      .drop("__bloom")
+      .filter(bloomContains(stateScalar, col("shash")))
     train.join(test, "shash")
       .groupBy(col(idCol))
       .agg(countDistinct(col("shash")).as("n_shared_shingles"),

@@ -55,17 +55,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloom == exact, s"bloom=$bloom exact=$exact")
   }
 
-  test("bloom plan: single-row state broadcast; probe filters the train side pre-shuffle") {
+  test("composed defenses: bloom + df-pruning equals pruned overlaps") {
+    val pruned = Decontaminate.overlaps(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10,
+        dfQuantile = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val composed = Decontaminate.overlapsBloom(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10,
+        dfQuantile = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(composed == pruned, s"composed=$composed pruned=$pruned")
+  }
+
+  test("bloom plan: state arrives as a scalar subquery, probed in a pre-shuffle Filter") {
     val df = Decontaminate.overlapsBloom(corpus, "doc_id", "text", 3,
       trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
     val physical = df.queryExecution.executedPlan.toString()
-    // the one-row bloom state arrives via a broadcast nested-loop join
-    // (no join key), and the probe itself runs as a Filter on the
-    // stream side — before the exact join's exchange
-    assert(physical.contains("BroadcastNestedLoopJoin"),
-      s"bloom state not broadcast:\n$physical")
-    assert(physical.contains("bloom_contains"),
-      s"bloom probe missing from the plan:\n$physical")
+    // the state is inlined as a runtime constant (subquery), never a join
+    // column: reading a binary column from an UnsafeRow copies it, so a
+    // join-shaped state would memcpy the full filter per probed row
+    assert(physical.contains("Subquery") && physical.contains("bloom_contains"),
+      s"bloom probe not in scalar-subquery form:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      s"state must not flow through a join:\n$physical")
   }
 
   test("pruned plan: broadcast ANTI join against the eagerly-built hot set") {
