@@ -92,6 +92,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "bloom_merge(state) takes exactly 1 argument")
       }),
+    (FunctionIdentifier("mg_summary"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_summary"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, k) => MisraGriesAgg(h, litInt(k, "mg_summary k"))
+        case _ => throw new IllegalArgumentException(
+          "mg_summary(hash, k) takes exactly 2 arguments")
+      }),
     (FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (children: Seq[Expression]) => children match {

@@ -251,6 +251,34 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T17: heavy hitters via Misra-Gries candidates + exact confirm.
+    //      The k=256 summary is ONE map-combined pass with bounded state
+    //      and is a PROVEN superset of every token above n/257; the corpus
+    //      then semi-joins the broadcast candidates and exact-counts only
+    //      those, so the 1%-threshold answer is exact (oracle below is
+    //      plain SQL) while the full-vocabulary groupBy shuffle never
+    //      happens — the same exact-over-approximate composition as c5.
+    "t17_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(filter(TextAnalysis.tokens(col("text")),
+          t => t =!= "")).as("token"))
+        .withColumn("h",
+          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = tok
+        .agg(graft.plans.MisraGriesAgg.mgSummary(col("h"), 256).as("mg"))
+        .select(explode(col("mg")).as("e")).select(col("e").getField("h").as("h"))
+      val totalRow = tok.agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cand), Seq("h"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totalRow))
+        // integer-exact 1% threshold: cnt >= n/100 ⟺ 100·cnt >= n, and
+        // 1% > 1/257 so the candidate superset guarantee covers it
+        .filter(col("cnt") * 100 >= col("n"))
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // ---- T16: sketch-union cardinality — one stored sketch per
     //      (lang, source) shard, merged per lang. k-minimum union is
     //      EXACT, so the merged estimate equals t13's direct estimator
@@ -744,6 +772,17 @@ object TextQueries extends QueryPack {
         |    AS dup_ratio
         |FROM spans sp JOIN tot USING (doc_id)
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+    // t17: the MG candidate step is transparent to the answer (proven
+    // superset + exact confirm), so the oracle is the plain exact query
+    "t17_heavy_hitters" ->
+      """WITH t0 AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents),
+        |t1 AS (SELECT token FROM t0 WHERE token <> ''),
+        |tot AS (SELECT count(*) AS n FROM t1)
+        |SELECT token, count(*) AS cnt
+        |FROM t1, tot GROUP BY token, n
+        |HAVING count(*) * 100 >= n
+        |ORDER BY cnt DESC, token""".stripMargin,
     // c5: the bloom prefilter is transparent to the answer (exact join
     // removes fp, no fn exist), so the oracle is plain exact
     // contamination — c3's SQL without the df-pruning CTEs
