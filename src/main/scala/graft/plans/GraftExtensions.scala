@@ -99,6 +99,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "mg_summary(hash, k) takes exactly 2 arguments")
       }),
+    (FunctionIdentifier("mg_merge"),
+      new ExpressionInfo(classOf[MgMergeAgg].getName, "mg_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, k) => MgMergeAgg(s, litInt(k, "mg_merge k"))
+        case _ => throw new IllegalArgumentException(
+          "mg_merge(summary, k) takes exactly 2 arguments")
+      }),
     (FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (children: Seq[Expression]) => children match {

@@ -137,6 +137,54 @@ case class MisraGriesAgg(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** Union of STORED summaries: input is the `array<struct<h, cnt_lb>>`
+  * [[MisraGriesAgg]] emits (one row per shard/day); counters sum
+  * per key, then the PODS'12 trim restores the k bound. Per-merge error
+  * adds at most the subtracted trim value, keeping the combined
+  * guarantee: any item above N_total/(k+1) survives the union. */
+case class MgMergeAgg(child: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[java.lang.Long, java.lang.Long]]
+    with UnaryLike[Expression] {
+  private val inner = MisraGriesAgg(child, k)
+  private type Buf = java.util.HashMap[java.lang.Long, java.lang.Long]
+  override def createAggregationBuffer(): Buf = inner.createAggregationBuffer()
+  override def update(m: Buf, input: InternalRow): Buf = child.eval(input) match {
+    case null => m
+    case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+      val other = new Buf()
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        other.put(row.getLong(0), row.getLong(1))
+        i += 1
+      }
+      inner.merge(m, other)
+  }
+  override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+  override def eval(m: Buf): Any = inner.eval(m)
+  override def serialize(m: Buf): Array[Byte] = inner.serialize(m)
+  override def deserialize(bytes: Array[Byte]): Buf = inner.deserialize(bytes)
+  override def dataType: DataType = MisraGriesAgg.resultType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_merge"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<h:bigint,cnt_lb:bigint>> summaries, " +
+        s"got ${other.simpleString}")
+  }
+  override def withNewMutableAggBufferOffset(o: Int): MgMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MgMergeAgg =
+    copy(child = c)
+}
+
 object MisraGriesAgg {
   import org.apache.spark.sql.Column
 
@@ -148,4 +196,8 @@ object MisraGriesAgg {
     * column; guaranteed superset of items with count > n/(k+1). */
   def mgSummary(c: Column, k: Int): Column =
     Exprs.toColumn(MisraGriesAgg(Exprs.toExpression(c), k).toAggregateExpression())
+
+  /** Union of stored summaries at the same k. */
+  def mgMerge(c: Column, k: Int): Column =
+    Exprs.toColumn(MgMergeAgg(Exprs.toExpression(c), k).toAggregateExpression())
 }

@@ -40,6 +40,20 @@ class MisraGriesSpec extends SparkSpec {
       freqs.map { case (k, v) => k -> v.toLong })
   }
 
+  test("stored per-shard summaries union with the guarantee intact") {
+    val freqs = Map(1L -> 400, 2L -> 300) ++ (100L until 400L).map(_ -> 1).toMap
+    val df = skewed(freqs)
+    // one stored summary per shard (pmod buckets), then mg_merge unions
+    val merged = df.withColumn("shard", pmod(col("h"), lit(5)))
+      .groupBy(col("shard"))
+      .agg(MisraGriesAgg.mgSummary(col("h"), 16).as("s"))
+      .agg(MisraGriesAgg.mgMerge(col("s"), 16))
+      .head.getSeq[Row](0).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.contains(1L) && merged.contains(2L), s"heavy keys lost: $merged")
+    assert(merged(1L) <= 400 && merged(2L) <= 300)
+    assert(merged.size <= 16)
+  }
+
   test("SQL surface: mg_summary registered and explodes to candidate rows") {
     GraftExtensions.register(spark)
     skewed(Map(7L -> 50, 8L -> 1)).createOrReplaceTempView("mg_in")
