@@ -65,6 +65,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split("HashAggregate").length >= 3, plan)
   }
 
+  test("t17 heavy hitters: candidates broadcast into a semi join; MG agg combines map-side") {
+    val plan = physical(SparkEntry.queries("t17_heavy_hitters")(spark, dir))
+    // the corpus meets the candidate set as a broadcast LeftSemi — the
+    // full-vocabulary groupBy never shuffles token strings
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidates not a broadcast semi join:\n$plan")
+    // the MG summary itself runs partial+final (mergeable, combine-enabled)
+    assert(plan.split("mg_summary").length >= 3,
+      s"mg_summary not partial-aggregated:\n$plan")
+  }
+
   test("default IVF centroid path carries (sum,count) state — no collect_list") {
     val df = graft.similarity.Cosine.cellCentroids(
       Tables.embeddings(spark, dir), "label", "embedding")

@@ -54,6 +54,43 @@ class SpansSpec extends SparkSpec {
     assert(out(4L) == (("solo tokens only here nothing repeats ever", 7L, 0L)))
   }
 
+  test("property sweep: spans match a brute-force reference on random corpora") {
+    val sp = spark; import sp.implicits._
+    val next = seededInts(41L)
+    (1 to 5).foreach { round =>
+      val k = 2 + next(3) // 2..4
+      // small vocab forces plenty of repeated k-grams
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (0 until 8).map { id =>
+        val n = next(15) // 0..14 tokens; includes docs shorter than k
+        (id.toLong, (0 until n).map(_ => vocab(next(vocab.size))).mkString(" "))
+      }
+      // brute force: every k-window text → global count; spans from
+      // per-doc duplicated starts merged with the same within-k rule
+      val windows = docs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        (0 to t.length - k).filter(_ => t.length >= k)
+          .map(i => (id, i, t.slice(i, i + k).mkString(" ")))
+      }
+      val dupTexts = windows.groupBy(_._3).filter(_._2.size > 1).keySet
+      val expected = windows.filter(w => dupTexts(w._3))
+        .groupBy(_._1).view.mapValues { ws =>
+          val starts = ws.map(_._2).sorted
+          starts.tail.foldLeft(List((starts.head, starts.head + k))) {
+            case ((s, e) :: rest, p) =>
+              if (p <= (e - k) + k) (s, math.max(e, p + k)) :: rest
+              else (p, p + k) :: (s, e) :: rest
+            case (Nil, p) => List((p, p + k))
+          }.reverse
+        }.toMap
+      val got = Spans.spanList(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toList).toMap
+      assert(got == expected.map { case (id, v) => id -> v.sorted },
+        s"round=$round k=$k docs=$docs")
+    }
+  }
+
   test("documents shorter than k produce no shingles and no spans") {
     val sp = spark; import sp.implicits._
     val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
