@@ -92,6 +92,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "bloom_merge(state) takes exactly 1 argument")
       }),
+    (FunctionIdentifier("poly_fingerprints"),
+      new ExpressionInfo(classOf[PolyFingerprintExpr].getName, "poly_fingerprints"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, w) => PolyFingerprintExpr(arr, litInt(w, "poly_fingerprints w"))
+        case _ => throw new IllegalArgumentException(
+          "poly_fingerprints(token_hashes, w) takes exactly 2 arguments")
+      }),
     (FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_summary"),
       (children: Seq[Expression]) => children match {

@@ -115,9 +115,16 @@ object TextQueries extends QueryPack {
     // ---- T4: rolling-hash document fingerprints — order-sensitive
     //      polynomial hash plus the winnowed (min-over-windows) variant
     "t4_rolling_fingerprint" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-          TextAnalysis.rollingFingerprint(col("text")).as("poly_fp"),
-          TextAnalysis.winnowedFingerprint(col("text"), w = 4).as("winnowed_fp"))
+      // native one-pass kernel for BOTH fingerprints (the HOF forms are
+      // the documented reference semantics, spec-pinned equal): the
+      // windowed variant was O(n·w) interpreted with a slice per window
+      val fp = graft.plans.PolyFingerprintExpr.polyFingerprints(
+        TextAnalysis.tokenHashes(col("text"), 1000000007L), w = 4)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"),
+          col("fp").getField("poly_fp").as("poly_fp"),
+          col("fp").getField("winnowed_fp").as("winnowed_fp"))
         .orderBy(col("doc_id"))
     }),
 

@@ -45,6 +45,30 @@ class TextAnalysisSpec extends SparkSpec {
       .isInstanceOf[Long])
   }
 
+  test("native poly_fingerprints kernel is bit-identical to the HOF forms") {
+    val sp = spark; import sp.implicits._
+    val next = seededInts(97L)
+    val vocab = Vector("tok", "alpha", "beta", "x1", "yy", "..", "zz9")
+    // 40 random docs across the length spectrum, incl. < w and == w
+    val texts = (1 to 40).map { _ =>
+      val n = next(12) + 1
+      (1 to n).map(_ => vocab(next(vocab.size))).mkString(" ")
+    } :+ "one" :+ "a b c d"
+    val df = texts.toDF("text")
+    val fp = graft.plans.PolyFingerprintExpr.polyFingerprints(
+      TextAnalysis.tokenHashes(col("text"), 1000000007L), w = 4)
+    val rows = df.select(
+        TextAnalysis.rollingFingerprint(col("text")).as("hof_poly"),
+        TextAnalysis.winnowedFingerprint(col("text"), 4).as("hof_win"),
+        fp.getField("poly_fp").as("nat_poly"),
+        fp.getField("winnowed_fp").as("nat_win"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"poly mismatch: $r")
+      assert(r.getLong(1) == r.getLong(3), s"winnowed mismatch: $r")
+    }
+  }
+
   test("shingles: distinct word n-grams with short-doc edge case") {
     assert(one(TextAnalysis.shingles(col("text"), 2), "a b c a b")
       .asInstanceOf[scala.collection.Seq[String]].toSet == Set("a b", "b c", "c a"))
