@@ -49,6 +49,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // same tz pin as Verify: NTZ-annotated event timestamps cast to
+      // instants identically in both harnesses (and on any host tz)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // r03's driver bench died rc=56: the local executor accumulated 60
       // failed heartbeat RPCs (default maxFailures) while the host

@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * (no shuffle) except the final presentation sort. */
 object ReshapeQueries extends QueryPack {
 
+  /** Epoch micros of an event timestamp regardless of how the parquet
+    * writer annotated it: `unix_micros` accepts only TIMESTAMP (ltz), but
+    * the harness `events.ts` arrives as TIMESTAMP_NTZ when written without
+    * a timezone annotation (driver regeneration flipped this mid-stream).
+    * Session timezone is pinned UTC in Verify/Bench, so the NTZ→LTZ cast
+    * reads the naive value as a UTC instant — exactly DuckDB's
+    * `epoch_us` interpretation of a naive timestamp, keeping the oracle
+    * hash stable across both annotations. */
+  private def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
+
   val queries: Map[String, Q] = Map(
     // ---- U1: fixed-key map → rows (passmark-style unpivot via stack)
     "u1_stack_unpivot" -> ((s, dir) => {
@@ -110,10 +121,10 @@ object ReshapeQueries extends QueryPack {
       val byUser = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("prev_us", lag(tsMicros(col("ts")), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+            tsMicros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
         .withColumn("session_id", sum(col("new_session")).over(byUser))
         .groupBy(col("user_id"), col("session_id")).agg(count(lit(1)).as("n_events"))
         .groupBy(col("user_id"))
@@ -173,7 +184,7 @@ object ReshapeQueries extends QueryPack {
         Seq(col("click_event"))).drop("click_event")
       graft.ops.AsOf.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"), col("value"), col("click_value"))
+          tsMicros(col("ts")).as("ts_us"), col("value"), col("click_value"))
         .orderBy(col("event_id"))
     }),
 

@@ -176,6 +176,49 @@ object Cosine {
         round(col("d2"), 6).as("dist_sq"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings then pruning within-cluster near-duplicate
+    * groups, KEEPING the member LEAST similar to its cluster centroid —
+    * the paper's rule for maximizing retained diversity (near-dups at a
+    * cluster's edge carry more signal than its center). Differs from the
+    * plain dedup decision ([[graft.dedup.Clusters.dedupPlan]], d8's
+    * min-id keep) exactly in that representative choice.
+    *
+    * Scale shape, stage by stage:
+    *  - centroids: one combine-enabled aggregation; the reshaped
+    *    (cell → vector) table is k·dim values, BROADCAST at any corpus
+    *    size, so centroid similarity is a map-side pass;
+    *  - candidate pairs: cell-bucketed ([[cellPairs]]) — the quadratic
+    *    join never materializes; at 100 TB swap in SRP buckets
+    *    ([[srpPairs]]) with an identical downstream shape;
+    *  - components: bounded-frontier label propagation;
+    *  - keep rule: one window partitioned by component — skew bounded by
+    *    dup-group size, not corpus size.
+    * The sorted-fold centroid path keeps the decision bit-reproducible by
+    * an external engine (the gate needs it); the 100 TB default swaps in
+    * [[cellCentroids]]'s plain-avg with no other change. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+               threshold: Double): DataFrame = {
+    val cents = cellCentroidsSorted(corpus, cellCol, vecCol)
+    val cvec = cents.groupBy(col(cellCol))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+    val v = corpus.select(col(cellCol), col(idCol), toDouble(col(vecCol)).as("v"))
+    val withSim = v.join(broadcast(cvec), Seq(cellCol))
+      .withColumn("centroid_sim",
+        round(cosine(col("v"), col("cv"), normSq(col("v")), normSq(col("cv"))), 6))
+      .select(col(idCol), col("centroid_sim"))
+    val pairs = cellPairs(corpus, idCol, vecCol, cellCol, threshold)
+    val comps = graft.dedup.Clusters.connectedComponents(pairs)
+    withSim
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(col("centroid_sim").asc, col(idCol).asc)))
+      .withColumn("keep", col("rn") === 1)
+      .select(col(idCol), col("cluster_id"), col("centroid_sim"), col("keep"))
+  }
+
   /** IVF-style near-duplicate pairs: only pairs sharing a coarse cell
     * (`cellCol`) are compared — the quadratic join never materializes. */
   def cellPairs(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
