@@ -773,7 +773,8 @@ object TextQueries extends QueryPack {
         |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 5 AS e
         |  FROM isl GROUP BY doc_id, island),
         |tot AS (SELECT doc_id, count(*) AS total_tokens FROM tok GROUP BY doc_id)
-        |SELECT sp.doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens,
+        |SELECT sp.doc_id, count(*) AS n_dup_spans,
+        |  CAST(sum(e - s) AS BIGINT) AS dup_tokens,
         |  any_value(total_tokens) AS total_tokens,
         |  round(sum(e - s) / CAST(any_value(total_tokens) AS DOUBLE), 4)
         |    AS dup_ratio
