@@ -194,12 +194,15 @@ object Cosine {
     *  - components: bounded-frontier label propagation;
     *  - keep rule: one window partitioned by component — skew bounded by
     *    dup-group size, not corpus size.
-    * The sorted-fold centroid path keeps the decision bit-reproducible by
-    * an external engine (the gate needs it); the 100 TB default swaps in
-    * [[cellCentroids]]'s plain-avg with no other change. */
+    * `centroidFn` picks the centroid path: the default is the
+    * bounded-state plain-avg [[cellCentroids]] (the 100 TB configuration);
+    * the oracle gate passes [[cellCentroidsSorted]] so the decision is
+    * bit-reproducible by an external engine doing the same sorted fold. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
-               threshold: Double): DataFrame = {
-    val cents = cellCentroidsSorted(corpus, cellCol, vecCol)
+               threshold: Double,
+               centroidFn: (DataFrame, String, String) => DataFrame =
+                 cellCentroids): DataFrame = {
+    val cents = centroidFn(corpus, cellCol, vecCol)
     val cvec = cents.groupBy(col(cellCol))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("cv"))
@@ -213,8 +216,10 @@ object Cosine {
     withSim
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      // asc_nulls_last: a zero-norm member's NULL sim must not outrank
+      // real members for the representative slot (Spark asc = NULLS FIRST)
       .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
-        .orderBy(col("centroid_sim").asc, col(idCol).asc)))
+        .orderBy(col("centroid_sim").asc_nulls_last, col(idCol).asc)))
       .withColumn("keep", col("rn") === 1)
       .select(col(idCol), col("cluster_id"), col("centroid_sim"), col("keep"))
   }

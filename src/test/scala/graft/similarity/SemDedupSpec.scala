@@ -1,0 +1,68 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.dedup.Clusters
+import org.apache.spark.sql.functions._
+
+/** Pins SemDeDup's keep rule (Abbas et al. 2023: the member LEAST similar
+  * to its cluster centroid survives) against [[Clusters.dedupPlan]]'s
+  * min-id rule: identical clustering, different representative. */
+class SemDedupSpec extends SparkSpec {
+
+  // one cell, one 3-member cluster: v3 is the off-axis (least-central)
+  // member but has the LARGEST id, so the two keep rules must disagree
+  private def corpus = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "cellA", Array(1.0f, 0.0f)),
+      (2L, "cellA", Array(0.95f, 0.31225f)),
+      (3L, "cellA", Array(0.7f, 0.714f)),
+      (9L, "cellB", Array(0.0f, 1.0f))          // singleton, keeps itself
+    ).toDF("vec_id", "label", "embedding")
+  }
+
+  test("semDedup keeps the least-central member; dedupPlan keeps min id; clusters agree") {
+    val sem = Cosine.semDedup(corpus, "vec_id", "embedding", "label", 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val plain = Clusters.dedupPlan(corpus.select(col("vec_id")), "vec_id",
+        Cosine.cellPairs(corpus, "vec_id", "embedding", "label", 0.4))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    // identical cluster assignment on every member
+    assert(sem.view.mapValues(_._1).toMap == plain.view.mapValues(_._1).toMap)
+    assert(sem(1L)._1 == 1L && sem(2L)._1 == 1L && sem(3L)._1 == 1L)
+    // representative differs exactly as the rules say: least-central (3)
+    // vs min id (1); exactly one keep per cluster either way
+    assert(sem.filter(_._2._2).keySet == Set(3L, 9L))
+    assert(plain.filter(_._2._2).keySet == Set(1L, 9L))
+  }
+
+  test("zero-norm member: NULL centroid_sim never outranks real members") {
+    val sp = spark; import sp.implicits._
+    // cellA's centroid is nonzero; the zero vector's centroid_sim is NULL.
+    // It cannot pair (cosine with anything is NULL), so it is a singleton
+    // cluster — but the window must still rank it AFTER real sims, which
+    // asc_nulls_last guarantees even if a future pair detector (SRP at
+    // 100 TB) ever places a zero-norm member inside a multi-member cluster.
+    val withZero = corpus.union(
+      Seq((4L, "cellA", Array(0.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+    val out = Cosine.semDedup(withZero, "vec_id", "embedding", "label", 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(out(4L)._2.isEmpty, "zero-norm member must have NULL centroid_sim")
+    assert(out(4L)._1 == 4L && out(4L)._3, "zero-norm singleton keeps itself")
+    // the real cluster's representative is unchanged by the degenerate row
+    assert(out(3L)._3 && !out(1L)._3 && !out(2L)._3)
+  }
+
+  test("default plain-avg centroid path and sorted-fold path agree on decisions") {
+    val sem = Cosine.semDedup(corpus, "vec_id", "embedding", "label", 0.4)
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val sorted = Cosine.semDedup(corpus, "vec_id", "embedding", "label", 0.4,
+        centroidFn = Cosine.cellCentroidsSorted)
+      .select(col("vec_id"), col("cluster_id"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(sem == sorted)
+  }
+}
