@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,21 +20,29 @@ import org.apache.spark.sql.functions._
   *    handles the skewed hot shingles; no all-pairs stage anywhere;
   *  - span merging is a per-document window (sort bounded by doc length),
   *    partitioned on doc_id — embarrassingly parallel.
-  *  At corpus scale the shingle STRING key (kept here for exact oracle
-  *  parity) becomes `xxhash64(shingle)` — a 64-bit fingerprint drops
-  *  shuffle width ~10× at ~2⁻⁶⁴ collision odds, with the identical plan.
+  *  At corpus scale the shingle key is `xxhash64(shingle)` — a 64-bit
+  *  fingerprint drops shuffle width ~10× at ~2⁻⁶⁴ collision odds, with
+  *  the identical plan. That is the DEFAULT (`hashedKeys = true`); the
+  *  string-key form remains for the external oracle gate, and
+  *  `SpansSpec` pins the two row-identical.
   *  Reference corpus ops context: `sc_crawler`'s dedup surface is
   *  row-level (A9/A11); this operator is part of the training-data
   *  extension family.
   */
 object Spans {
 
+  /** The dedup key for a shingle: its 64-bit xxhash64 fingerprint (the
+    * scale default — shuffle width independent of shingle text length) or
+    * the string itself (oracle-parity path). */
+  private def shingleKey(shingle: Column, hashed: Boolean): Column =
+    if (hashed) xxhash64(shingle) else shingle
+
   /** One row per document that contains at least one duplicated span:
     * `(idCol, n_dup_spans, dup_tokens, total_tokens, dup_ratio)`.
     * Tokens are whitespace-split; empty tokens drop (so the position
     * space is contiguous and oracle-reproducible). */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, hashedKeys: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol),
         filter(split(col(textCol), "\\s+"), t => t =!= "").as("toks"))
       .withColumn("total_tokens", size(col("toks")).cast("long"))
@@ -43,15 +51,16 @@ object Spans {
     val sh = toks.filter(col("total_tokens") >= k)
       .select(col(idCol), col("total_tokens"), col("toks"),
         explode(sequence(lit(0), (col("total_tokens") - k).cast("int"))).as("pos"))
-      .withColumn("shingle", concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k))))
+      .withColumn("skey", shingleKey(
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k))), hashedKeys))
       .drop("toks")
     // a shingle seen twice anywhere (cross- OR within-doc) is duplicated
-    val dup = sh.groupBy(col("shingle"))
+    val dup = sh.groupBy(col("skey"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .select(col("shingle"))
+      .select(col("skey"))
     // co-partitioned equi-join back on the same key the count shuffled on
-    val starts = sh.join(dup, Seq("shingle"))
+    val starts = sh.join(dup, Seq("skey"))
       .select(col(idCol), col("total_tokens"), col("pos"))
     // gaps-and-islands: spans all have length k, so sorted starts merge
     // while each start is within k of its predecessor (adjacent included)
@@ -87,8 +96,8 @@ object Spans {
     * higher-order `filter` over the token array — no per-token shuffle,
     * no UDF. */
   def cleanText(docs: DataFrame, idCol: String, textCol: String,
-                k: Int): DataFrame = {
-    val spans = spanList(docs, idCol, textCol, k)
+                k: Int, hashedKeys: Boolean = true): DataFrame = {
+    val spans = spanList(docs, idCol, textCol, k, hashedKeys)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs
@@ -109,18 +118,19 @@ object Spans {
   /** The maximal merged spans themselves — `(idCol, span_start, span_end)`
     * with `span_end` exclusive; the substrate a cleaning pass cuts. */
   def spanList(docs: DataFrame, idCol: String, textCol: String,
-               k: Int): DataFrame = {
+               k: Int, hashedKeys: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol),
         filter(split(col(textCol), "\\s+"), t => t =!= "").as("toks"))
       .withColumn("n", size(col("toks")))
     val sh = toks.filter(col("n") >= k)
       .select(col(idCol), col("toks"),
         explode(sequence(lit(0), (col("n") - k).cast("int"))).as("pos"))
-      .withColumn("shingle", concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k))))
+      .withColumn("skey", shingleKey(
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k))), hashedKeys))
       .drop("toks")
-    val dup = sh.groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select(col("shingle"))
-    val starts = sh.join(dup, Seq("shingle")).select(col(idCol), col("pos"))
+    val dup = sh.groupBy(col("skey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("skey"))
+    val starts = sh.join(dup, Seq("skey")).select(col(idCol), col("pos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     starts
       .withColumn("brk",

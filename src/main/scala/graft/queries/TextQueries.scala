@@ -371,9 +371,12 @@ object TextQueries extends QueryPack {
     //      mark spans, overlapping/adjacent spans merge per doc — finds
     //      which PARTS of kept docs are boilerplate, complementing the
     //      whole-document dedup family
+    //      The gate runs the string-key form (the oracle's own key);
+    //      the library default is the xxhash64 fingerprint key —
+    //      SpansSpec pins the two row-identical.
     "d9_dup_spans" -> ((s, dir) => {
       graft.dedup.Spans.duplicateSpans(Tables.documents(s, dir),
-          "doc_id", "text", k = 5)
+          "doc_id", "text", k = 5, hashedKeys = false)
         .orderBy(col("doc_id"))
     }),
 
@@ -383,7 +386,7 @@ object TextQueries extends QueryPack {
     //      this composes directly under c1-style curation.
     "c4_span_clean" -> ((s, dir) => {
       graft.dedup.Spans.cleanText(Tables.documents(s, dir),
-          "doc_id", "text", k = 5)
+          "doc_id", "text", k = 5, hashedKeys = false)
         .orderBy(col("doc_id"))
     }),
 

@@ -91,6 +91,21 @@ class SpansSpec extends SparkSpec {
     }
   }
 
+  test("hashed-key default is row-identical to the string-key oracle form") {
+    // real corpus (sf0.001 documents) — the configuration claim at
+    // Spans.scala's scaladoc: xxhash64 fingerprint keys change ONLY the
+    // shuffle width, never a value. Pins all three surfaces.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Spans.duplicateSpans(docs, "doc_id", "text", k = 5)) ==
+      rows(Spans.duplicateSpans(docs, "doc_id", "text", k = 5, hashedKeys = false)))
+    assert(rows(Spans.spanList(docs, "doc_id", "text", k = 5)) ==
+      rows(Spans.spanList(docs, "doc_id", "text", k = 5, hashedKeys = false)))
+    assert(rows(Spans.cleanText(docs, "doc_id", "text", k = 5)) ==
+      rows(Spans.cleanText(docs, "doc_id", "text", k = 5, hashedKeys = false)))
+  }
+
   test("documents shorter than k produce no shingles and no spans") {
     val sp = spark; import sp.implicits._
     val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
