@@ -140,8 +140,6 @@ object HardwareParsers {
 
   // --------------------------------------------------------------- lstopo
 
-  private case class LstopoInfo(caches: Seq[(String, Long, Int)], memoryMib: Option[Long])
-
   /** hwloc XML: per-level cache objects with `cache_size` + descendant Core
     * counts (`inspector_helpers.py:180-215`) and RAM MemoryModule sizes
     * (`:92-121`). */
@@ -166,7 +164,7 @@ object HardwareParsers {
           if (size.isEmpty) None
           else scala.util.Try(size.toLong).toOption.map { bytes =>
             val cores = descendants(el).count(_.getAttribute("type") == "Core")
-            (level, bytes, math.max(cores, 1))
+            LstopoCache(level, bytes, math.max(cores, 1))
           }
         }
       }
@@ -182,8 +180,9 @@ object HardwareParsers {
             kv.get("Size").flatMap(s => scala.util.Try(s.toLong).toOption)
           else None
         }.sum
-      LstopoInfo(caches, if (memKib > 0) Some(memKib / 1024) else None)
-    } catch { case _: Throwable => LstopoInfo(Seq.empty, None) }
+      LstopoInfo(caches,
+        if (memKib > 0) java.lang.Long.valueOf(memKib / 1024) else null)
+    } catch { case _: Throwable => LstopoInfo(Seq.empty, null) }
   }
 
   /** lstopo XML → per-level aggregate rows: total bytes, instance count,
@@ -191,8 +190,8 @@ object HardwareParsers {
     * lscpu topology (`inspector_helpers.py:218-258`). */
   def parseLstopoCaches(raw: DataFrame): DataFrame =
     raw.select(keyCols :+ explode(parseLstopoUdf(col("content")).getField("caches")).as("c"): _*)
-      .select(keyCols ++ Seq(col("c._1").as("level"),
-        col("c._2").as("size_bytes"), col("c._3").as("num_cores")): _*)
+      .select(keyCols ++ Seq(col("c.level").as("level"),
+        col("c.sizeBytes").as("size_bytes"), col("c.cores").as("num_cores")): _*)
       .groupBy(keyCols :+ col("level"): _*)
       .agg(sum(col("size_bytes")).as("total_bytes"),
         count(lit(1)).as("instances"),
@@ -341,3 +340,15 @@ object HardwareParsers {
       coalesce(col("l3_total_kib"), col("l2_total_kib"), col("l1d_total_kib"))
         .as("cache_total_kib"): _*)
 }
+
+/** One lstopo cache object: level label, cache_size bytes, descendant Core
+  * count. Top-level and public on purpose: the UDF return type must be
+  * codegen-visible — a private nested class (or an `Option` field) makes
+  * Janino's generated accessor calls fail to compile, and Spark silently
+  * drops the whole inspector-ingest stage to interpreted mode. */
+case class LstopoCache(level: String, sizeBytes: Long, cores: Int)
+
+/** Parsed lstopo XML: cache objects + RAM MemoryModule total (MiB, null
+  * when no modules) — nullable boxed Long instead of `Option[Long]` so the
+  * encoded struct stays plain nullable fields (see [[LstopoCache]]). */
+case class LstopoInfo(caches: Seq[LstopoCache], memoryMib: java.lang.Long)

@@ -82,6 +82,40 @@ class HardwareParsersSpec extends SparkSpec {
     assert(hw.getAs[Long]("memory_amount_mib") == 32768)
   }
 
+  test("lstopo/lshw parse paths compile under codegen with fallback disabled") {
+    // Guards the r6-verdict defect: a private Option-bearing UDF return type
+    // made Janino throw (swallowed by the interpreted fallback), silently
+    // running inspector ingest row-at-a-time. CODEGEN_ONLY + fallback=false
+    // turn any such CompileException into a test failure.
+    val sp = spark; import sp.implicits._
+    val prevFallback = sp.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = sp.conf.get("spark.sql.codegen.factoryMode")
+    sp.conf.set("spark.sql.codegen.fallback", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val xml =
+        """<topology><object type="Machine">
+          |  <object type="L2Cache" cache_size="1048576"><object type="Core"/></object>
+          |  <object type="Misc" subtype="MemoryModule">
+          |    <info name="Type" value="RAM"/><info name="Size" value="4194304"/>
+          |  </object>
+          |</object></topology>""".stripMargin
+      val topoRaw = Seq(("aws", "c5.large", xml)).toDF("vendor_id", "server_id", "content")
+      val caches = HardwareParsers.parseLstopoCaches(topoRaw).collect()
+      assert(caches.length == 1 && caches.head.getAs[Long]("total_kib") == 1024)
+      val mem = HardwareParsers.parseLstopoMemory(topoRaw).collect()
+      assert(mem.length == 1 && mem.head.getAs[Long]("memory_amount_mib") == 4096)
+      val lshwRaw = Seq(("aws", "c5.large",
+        """{"id":"core","children":[{"id":"memory","size":4294967296}]}"""))
+        .toDF("vendor_id", "server_id", "content")
+      val hw = HardwareParsers.parseLshwMemory(lshwRaw).collect()
+      assert(hw.length == 1 && hw.head.getAs[Long]("memory_amount_mib") == 4096)
+    } finally {
+      sp.conf.set("spark.sql.codegen.fallback", prevFallback)
+      sp.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("lshw memory walk: direct size, bank fallback, recursive descent") {
     val sp = spark; import sp.implicits._
     val direct = """{"id":"core","children":[{"id":"memory","size":17179869184}]}"""
