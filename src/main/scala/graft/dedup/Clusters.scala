@@ -40,7 +40,16 @@ object Clusters {
     * than isolated — accumulated checkpoint blocks from 100+ prior
     * queries squeezing the storage pool). At cluster scale the same leak
     * is executor disk pressure. Non-blocking: eviction proceeds while the
-    * next round plans. */
+    * next round plans.
+    *
+    * SAFETY INVARIANT (why the `RDD ... was locally checkpointed, its
+    * lineage has been truncated` WARN this triggers is benign): callers
+    * release a checkpoint only AFTER the frame that supersedes it has
+    * itself materialized (the next round's `localCheckpoint(eager=true)` /
+    * convergence `count()`), so the released blocks can never be needed
+    * again. Spark logs the WARN unconditionally for any local-checkpoint
+    * release — it cannot see the invariant. Bench filters the rdd logger;
+    * the WARN remains visible in normal sessions by design. */
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
