@@ -47,7 +47,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs dump only the selected oracles — check.py treats a
+    // declared-but-undumped oracle as a failure, which would make every
+    // SPARK_GRAFT_ONLY iteration (e.g. the sf1 re-gate) report ~100
+    // spurious reds for the unselected queries
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *  - span merging is a per-document window (sort bounded by doc length),
   *    partitioned on doc_id — embarrassingly parallel.
   *  At corpus scale the shingle key is `xxhash64(shingle)` — a 64-bit
-  *  fingerprint drops shuffle width ~10× at ~2⁻⁶⁴ collision odds, with
-  *  the identical plan. That is the DEFAULT (`hashedKeys = true`); the
+  *  fingerprint drops shuffle width ~10×, with the identical plan.
+  *  Collision odds are 2⁻⁶⁴ per PAIR; by the birthday bound a 100 TB
+  *  corpus (~10¹² distinct shingles) expects ~n²/2⁶⁵ ≈ tens of thousands
+  *  of colliding pairs, each falsely marking two unrelated k-token
+  *  windows as duplicated — a ~10⁻⁸ false-positive span fraction,
+  *  negligible for dedup purposes. That is the DEFAULT
+  *  (`hashedKeys = true`); the
   *  string-key form remains for the external oracle gate, and
   *  `SpansSpec` pins the two row-identical.
   *  Reference corpus ops context: `sc_crawler`'s dedup surface is

@@ -350,7 +350,11 @@ object MiscQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
       // non-foldable constant key: lit(0) would be constant-folded back
-      // to an empty partition spec (and the warning) by the optimizer
+      // to an empty partition spec (and the warning) by the optimizer.
+      // Spark-version dependence: as of 4.1 Catalyst does not simplify
+      // `col % 1`; a future rule folding it would only restore the
+      // cosmetic warning (ranks unchanged — all rows share key 0), and
+      // PlanShapeSpec/ScaleOpsSpec pin the plan so the fold would surface.
       val w = Window.partitionBy(col("o_orderkey") % lit(1))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       top.withColumn("rank", row_number().over(w))

@@ -81,6 +81,17 @@ object SimilarityQueries extends QueryPack {
       Cosine.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
           threshold = 0.4, centroidFn = Cosine.cellCentroidsSorted)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- X8: SemDeDup over SRP buckets — the 100 TB pair-stage swap
+    //      (x3's bucketing feeding x7's CC + keep rule) as a gated
+    //      configuration. Centroid similarity still scores against the
+    //      label-cell centroid; only candidate generation changes.
+    "x8_semdedup_srp" -> ((s, dir) => {
+      Cosine.semDedupSrp(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+          threshold = 0.4, nPlanes = 4, dim = 64,
+          centroidFn = Cosine.cellCentroidsSorted)
+        .orderBy(col("vec_id"))
     }))
 
   /** The same deterministic SRP hyperplanes the engine uses, as SQL array
@@ -211,6 +222,46 @@ object SimilarityQueries extends QueryPack {
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e2.d AS id, reach.r FROM reach JOIN edges e2 ON e2.s = reach.id),
+         |comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |m AS (SELECT em.vec_id, COALESCE(comps.comp, em.vec_id) AS cluster_id,
+         |    cs.centroid_sim
+         |  FROM embeddings em
+         |  LEFT JOIN comps ON comps.id = em.vec_id
+         |  JOIN cs ON cs.vec_id = em.vec_id)
+         |SELECT vec_id, cluster_id, centroid_sim,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY centroid_sim ASC NULLS LAST, vec_id ASC) = 1 AS keep
+         |FROM m ORDER BY vec_id""".stripMargin,
+    "x8_semdedup_srp" ->
+      s"""WITH RECURSIVE $vCte,
+         |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+         |      FROM e GROUP BY label, dim),
+         |c AS (SELECT label, dim,
+         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) / cnt, 6) AS centroid
+         |  FROM g),
+         |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |cs AS (SELECT v.vec_id,
+         |    ROUND(list_dot_product(v.emb, cv.cvec) /
+         |      NULLIF(sqrt(list_dot_product(v.emb, v.emb))
+         |             * sqrt(list_dot_product(cv.cvec, cv.cvec)), 0.0), 6)
+         |      AS centroid_sim
+         |  FROM v JOIN cv ON v.label = cv.label),
+         |bk AS (SELECT vec_id, emb, $srpBucketSql AS bucket FROM v),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
          |  WHERE list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4),
          |edges AS (SELECT id_a AS s, id_b AS d FROM p

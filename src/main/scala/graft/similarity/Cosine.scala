@@ -201,7 +201,33 @@ object Cosine {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
                threshold: Double,
                centroidFn: (DataFrame, String, String) => DataFrame =
-                 cellCentroids): DataFrame = {
+                 cellCentroids): DataFrame =
+    semDedupFromPairs(corpus, idCol, vecCol, cellCol,
+      cellPairs(corpus, idCol, vecCol, cellCol, threshold), centroidFn)
+
+  /** [[semDedup]] with SRP-bucketed candidate pairs ([[srpPairs]]) — the
+    * scaladoc'd "at 100 TB swap in SRP buckets" configuration as a tested
+    * entry point, not a comment. Candidate generation buckets on sign-bit
+    * projections (no coarse cell required for PAIRS); the centroid that
+    * scores diversity still comes from `cellCol`, so only the pair stage
+    * changes and the downstream shape (CC → keep window) is identical.
+    * `SemDedupSpec` pins the two paths decision-identical on a corpus
+    * whose cells ARE its SRP buckets. */
+  def semDedupSrp(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+                  threshold: Double, nPlanes: Int, dim: Int,
+                  centroidFn: (DataFrame, String, String) => DataFrame =
+                    cellCentroids): DataFrame =
+    semDedupFromPairs(corpus, idCol, vecCol, cellCol,
+      srpPairs(corpus, idCol, vecCol, threshold, nPlanes, dim), centroidFn)
+
+  /** Shared SemDeDup tail: centroid similarity (broadcast k·dim centroids),
+    * connected components over the supplied candidate `pairs`, and the
+    * least-central keep window. `pairs` only needs `id_a`/`id_b` columns —
+    * any bucketing strategy ([[cellPairs]], [[srpPairs]]) plugs in. */
+  def semDedupFromPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                        cellCol: String, pairs: DataFrame,
+                        centroidFn: (DataFrame, String, String) => DataFrame =
+                          cellCentroids): DataFrame = {
     val cents = centroidFn(corpus, cellCol, vecCol)
     val cvec = cents.groupBy(col(cellCol))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
@@ -211,7 +237,6 @@ object Cosine {
       .withColumn("centroid_sim",
         round(cosine(col("v"), col("cv"), normSq(col("v")), normSq(col("cv"))), 6))
       .select(col(idCol), col("centroid_sim"))
-    val pairs = cellPairs(corpus, idCol, vecCol, cellCol, threshold)
     val comps = graft.dedup.Clusters.connectedComponents(pairs)
     withSim
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")

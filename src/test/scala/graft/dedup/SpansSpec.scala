@@ -98,7 +98,12 @@ class SpansSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
-    assert(rows(Spans.duplicateSpans(docs, "doc_id", "text", k = 5)) ==
+    val hashedSpans = rows(Spans.duplicateSpans(docs, "doc_id", "text", k = 5))
+    // non-vacuity: the parity claim only has teeth if the corpus actually
+    // contains duplicated spans (empty == empty would pass trivially)
+    assert(hashedSpans.nonEmpty,
+      "sf0.001 documents corpus produced no duplicated spans — parity test is vacuous")
+    assert(hashedSpans ==
       rows(Spans.duplicateSpans(docs, "doc_id", "text", k = 5, hashedKeys = false)))
     assert(rows(Spans.spanList(docs, "doc_id", "text", k = 5)) ==
       rows(Spans.spanList(docs, "doc_id", "text", k = 5, hashedKeys = false)))

@@ -55,6 +55,32 @@ class SemDedupSpec extends SparkSpec {
     assert(out(3L)._3 && !out(1L)._3 && !out(2L)._3)
   }
 
+  test("SRP-pair path equals cell-pair path on a corpus whose cells ARE its buckets") {
+    // the scaladoc'd 100 TB swap (cellPairs → srpPairs) as a tested
+    // configuration: relabel the real sf0.001 embeddings with their own
+    // SRP bucket, so same-cell pairs and same-bucket pairs are the same
+    // set and the two entry points must produce identical decisions.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = Cosine.hyperplanes(4, 64)
+    val bucket = planes.zipWithIndex.map { case (h, i) =>
+      when(Cosine.dot(Cosine.toDouble(col("embedding")),
+        array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val relabeled = emb.withColumn("label", bucket)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val viaCells = rows(Cosine.semDedup(
+      relabeled, "vec_id", "embedding", "label", 0.4))
+    val viaSrp = rows(Cosine.semDedupSrp(
+      relabeled, "vec_id", "embedding", "label", 0.4, nPlanes = 4, dim = 64))
+    assert(viaCells.nonEmpty && viaCells == viaSrp)
+    // non-vacuity: real multi-member clusters participated (a corpus with
+    // only singletons would make the parity trivially true)
+    val multi = Cosine.semDedup(relabeled, "vec_id", "embedding", "label", 0.4)
+      .groupBy(col("cluster_id")).count().filter(col("count") > 1).count()
+    assert(multi > 0, "no multi-member cluster — SRP-parity test is vacuous")
+  }
+
   test("default plain-avg centroid path and sorted-fold path agree on decisions") {
     val sem = Cosine.semDedup(corpus, "vec_id", "embedding", "label", 0.4)
       .select(col("vec_id"), col("cluster_id"), col("keep"))
