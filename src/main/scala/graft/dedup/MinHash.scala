@@ -178,6 +178,47 @@ object MinHash {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric LSH: near-duplicates of `newDocs` AGAINST `oldDocs` —
+    * dedup of an incoming batch against a prior corpus snapshot (the
+    * cross-crawl-dump dedup every production pipeline runs: RefinedWeb /
+    * Dolma style "is this new page a near-copy of anything we already
+    * kept?"). Same signature/banding/verification machinery as
+    * [[nearDuplicates]], but the band join is new×old only: old↔old and
+    * new↔new pairs are never generated or verified.
+    *
+    * Scale shape: the old snapshot's band rows are a pure function of its
+    * shingle arrays — at corpus scale they are computed once per snapshot
+    * and PERSISTED as the dedup index (a parquet table keyed by
+    * (band, band_hash)); each incoming batch then costs one map pass over
+    * the batch plus a join against the index, proportional to batch size
+    * and bucket collisions — re-scanning (or re-pairing) the historical
+    * corpus never happens. Verification re-attaches both sides' shingle
+    * arrays by id (AQE broadcasts the candidate side). */
+  def nearDuplicatesAgainst(newDocs: DataFrame, oldDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val shNew = hashedShingleArray(newDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shOld = hashedShingleArray(oldDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol)
+      .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
+    val bOld = bandRows(signaturesFromArray(shOld, idCol), idCol)
+      .select(col(idCol).as("id_old"), col("band"), col("band_hash"))
+    val pairs = bNew.join(bOld, Seq("band", "band_hash"))
+      .select(col("id_new"), col("id_old")).distinct()
+    pairs
+      .join(shNew.select(col(idCol).as("id_new"), col("sharr").as("sh_a")), "id_new")
+      .join(shOld.select(col(idCol).as("id_old"), col("sharr").as("sh_b")), "id_old")
+      .select(col("id_new"), col("id_old"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard near-dups WITHOUT LSH: inverted-index join of all
     * co-shingled pairs. Shingles appearing in more than `maxDf` documents
     * are pruned from BOTH sides of the Jaccard (numerator and sets) —

@@ -431,6 +431,39 @@ object TextQueries extends QueryPack {
     "d7_simhash_pairs" -> ((s, dir) => {
       SimHash.nearPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- D10: cross-snapshot dedup — each doc of the incoming batch
+    //      (t7 buckets ≥ 80) LSH-checked against the prior snapshot
+    //      (buckets < 80); per new doc: its best old match and how many
+    //      old near-dups it has. The asymmetric twin of d3: old↔old
+    //      pairs are never generated, so a daily batch costs batch-size
+    //      work against a persisted band index, not a corpus re-pair.
+    "d10_cross_snapshot_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val pairs = MinHash.nearDuplicatesAgainst(
+        docs.filter(bucket >= 80), docs.filter(bucket < 80),
+        "doc_id", "text", n = 2, threshold = 0.7)
+      val part = org.apache.spark.sql.expressions.Window.partitionBy(col("id_new"))
+      val w = part.orderBy(col("jaccard").desc, col("id_old").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .withColumn("n_dups", count(lit(1)).over(part))
+        .filter(col("rn") === 1)
+        .select(col("id_new").as("doc_id"), col("id_old").as("best_old_id"),
+          col("jaccard").as("best_jaccard"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- T18: unigram cross-entropy quality score — the CCNet-style
+    //      perplexity filter (Wenzek et al. 2019) with the LM trained on
+    //      the corpus's own t7 train split; high xent = out-of-domain /
+    //      noisy text. Per-token log-probs are fixed to DECIMAL(18,6)
+    //      before the per-doc sum, so the score is exact and
+    //      topology-independent.
+    "t18_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   // ------------------------------------------------------------------ oracle
@@ -968,5 +1001,65 @@ object TextQueries extends QueryPack {
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d10_cross_snapshot_dedup" ->
+      s"""WITH $shinglesCte,
+         |bk AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
+         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+         |    AS band_hash
+         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_old
+         |  FROM bands l JOIN bk bl ON bl.doc_id = l.doc_id
+         |  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |  JOIN bk br ON br.doc_id = r.doc_id
+         |  WHERE bl.bucket >= 80 AND br.bucket < 80),
+         |inter AS (
+         |  SELECT c.id_new, c.id_old, count(*) AS inter
+         |  FROM cand c JOIN shh a ON a.doc_id = c.id_new
+         |  JOIN shh b ON b.doc_id = c.id_old AND b.shash = a.shash
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |pairs AS (SELECT id_new, id_old,
+         |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_new
+         |  JOIN sizes sb ON sb.doc_id = id_old
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |rk AS (SELECT id_new, id_old, jaccard,
+         |    row_number() OVER (PARTITION BY id_new
+         |      ORDER BY jaccard DESC, id_old ASC) AS rn,
+         |    count(*) OVER (PARTITION BY id_new) AS n_dups
+         |  FROM pairs)
+         |SELECT id_new AS doc_id, id_old AS best_old_id, jaccard AS best_jaccard,
+         |  CAST(n_dups AS BIGINT) AS n_dups
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "t18_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |vocab AS (SELECT token, sum(tf) AS cnt FROM tf
+        |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+        |  CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |scored AS (SELECT tf.doc_id, tf.tf, vocab.cnt,
+        |    CAST(ROUND(ln(CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
+        |      / (tot.tot + tot.v + 1)), 6) AS DECIMAL(18,6)) AS logp
+        |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(-CAST(sum(logp * tf) AS DOUBLE) / sum(tf), 6) AS xent
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

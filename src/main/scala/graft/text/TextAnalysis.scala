@@ -159,4 +159,48 @@ object TextAnalysis {
     * (t15) — and mirrored verbatim in their oracle SQL. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlPattern = "https?://[^\\s]+"
+
+  /** Per-document unigram cross-entropy against a language model trained on
+    * the corpus's own train split — the CCNet-style perplexity filter
+    * (Wenzek et al. 2019) at unigram order: documents whose tokens are
+    * improbable under the in-domain LM score high and get filtered or
+    * down-sampled. Add-one smoothing over the train vocabulary; tokens
+    * unseen in train share one OOV probability mass 1/(tot+V+1).
+    *
+    * Output per doc: n_tokens, n_oov (token OCCURRENCES unseen in train),
+    * xent = -mean token log-probability (ppl = e^xent).
+    *
+    * Scale shape: one token explode feeding a (doc, token) combine-enabled
+    * aggregation; the LM itself is the vocabulary-sized count frame — at
+    * harness scale AQE broadcasts it into the scoring join, at corpus scale
+    * it becomes an ordinary shuffle join on the token; the (tot, V) scalars
+    * stay IN the plan as a 1-row broadcast. Nothing driver-side, nothing
+    * quadratic, shuffles carry (doc, token, tf) — never text.
+    *
+    * Cross-engine determinism: the per-token log-prob is rounded to 6 dp
+    * and fixed as DECIMAL(18,6) BEFORE the per-doc sum, so the aggregation
+    * is exact integer arithmetic — the result is independent of partial-agg
+    * order (topology) and bit-identical between Spark and the oracle. */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // the LM: token counts over the train split of the SAME t7 hash split
+    // the rest of the pipeline uses (splitBucket is the shared definition)
+    val vocab = tf.filter(splitBucket(col(idCol)) < trainBucketBelow)
+      .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    val logp = round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+      (col("tot") + col("v") + 1).cast("double")), 6).cast("decimal(18,6)")
+    tf.join(vocab, Seq("token"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
+      .withColumn("logp", logp)
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"),
+        round(-(sum(col("logp") * col("tf")).cast("double")) /
+          sum(col("tf")).cast("double"), 6).as("xent"))
+  }
 }

@@ -81,6 +81,59 @@ class MinHashSpec extends SparkSpec {
     assert(graft.dedup.MinHash.exactJaccardPairsAdaptive(
       empty, "doc_id", "text", 2, 0.7).count() == 0)
   }
+
+  test("cross-snapshot dedup flags only new-vs-old pairs") {
+    val sp = spark; import sp.implicits._
+    // old snapshot: 1 and 2 are near-dups OF EACH OTHER (must NOT appear);
+    // new batch: 10 is a near-copy of old 1; 11 and 12 are near-dups of
+    // each other but of nothing old (must NOT appear); 13 is unrelated.
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark catalyst optimizer and shuffles here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank forever"),
+      (11L, "many many identical tokens repeated again and again in this new document one"),
+      (12L, "many many identical tokens repeated again and again in this new document two"),
+      (13L, "nothing here resembles anything from the prior crawl snapshot at all"))
+      .toDF("doc_id", "text")
+    val out = MinHash.nearDuplicatesAgainst(batch, old, "doc_id", "text",
+      n = 2, threshold = 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 1L), (10L, 2L)),
+      s"got ${out.mkString(", ")}")
+  }
+
+  test("asymmetric LSH equals the symmetric pipeline restricted to cross-side pairs") {
+    val sp = spark; import sp.implicits._
+    // 12 docs, 6 near-dup pairs straddling the old/new boundary in both
+    // directions plus same-side dups — the asymmetric path must produce
+    // exactly the cross-side subset of the symmetric path's verdicts
+    val rows = (0 until 12).map { i =>
+      val group = i / 2 // pairs (0,1), (2,3), ...
+      (i.toLong,
+        s"group$group alpha$group beta$group gamma$group delta$group epsilon$group zeta$group marker$i")
+    }
+    // old = multiples of 3: pair (4,5) and (10,11) land entirely in the
+    // new batch, so the symmetric pipeline finds them but the asymmetric
+    // one must not; the other four pairs straddle the boundary
+    val all = rows.toDF("doc_id", "text")
+    def isOld(id: Long) = id % 3 == 0
+    val old = all.filter(col("doc_id") % 3 === 0)
+    val batch = all.filter(col("doc_id") % 3 =!= 0)
+    val asym = MinHash.nearDuplicatesAgainst(batch, old, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .select(col("id_new"), col("id_old"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val symAll = MinHash.nearDuplicates(all, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(symAll.exists { case (a, b, _) => isOld(a) == isOld(b) },
+      "fixture must contain same-side dup pairs for the exclusion to have teeth")
+    val sym = symAll
+      .filter { case (a, b, _) => isOld(a) != isOld(b) }
+      .map { case (a, b, j) => if (isOld(b)) (a, b, j) else (b, a, j) }.toSet
+    assert(asym.nonEmpty && asym == sym, s"asym=$asym sym=$sym")
+  }
 }
 
 class SimHashSpec extends SparkSpec {
