@@ -92,6 +92,28 @@ object SimilarityQueries extends QueryPack {
           threshold = 0.4, nPlanes = 4, dim = 64,
           centroidFn = Cosine.cellCentroidsSorted)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- X9: product-quantization codes — 8 subspaces × 4 sign bits,
+    //      map-side, 256 B float vector → 4 B of codes (serialized csv
+    //      for the cross-engine comparator)
+    "x9_pq_codes" -> ((s, dir) => {
+      Cosine.pqCodes(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- X10: PQ asymmetric-distance top-k — exact queries scored
+    //      against codebook reconstructions (the memory side of ANN:
+    //      codes + one broadcast codebook instead of raw floats). The
+    //      gate runs the sorted-fold codebook; plain-avg is the library
+    //      default, as with x5/x7.
+    "x10_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.pqAdcTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, centroidFn = Cosine.cellCentroidsSorted)
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   /** The same deterministic SRP hyperplanes the engine uses, as SQL array
@@ -99,6 +121,14 @@ object SimilarityQueries extends QueryPack {
   private def srpBucketSql: String =
     Cosine.hyperplanes(4, 64).zipWithIndex.map { case (h, i) =>
       s"(CASE WHEN list_dot_product(emb, [${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** PQ code of subspace `j` (8 dims, 4 shared hyperplanes) — generated
+    * from the same constants as [[Cosine.pqCodes]]. */
+  private def pqBucketSql(j: Int): String =
+    Cosine.hyperplanes(4, 8).zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(emb[${j * 8 + 1}:${j * 8 + 8}], " +
+        s"[${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
   private val vCte =
@@ -280,5 +310,40 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, cluster_id, centroid_sim,
          |  row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY centroid_sim ASC NULLS LAST, vec_id ASC) = 1 AS keep
-         |FROM m ORDER BY vec_id""".stripMargin)
+         |FROM m ORDER BY vec_id""".stripMargin,
+    "x9_pq_codes" ->
+      s"""WITH $vCte
+         |SELECT vec_id, ${(0 until 8).map(j =>
+             s"CAST((${pqBucketSql(j)}) AS VARCHAR)").mkString(" || ',' || ")} AS codes
+         |FROM v ORDER BY vec_id""".stripMargin,
+    "x10_pq_adc_topk" ->
+      s"""WITH $vCte,
+         |codes AS (SELECT vec_id, emb,
+         |    [${(0 until 8).map(pqBucketSql).mkString(", ")}] AS cs
+         |  FROM v),
+         |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv,
+         |    cs[t.j+1] AS code
+         |  FROM codes, (SELECT unnest(range(0, 8)) AS j) t),
+         |e AS (SELECT j, code, d.i AS dim, subv[d.i] AS x
+         |      FROM sub, (SELECT unnest(range(1, 9)) AS i) d),
+         |g AS (SELECT j, code, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+         |      FROM e GROUP BY j, code, dim),
+         |cw AS (SELECT j, code, dim,
+         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) / cnt, 6) AS c
+         |  FROM g),
+         |cwv AS (SELECT j, code, list(c ORDER BY dim) AS cvec FROM cw GROUP BY j, code),
+         |recon AS (SELECT s.vec_id, flatten(list(cwv.cvec ORDER BY s.j)) AS rv
+         |  FROM sub s JOIN cwv ON cwv.j = s.j AND cwv.code = s.code
+         |  GROUP BY s.vec_id),
+         |sims AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+         |  FROM v q CROSS JOIN recon r
+         |  WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id)
+         |SELECT query_id, rank, neighbor_id, adc_sim FROM (
+         |  SELECT query_id, neighbor_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -455,6 +455,18 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C6: corpus mixing — mT5/XLM-R alpha-sampling (temperature)
+    //      reweighting: per-source factors flattening the natural token
+    //      distribution toward p^0.5, realized as a deterministic
+    //      per-document multiplicity (floor + salted-hash Bernoulli on
+    //      the fractional part). Source-sized aggregation + broadcast
+    //      stamp — nothing corpus-sized shuffles.
+    "c6_mixture_weights" -> ((s, dir) => {
+      TextAnalysis.mixtureWeights(Tables.documents(s, dir), "doc_id", "text",
+          "source")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -1043,6 +1055,29 @@ object TextQueries extends QueryPack {
          |SELECT id_new AS doc_id, id_old AS best_old_id, jaccard AS best_jaccard,
          |  CAST(n_dups AS BIGINT) AS n_dups
          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "c6_mixture_weights" ->
+      """WITH perdoc AS (SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |persrc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM perdoc GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(sqrt(CAST(src_tokens AS DOUBLE))))),
+        |      (a, b) -> a + b) AS wsum
+        |  FROM persrc),
+        |f AS (SELECT source,
+        |    ROUND((sqrt(CAST(src_tokens AS DOUBLE)) / wsum) /
+        |          (CAST(src_tokens AS DOUBLE) / total_tokens), 6) AS factor
+        |  FROM persrc CROSS JOIN tot)
+        |SELECT p.doc_id, p.source, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+        |  f.factor,
+        |  CAST(CAST(floor(f.factor) AS BIGINT) +
+        |    (CASE WHEN CAST(concat('0x', substr(md5(concat(
+        |        CAST(p.doc_id AS VARCHAR), ':graft-mix-v1')), 1, 15)) AS BIGINT)
+        |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
+        |FROM perdoc p JOIN f USING (source) ORDER BY p.doc_id""".stripMargin,
     "t18_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -176,6 +176,89 @@ object Cosine {
         round(col("d2"), 6).as("dist_sq"))
   }
 
+  /** Product-quantization CODES (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the vector is split into `nSub`
+    * contiguous subvectors of `subDim` dims; each subvector is quantized
+    * independently to a small code. The quantizer here is hash-based —
+    * the SRP sign bucket of the subvector under `nPlanes` shared
+    * deterministic hyperplanes — rather than trained k-means: no
+    * iteration, no RNG, reproducible by an external engine, while keeping
+    * the PQ structure (per-subspace codebooks, asymmetric distance)
+    * intact. Entirely map-side: one pass, no shuffle; codes are
+    * `nSub * nPlanes` bits per vector (a 64-dim float vector compresses
+    * 256 B → 4 B at the defaults). */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes, subDim)
+    val v = toDouble(col(vecCol))
+    val codes = (0 until nSub).map { j =>
+      val sub = slice(v, j * subDim + 1, subDim)
+      planes.zipWithIndex.map { case (h, i) =>
+        when(dot(sub, array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    corpus.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** PQ CODEBOOK: per (subspace, code) centroid of the member subvectors —
+    * the same training step as [[cellCentroids]] run per subspace, with
+    * the flattened key `cell = j * 2^nPlanes + code`. `centroidFn` picks
+    * bounded-state plain-avg (default) or the sorted-fold oracle path,
+    * exactly like the IVF trainer. The codebook is
+    * `nSub * 2^nPlanes * subDim` doubles — broadcastable at any corpus
+    * scale. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                 centroidFn: (DataFrame, String, String) => DataFrame =
+                   cellCentroids): DataFrame = {
+    val coded = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+      .join(corpus.select(col(idCol), toDouble(col(vecCol)).as("v")), idCol)
+    val subRows = coded.select(col(idCol), col("codes"), col("v"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("j"))
+      .select(
+        (col("j") * (1 << nPlanes) + element_at(col("codes"), col("j") + 1)).as("cell"),
+        slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("subv"))
+    centroidFn(subRows, "cell", "subv")
+  }
+
+  /** PQ asymmetric-distance top-k SEARCH (ADC): queries keep their exact
+    * vectors; each corpus vector is REPLACED by its reconstruction from
+    * the codebook (the concatenation of its per-subspace codewords), and
+    * similarity is the exact-query × reconstructed-corpus dot product.
+    * This is the memory side of the ANN trade: the scored corpus
+    * representation is `nSub * nPlanes` bits per vector plus one shared
+    * broadcast codebook, so a 1000-executor scan holds codes in memory
+    * where raw floats would spill.
+    *
+    * Plan shape: codes and reconstruction are map-side (codebook map
+    * broadcast as one row); the query side broadcasts like [[topK]];
+    * ranking is one per-query window. */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int,
+                nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                centroidFn: (DataFrame, String, String) => DataFrame =
+                  cellCentroids): DataFrame = {
+    val book = pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn)
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cw"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("cell"), col("cw"))))).as("book"))
+    val recon = flatten(transform(sequence(lit(0), lit(nSub - 1)),
+      j => element_at(col("book"),
+        (j * (1 << nPlanes) + element_at(col("codes"), j + 1)).cast("long"))))
+    val c = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+      .crossJoin(broadcast(book))
+      .select(col(idCol).as("neighbor_id"), recon.as("rv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_sim", round(dot(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering embeddings then pruning within-cluster near-duplicate
     * groups, KEEPING the member LEAST similar to its cluster centroid —

@@ -160,6 +160,51 @@ object TextAnalysis {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlPattern = "https?://[^\\s]+"
 
+  /** Temperature-based corpus mixing (the mT5 / XLM-R "alpha sampling"
+    * reweighting, Xue et al. 2021 §3.1): per-source sampling factors that
+    * move the natural token distribution p_s toward the flattened target
+    * q_s ∝ p_s^alpha, plus a deterministic per-document multiplicity
+    * realizing the factor (floor + salted-hash Bernoulli on the fractional
+    * part — no RNG state, reproducible across runs and engines).
+    *
+    * Scale shape: one map-side token count + a source-sized aggregation
+    * (dozens of rows at any corpus size), factors broadcast back onto the
+    * corpus for a map-side multiplicity stamp. The only double summation
+    * crossing rows (Σ p^alpha over sources) folds over the SORTED source
+    * weights, so the factor — and therefore every multiplicity — is
+    * bit-reproducible on any topology or engine. */
+  def mixtureWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, sourceCol: String,
+                     alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs.select(col(idCol), col(sourceCol),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val perSrc = perDoc.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    // sqrt for the default alpha: IEEE-exact on every engine, unlike pow
+    def weight(x: org.apache.spark.sql.Column) =
+      if (alpha == 0.5) sqrt(x) else pow(x, alpha)
+    val totals = perSrc.agg(sum(col("src_tokens")).as("total_tokens"),
+      // sorted fold => sum independent of partition merge order
+      aggregate(sort_array(collect_list(
+        weight(col("src_tokens").cast("double")))), lit(0.0), _ + _).as("wsum"))
+    val p = col("src_tokens").cast("double") / col("total_tokens")
+    val q = weight(col("src_tokens").cast("double")) / col("wsum")
+    val factors = perSrc
+      .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
+      .select(col(sourceCol), col("n_docs"), col("src_tokens"),
+        round(p, 6).as("p_natural"), round(q, 6).as("q_target"),
+        round(q / p, 6).as("factor"))
+    // multiplicity: floor(factor) + 1 with probability frac(factor),
+    // decided by a salted hash of the doc id in [0, 1e6)
+    val frac = round((col("factor") - floor(col("factor"))) * 1000000, 0)
+    val draw = pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":graft-mix-v1"))), 1, 15), 16, 10).cast("long"), lit(1000000))
+    perDoc.join(org.apache.spark.sql.functions.broadcast(factors), sourceCol)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("factor"),
+        (floor(col("factor")).cast("long") +
+          when(draw < frac, 1L).otherwise(0L)).as("multiplicity"))
+  }
+
   /** Per-document unigram cross-entropy against a language model trained on
     * the corpus's own train split — the CCNet-style perplexity filter
     * (Wenzek et al. 2019) at unigram order: documents whose tokens are

@@ -9,6 +9,11 @@ import duckdb
 sfdir, outdir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# Bound DuckDB so a heavy oracle (e.g. the within-cell all-pairs joins of
+# d8/x7/x8 on an sf1-scale corpus) spills to disk instead of OOM-killing
+# the host; overridable for bigger boxes.
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+con.execute("SET temp_directory='/tmp/graft_duck_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     p = f"{sfdir}/{t}.parquet"
