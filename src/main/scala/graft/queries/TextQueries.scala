@@ -467,6 +467,28 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C7: curation v2 — the round-7 operators composed into one
+    //      manifest: perplexity gate (t18 xent ≤ 3.45) ∧ not a near-dup
+    //      of the prior snapshot (d10 anti-join) ∧ α-sampling
+    //      multiplicity ≥ 1 (c6). What a pipeline materializes before
+    //      tokenization: kept docs with their sampling weights.
+    "c7_curation_v2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      val mix = TextAnalysis.mixtureWeights(docs, "doc_id", "text", "source")
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val dupOfOld = MinHash.nearDuplicatesAgainst(
+          docs.filter(bucket >= 80), docs.filter(bucket < 80),
+          "doc_id", "text", n = 2, threshold = 0.7)
+        .select(col("id_new").as("doc_id")).distinct()
+      mix.join(lp.select(col("doc_id"), col("xent")), "doc_id")
+        .join(dupOfOld, Seq("doc_id"), "left_anti")
+        .filter(col("xent") <= 3.45 && col("multiplicity") >= 1)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("xent"),
+          col("multiplicity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -1055,6 +1077,82 @@ object TextQueries extends QueryPack {
          |SELECT id_new AS doc_id, id_old AS best_old_id, jaccard AS best_jaccard,
          |  CAST(n_dups AS BIGINT) AS n_dups
          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "c7_curation_v2" ->
+      s"""WITH $shinglesCte,
+         |bk AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
+         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+         |    AS band_hash
+         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_old
+         |  FROM bands l JOIN bk bl ON bl.doc_id = l.doc_id
+         |  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |  JOIN bk br ON br.doc_id = r.doc_id
+         |  WHERE bl.bucket >= 80 AND br.bucket < 80),
+         |inter AS (
+         |  SELECT c.id_new, c.id_old, count(*) AS inter
+         |  FROM cand c JOIN shh a ON a.doc_id = c.id_new
+         |  JOIN shh b ON b.doc_id = c.id_old AND b.shash = a.shash
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |flagged AS (SELECT DISTINCT id_new AS doc_id
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_new
+         |  JOIN sizes sb ON sb.doc_id = id_old
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         |vocab AS (SELECT token, sum(tf) AS cnt FROM tf
+         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
+         |  GROUP BY token),
+         |vtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |  CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |scored AS (SELECT tf.doc_id, tf.tf, vocab.cnt,
+         |    CAST(ROUND(ln(CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
+         |      / (vtot.tot + vtot.v + 1)), 6) AS DECIMAL(18,6)) AS logp
+         |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN vtot),
+         |xe AS (SELECT doc_id,
+         |    ROUND(-CAST(sum(logp * tf) AS DOUBLE) / sum(tf), 6) AS xent
+         |  FROM scored GROUP BY doc_id),
+         |perdoc AS (SELECT doc_id, source,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |persrc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM perdoc GROUP BY source),
+         |mtot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_sort(list(sqrt(CAST(src_tokens AS DOUBLE))))),
+         |      (a, b) -> a + b) AS wsum
+         |  FROM persrc),
+         |f AS (SELECT source,
+         |    ROUND((sqrt(CAST(src_tokens AS DOUBLE)) / wsum) /
+         |          (CAST(src_tokens AS DOUBLE) / total_tokens), 6) AS factor
+         |  FROM persrc CROSS JOIN mtot),
+         |mult AS (SELECT p.doc_id, p.source,
+         |    CAST(p.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(CAST(floor(f.factor) AS BIGINT) +
+         |    (CASE WHEN CAST(concat('0x', substr(md5(concat(
+         |        CAST(p.doc_id AS VARCHAR), ':graft-mix-v1')), 1, 15)) AS BIGINT)
+         |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
+         |  FROM perdoc p JOIN f USING (source))
+         |SELECT m.doc_id, m.source, m.n_tokens, x.xent, m.multiplicity
+         |FROM mult m JOIN xe x USING (doc_id)
+         |LEFT JOIN flagged fl ON fl.doc_id = m.doc_id
+         |WHERE fl.doc_id IS NULL AND x.xent <= 3.45 AND m.multiplicity >= 1
+         |ORDER BY m.doc_id""".stripMargin,
     "c6_mixture_weights" ->
       """WITH perdoc AS (SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
