@@ -468,14 +468,22 @@ object TextQueries extends QueryPack {
     }),
 
     // ---- C7: curation v2 — the round-7 operators composed into one
-    //      manifest: perplexity gate (t18 xent ≤ 3.45) ∧ not a near-dup
-    //      of the prior snapshot (d10 anti-join) ∧ α-sampling
+    //      manifest: perplexity gate (t18 xent at or below the corpus's
+    //      own 90th percentile — self-calibrating, a FIXED cutoff is
+    //      corpus-specific and goes vacuous when the corpus shifts, the
+    //      same failure mode SCALE.md documents for fixed maxDf) ∧ not a
+    //      near-dup of the prior snapshot (d10 anti-join) ∧ α-sampling
     //      multiplicity ≥ 1 (c6). What a pipeline materializes before
     //      tokenization: kept docs with their sampling weights.
     "c7_curation_v2" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
       val mix = TextAnalysis.mixtureWeights(docs, "doc_id", "text", "source")
+      // exact in-plan percentile over the rounded scores: both engines
+      // interpolate between the same order statistics, and a keep set
+      // {xent <= thr} cannot straddle consecutive order stats, so ulp
+      // drift in the interpolation cannot flip a row
+      val thr = lp.agg(expr("percentile(xent, 0.9)").as("thr"))
       val bucket = TextAnalysis.splitBucket(col("doc_id"))
       val dupOfOld = MinHash.nearDuplicatesAgainst(
           docs.filter(bucket >= 80), docs.filter(bucket < 80),
@@ -483,7 +491,8 @@ object TextQueries extends QueryPack {
         .select(col("id_new").as("doc_id")).distinct()
       mix.join(lp.select(col("doc_id"), col("xent")), "doc_id")
         .join(dupOfOld, Seq("doc_id"), "left_anti")
-        .filter(col("xent") <= 3.45 && col("multiplicity") >= 1)
+        .crossJoin(broadcast(thr))
+        .filter(col("xent") <= col("thr") && col("multiplicity") >= 1)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("xent"),
           col("multiplicity"))
         .orderBy(col("doc_id"))
@@ -1121,11 +1130,13 @@ object TextQueries extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS v FROM vocab),
          |scored AS (SELECT tf.doc_id, tf.tf, vocab.cnt,
          |    CAST(ROUND(ln(CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
-         |      / (vtot.tot + vtot.v + 1)), 6) AS DECIMAL(18,6)) AS logp
+         |      / (vtot.tot + vtot.v + 1)) * 1000000, 0) AS BIGINT) AS logp_micro
          |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN vtot),
          |xe AS (SELECT doc_id,
-         |    ROUND(-CAST(sum(logp * tf) AS DOUBLE) / sum(tf), 6) AS xent
+         |    ROUND(-CAST(CAST(sum(logp_micro * tf) AS BIGINT) AS DOUBLE)
+         |      / (CAST(sum(tf) AS BIGINT) * 1000000), 6) AS xent
          |  FROM scored GROUP BY doc_id),
+         |thr AS (SELECT quantile_cont(xent, 0.9) AS thr FROM xe),
          |perdoc AS (SELECT doc_id, source,
          |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
          |  FROM documents),
@@ -1150,8 +1161,9 @@ object TextQueries extends QueryPack {
          |  FROM perdoc p JOIN f USING (source))
          |SELECT m.doc_id, m.source, m.n_tokens, x.xent, m.multiplicity
          |FROM mult m JOIN xe x USING (doc_id)
+         |CROSS JOIN thr
          |LEFT JOIN flagged fl ON fl.doc_id = m.doc_id
-         |WHERE fl.doc_id IS NULL AND x.xent <= 3.45 AND m.multiplicity >= 1
+         |WHERE fl.doc_id IS NULL AND x.xent <= thr.thr AND m.multiplicity >= 1
          |ORDER BY m.doc_id""".stripMargin,
     "c6_mixture_weights" ->
       """WITH perdoc AS (SELECT doc_id, source,
@@ -1189,10 +1201,11 @@ object TextQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS v FROM vocab),
         |scored AS (SELECT tf.doc_id, tf.tf, vocab.cnt,
         |    CAST(ROUND(ln(CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
-        |      / (tot.tot + tot.v + 1)), 6) AS DECIMAL(18,6)) AS logp
+        |      / (tot.tot + tot.v + 1)) * 1000000, 0) AS BIGINT) AS logp_micro
         |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
-        |  ROUND(-CAST(sum(logp * tf) AS DOUBLE) / sum(tf), 6) AS xent
+        |  ROUND(-CAST(CAST(sum(logp_micro * tf) AS BIGINT) AS DOUBLE)
+        |    / (CAST(sum(tf) AS BIGINT) * 1000000), 6) AS xent
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

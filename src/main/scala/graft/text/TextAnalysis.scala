@@ -222,10 +222,15 @@ object TextAnalysis {
     * stay IN the plan as a 1-row broadcast. Nothing driver-side, nothing
     * quadratic, shuffles carry (doc, token, tf) — never text.
     *
-    * Cross-engine determinism: the per-token log-prob is rounded to 6 dp
-    * and fixed as DECIMAL(18,6) BEFORE the per-doc sum, so the aggregation
-    * is exact integer arithmetic — the result is independent of partial-agg
-    * order (topology) and bit-identical between Spark and the oracle. */
+    * Cross-engine determinism: the per-token log-prob is fixed as an
+    * integer count of MICRO-NATS (round(ln·1e6) as BIGINT) BEFORE the
+    * per-doc sum, so the aggregation is exact integer arithmetic —
+    * independent of partial-agg order (topology) — and the final
+    * integer→double division is bit-identical across engines (BIGINT→
+    * DOUBLE is exact below 2^53 everywhere, unlike DECIMAL→DOUBLE, whose
+    * two-step int128/10^scale conversion rounds differently in DuckDB
+    * than BigDecimal.doubleValue does in Spark — observed as 6th-decimal
+    * flips at sf1). */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String,
                      trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame = {
@@ -238,14 +243,14 @@ object TextAnalysis {
       .groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val totals = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
     val logp = round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-      (col("tot") + col("v") + 1).cast("double")), 6).cast("decimal(18,6)")
+      (col("tot") + col("v") + 1).cast("double")) * 1000000, 0).cast("long")
     tf.join(vocab, Seq("token"), "left")
       .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
-      .withColumn("logp", logp)
+      .withColumn("logp_micro", logp)
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"),
-        round(-(sum(col("logp") * col("tf")).cast("double")) /
-          sum(col("tf")).cast("double"), 6).as("xent"))
+        round(-(sum(col("logp_micro") * col("tf")).cast("double")) /
+          (sum(col("tf")) * lit(1000000L)).cast("double"), 6).as("xent"))
   }
 }

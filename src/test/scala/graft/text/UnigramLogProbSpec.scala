@@ -11,6 +11,10 @@ class UnigramLogProbSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The engine's per-token representation: micro-nats as a long. */
+  private def micro(logp: Double): Long =
+    BigDecimal(logp * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("hand-computed cross-entropy on a tiny all-train corpus") {
     val sp = spark; import sp.implicits._
     // trainBucketBelow=100 -> every doc is train, so the LM is known
@@ -19,12 +23,12 @@ class UnigramLogProbSpec extends SparkSpec {
     val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text",
         trainBucketBelow = 100)
       .orderBy("doc_id").collect()
-    val lpA = round6(math.log(3.0 / 9)) // (2+1)/9 — lowercase folds A into a
-    val lpB = round6(math.log(3.0 / 9))
-    val lpC = round6(math.log(2.0 / 9))
-    // per-doc sum uses the ROUNDED per-token values (decimal-exact sum)
-    val want1 = round6(-(2 * lpA + 1 * lpB) / 3)
-    val want2 = round6(-(lpB + lpC) / 2)
+    val lpA = micro(math.log(3.0 / 9)) // (2+1)/9 — lowercase folds A into a
+    val lpB = micro(math.log(3.0 / 9))
+    val lpC = micro(math.log(2.0 / 9))
+    // per-doc sum is exact integer micro-nats; one final division
+    val want1 = round6(-(2 * lpA + 1 * lpB).toDouble / (3L * 1000000))
+    val want2 = round6(-(lpB + lpC).toDouble / (2L * 1000000))
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 3L, 0L), (2L, 2L, 0L)))
     assert(out(0).getDouble(3) == want1, s"${out(0).getDouble(3)} != $want1")
@@ -48,9 +52,9 @@ class UnigramLogProbSpec extends SparkSpec {
     assert(out(heldOut)._1 == 2 && out(heldOut)._2 == 1,
       s"exactly 'unseenword' is OOV: ${out(heldOut)}")
     // LM: common:2 words:2, tot=4, V=2, denom=7
-    val lpCommon = round6(math.log(3.0 / 7))
-    val lpOov = round6(math.log(1.0 / 7))
-    assert(out(heldOut)._3 == round6(-(lpOov + lpCommon) / 2))
+    val lpCommon = micro(math.log(3.0 / 7))
+    val lpOov = micro(math.log(1.0 / 7))
+    assert(out(heldOut)._3 == round6(-(lpOov + lpCommon).toDouble / (2L * 1000000)))
     // the unseen token is maximally improbable: held-out doc scores worse
     assert(out(heldOut)._3 > out(train)._3)
   }
