@@ -197,19 +197,42 @@ object MinHash {
   def nearDuplicatesAgainst(newDocs: DataFrame, oldDocs: DataFrame,
                             idCol: String, textCol: String,
                             n: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val shNew = hashedShingleArray(newDocs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shOld = hashedShingleArray(oldDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDuplicatesAgainstIndex(newDocs, snapshotIndex(shOld, idCol),
+      idCol, textCol, n, threshold)
+  }
+
+  /** The persisted form of a snapshot's dedup index: one row per document
+    * with its shingle array AND its LSH band rows exploded alongside —
+    * `(id, sharr, band, band_hash)`. Write this frame as parquet
+    * (partitioned/bucketed by `band, band_hash` at scale) when a crawl
+    * snapshot is finalized; every later batch dedups against the stored
+    * index without touching the snapshot's text again. */
+  def snapshotIndex(oldSharr: DataFrame, idCol: String): DataFrame =
+    bandRows(signaturesFromArray(oldSharr, idCol), idCol)
+      .join(oldSharr, idCol)
+      .select(col(idCol), col("sharr"), col("band"), col("band_hash"))
+
+  /** [[nearDuplicatesAgainst]] against a prebuilt [[snapshotIndex]] frame
+    * (freshly computed or read back from storage — `IndexRoundTripSpec`
+    * pins the parquet round trip decision-identical). Only the incoming
+    * batch is shingled/signed here; the index side is used as-is. */
+  def nearDuplicatesAgainstIndex(newDocs: DataFrame, oldIndex: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val shNew = hashedShingleArray(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
-    val bOld = bandRows(signaturesFromArray(shOld, idCol), idCol)
-      .select(col(idCol).as("id_old"), col("band"), col("band_hash"))
+    val bOld = oldIndex.select(col(idCol).as("id_old"), col("band"), col("band_hash"))
     val pairs = bNew.join(bOld, Seq("band", "band_hash"))
       .select(col("id_new"), col("id_old")).distinct()
+    val shOldById = oldIndex.select(col(idCol).as("id_old"), col("sharr").as("sh_b"))
+      .dropDuplicates("id_old")
     pairs
       .join(shNew.select(col(idCol).as("id_new"), col("sharr").as("sh_a")), "id_new")
-      .join(shOld.select(col(idCol).as("id_old"), col("sharr").as("sh_b")), "id_old")
+      .join(shOldById, "id_old")
       .select(col("id_new"), col("id_old"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))

@@ -111,4 +111,36 @@ class PlanShapeSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("t18 LM join: vocabulary side broadcast, scalars in-plan, no cartesian blowup") {
+    val plan = physical(SparkEntry.queries("t18_unigram_logprob")(spark, dir))
+    // the (tot, V) scalars enter as a 1-row broadcast nested-loop cross —
+    // the only NLJ allowed; the token join itself must be a hash join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("c6 mixing: factors broadcast back onto the corpus, corpus never re-shuffled") {
+    val plan = physical(SparkEntry.queries("c6_mixture_weights")(spark, dir))
+    // the per-source factor frame (dozens of rows) joins the per-doc frame
+    // as a broadcast hash join — a sort-merge here would shuffle the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x10 ADC: codebook and query side broadcast; corpus side streams") {
+    val plan = physical(SparkEntry.queries("x10_pq_adc_topk")(spark, dir))
+    // 1-row codebook map + tiny query frame: both broadcast; the corpus
+    // scan feeds the scoring join without an exchange of its own rows
+    assert(plan.split("BroadcastExchange").length >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("d10 band join is an equi join on (band, band_hash) — never a nested loop") {
+    val plan = physical(SparkEntry.queries("d10_cross_snapshot_dedup")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }
