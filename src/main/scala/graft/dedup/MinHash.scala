@@ -178,6 +178,71 @@ object MinHash {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Pure-Scala twins of the Column-based shingle/signature/band kernels,
+    * for use where rows arrive one at a time (the streaming dedup state
+    * functions) — REQUIRED to be value-identical to the Column forms, so
+    * a streaming decision can be compared 1:1 against the batch pipeline
+    * (`MinHashScalarSpec` pins the parity on real corpus data). */
+  object Scalar {
+    /** Whitespace tokens of the trimmed text (trim ⇒ no leading/trailing
+      * empties; `\s+` ⇒ no internal empties; "" ⇒ one empty token —
+      * matching `split(trim(text), "\\s+")`). */
+    def tokens(text: String): Array[String] = text.trim.split("\\s+")
+
+    /** Distinct word n-grams with the <n-token partial-shingle edge case
+      * of [[TextAnalysis.shingles]]. */
+    def shingles(text: String, n: Int): Array[String] = {
+      val t = tokens(text)
+      (0 to math.max(t.length - n, 0)).iterator
+        .map(i => t.slice(i, i + n).mkString(" ")).toArray.distinct
+    }
+
+    /** First 15 md5 hex chars as a 60-bit long — the Column form's
+      * `conv(substring(md5(s), 1, 15), 16, 10)`. */
+    def hashShingle(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    def hashedShingles(text: String, n: Int): Array[Long] =
+      shingles(text, n).map(hashShingle)
+
+    /** Minhash signature: per hash function, min over shingles of
+      * (a·(shash mod ShingleMod) + b) mod P. */
+    def signature(shashes: Array[Long]): Array[Long] = {
+      val sig = Array.fill(NumHashes)(Long.MaxValue)
+      shashes.foreach { sh =>
+        val x = java.lang.Math.floorMod(sh, ShingleMod)
+        var i = 0
+        while (i < NumHashes) {
+          val h = (A(i) * x + B(i)) % P
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+
+    /** (band, band_hash) keys: the same left-fold polynomial mix as
+      * [[bandRows]]. */
+    def bandKeys(sig: Array[Long]): Array[(Int, Long)] =
+      (0 until numBands).map { b =>
+        val mix = (1 until RowsPerBand).foldLeft(sig(b * RowsPerBand)) {
+          (acc, r) => (acc * MixMul + sig(b * RowsPerBand + r)) % MixMod
+        }
+        (b, mix)
+      }.toArray
+
+    /** Exact Jaccard of two distinct-element shingle arrays. */
+    def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      val sa = a.toSet
+      val inter = b.count(sa.contains)
+      inter.toDouble / (a.length + b.length - inter)
+    }
+  }
+
   /** Asymmetric LSH: near-duplicates of `newDocs` AGAINST `oldDocs` —
     * dedup of an incoming batch against a prior corpus snapshot (the
     * cross-crawl-dump dedup every production pipeline runs: RefinedWeb /

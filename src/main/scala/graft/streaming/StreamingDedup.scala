@@ -59,6 +59,85 @@ object StreamingDedup {
       }
   }
 
+  case class NearDupJ(doc_id: Long, match_id: Long, jaccard: Double)
+  /** One band-bucket's memory: the docs that have hashed into it, with
+    * their shingle sets for exact verification. */
+  case class BucketDoc(doc_id: Long, shingles: Array[Long])
+
+  /** Streaming MinHash-LSH near-dup dedup — the incremental counterpart
+    * of the batch d3 pipeline, and (with `initialIndex`) of the
+    * cross-snapshot d10: each arriving document is shingled, signed, and
+    * fanned out to its LSH band buckets map-side; per-bucket keyed state
+    * holds the (doc_id, shingle set) of every earlier doc in the bucket,
+    * and a new doc emits one exact-Jaccard-verified pair row per earlier
+    * near-dup. The kernels are [[graft.dedup.MinHash.Scalar]] — pinned
+    * value-identical to the batch Column kernels — so streaming decisions
+    * equal batch decisions on the same data.
+    *
+    * `initialIndex`: rows of a prior snapshot's [[graft.dedup.MinHash
+    * .snapshotIndex]] (id, sharr, band, band_hash) loaded as the state's
+    * initial contents — the streaming form of "dedup today's batch
+    * against the stored index": the snapshot text is never re-read, and
+    * stream docs also dedup against EACH OTHER incrementally (the batch
+    * d10 does not — restrict downstream to match_id ∈ snapshot when d10
+    * semantics are wanted).
+    *
+    * Scale: state is sharded by (band, band_hash) — cardinality is
+    * corpus-sized but each bucket is small for healthy band widths;
+    * shingle sets in state cost what the batch verification join reads
+    * per candidate. Production: RocksDB state store + GroupStateTimeout
+    * TTL when the dedup horizon is bounded. A doc matching in several
+    * buckets emits the pair once per shared bucket — downstream
+    * `distinct`, exactly like the batch candidate frame before verify. */
+  def minhashCandidates(docs: Dataset[Doc], n: Int = 2, threshold: Double = 0.7,
+                        initialIndex: Option[Dataset[(Long, Array[Long], Int, Long)]] = None)
+      : Dataset[NearDupJ] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.MinHash.Scalar
+    val keyed = docs.flatMap { d =>
+      val sh = Scalar.hashedShingles(d.text, n)
+      Scalar.bandKeys(Scalar.signature(sh)).map { case (b, mix) =>
+        (b.toLong << 32 | mix, d.doc_id, sh)
+      }
+    }
+    val grouped = keyed.groupByKey(_._1)
+    def step(key: Long, rows: Iterator[(Long, Long, Array[Long])],
+             state: GroupState[List[BucketDoc]]): Iterator[NearDupJ] = {
+      val ordered = rows.map { case (_, id, sh) => BucketDoc(id, sh) }
+        .toSeq.sortBy(_.doc_id)
+      var seen = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ListBuffer.empty[NearDupJ]
+      ordered.foreach { d =>
+        seen.foreach { p =>
+          if (p.doc_id != d.doc_id) {
+            val j = Scalar.jaccard(d.shingles, p.shingles)
+            if (j >= threshold)
+              out += NearDupJ(d.doc_id, p.doc_id,
+                BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+        seen = d :: seen
+      }
+      state.update(seen)
+      out.iterator
+    }
+    initialIndex match {
+      case None =>
+        grouped.flatMapGroupsWithState[List[BucketDoc], NearDupJ](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(step _)
+      case Some(idx) =>
+        val init = idx.map { case (id, sh, b, mix) =>
+            (b.toLong << 32 | mix, BucketDoc(id, sh))
+          }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .mapGroups((k, vs) => (k, vs.toList.sortBy(_.doc_id)))
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState[List[BucketDoc], NearDupJ](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(step _)
+    }
+  }
+
   /** SimHash near-dup candidates over the stream: one row per
     * (new doc, earlier doc) pair within `maxDist`, verified by exact
     * Hamming distance inside the bucket state. */

@@ -134,6 +134,36 @@ class MinHashSpec extends SparkSpec {
       .map { case (a, b, j) => if (isOld(b)) (a, b, j) else (b, a, j) }.toSet
     assert(asym.nonEmpty && asym == sym, s"asym=$asym sym=$sym")
   }
+
+  test("pure-Scala kernels are value-identical to the Column kernels on real docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.length > 10)
+    val docsDf = {
+      val sp = spark; import sp.implicits._
+      docs.toSeq.toDF("doc_id", "text")
+    }
+    val colShingles = MinHash.hashedShingleArray(docsDf, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val colSig = MinHash.signaturesFromArray(
+      MinHash.hashedShingleArray(docsDf, "doc_id", "text", 2), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (1 to MinHash.NumHashes).map(i => r.getLong(i)).toArray).toMap
+    val colBands = MinHash.bandRows(MinHash.signaturesFromArray(
+        MinHash.hashedShingleArray(docsDf, "doc_id", "text", 2), "doc_id"), "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq }
+    docs.foreach { case (id, text) =>
+      val sh = MinHash.Scalar.hashedShingles(text, 2)
+      assert(sh.sorted.toSeq == colShingles(id).sorted.toSeq, s"shingles diverge for $id")
+      val sig = MinHash.Scalar.signature(sh)
+      assert(sig.toSeq == colSig(id).toSeq, s"signature diverges for $id")
+      assert(MinHash.Scalar.bandKeys(sig).toSeq == colBands(id), s"bands diverge for $id")
+    }
+  }
 }
 
 class SimHashSpec extends SparkSpec {

@@ -75,4 +75,64 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
     assert(got == expected, s"streaming=$got batch=$expected")
   }
+
+  test("streaming minhash-LSH dedup equals the batch d3 pipeline on real docs") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val docsDf = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => StreamingDedup.Doc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    // batch truth on the same corpus and threshold
+    val batch = graft.dedup.MinHash.nearDuplicates(docsDf, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "corpus must contain near-dup pairs at 0.5")
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.minhashCandidates(mem.toDS(), n = 2, threshold = 0.5)
+      .writeStream.format("memory").queryName("sd_lsh").outputMode("append").start()
+    docs.grouped(20).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    // docs arrive in id order, so (match_id, doc_id) is (id_a < id_b);
+    // multi-bucket repeats collapse under DISTINCT like the batch
+    // candidate frame
+    val got = sp.sql("SELECT DISTINCT match_id, doc_id, jaccard FROM sd_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == batch, s"streaming=${got.size} pairs, batch=${batch.size}: " +
+      s"diff=${(got diff batch) ++ (batch diff got)}")
+  }
+
+  test("snapshot-seeded streaming state reproduces batch cross-snapshot dedup") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "an entirely different sentence about catalyst plans and shuffles here"),
+      (3L, "one more unrelated document talking about parquet files and buckets"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      StreamingDedup.Doc(10L, "the quick brown fox jumps over the lazy dog near the river bank forever"),
+      StreamingDedup.Doc(11L, "novel content with no counterpart in the prior snapshot whatsoever"),
+      StreamingDedup.Doc(12L, "second novel item also unlike anything stored before this moment"))
+    // batch truth: the d10 operator over the same split
+    val expected = graft.dedup.MinHash.nearDuplicatesAgainst(
+        batchDocs.toDS().toDF("doc_id", "text"), old, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    // the stored index seeds the stream's initial state
+    val idx = graft.dedup.MinHash.snapshotIndex(
+        graft.dedup.MinHash.hashedShingleArray(old, "doc_id", "text", 2), "doc_id")
+      .as[(Long, Array[Long], Int, Long)]
+    val mem = MemoryStream[StreamingDedup.Doc]
+    val q = StreamingDedup.minhashCandidates(mem.toDS(), n = 2, threshold = 0.5,
+        initialIndex = Some(idx))
+      .writeStream.format("memory").queryName("sd_seeded").outputMode("append").start()
+    mem.addData(batchDocs: _*)
+    q.processAllAvailable()
+    val got = sp.sql("SELECT DISTINCT doc_id, match_id, jaccard FROM sd_seeded WHERE match_id < 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == expected, s"streaming=$got batch=$expected")
+  }
 }
