@@ -94,6 +94,14 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- X11: per-dimension embedding data card (drift check before
+    //      indexing). The gate runs the sorted-fold path; plain
+    //      avg/stddev_pop is the bounded-state library default.
+    "x11_embedding_stats" -> ((s, dir) => {
+      Cosine.dimStats(Tables.embeddings(s, dir), "embedding", sorted = true)
+        .orderBy(col("dim"))
+    }),
+
     // ---- X9: product-quantization codes — 8 subspaces × 4 sign bits,
     //      map-side, 256 B float vector → 4 B of codes (serialized csv
     //      for the cross-engine comparator)
@@ -311,6 +319,23 @@ object SimilarityQueries extends QueryPack {
          |  row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY centroid_sim ASC NULLS LAST, vec_id ASC) = 1 AS keep
          |FROM m ORDER BY vec_id""".stripMargin,
+    "x11_embedding_stats" ->
+      s"""WITH $vCte,
+         |e AS (SELECT t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |g AS (SELECT dim, count(*) AS n, list_sort(list(x)) AS xs,
+         |    min(x) AS vmin, max(x) AS vmax
+         |  FROM e GROUP BY dim),
+         |s AS (SELECT dim, n, vmin, vmax,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) AS s1,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b * b) AS s2
+         |  FROM g)
+         |SELECT dim, CAST(n AS BIGINT) AS n, ROUND(s1 / n, 6) AS mean,
+         |  ROUND(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS stddev,
+         |  ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax
+         |FROM s ORDER BY dim""".stripMargin,
     "x9_pq_codes" ->
       s"""WITH $vCte
          |SELECT vec_id, ${(0 until 8).map(j =>

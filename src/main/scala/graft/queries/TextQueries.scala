@@ -455,6 +455,15 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T19: overlapping token-window chunking — the RAG/embedding
+    //      pipeline primitive (64-token windows every 48 tokens, overlap
+    //      16); map-side array fan-out, no shuffle, no UDF
+    "t19_chunk_windows" -> ((s, dir) => {
+      TextAnalysis.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+          size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- C6: corpus mixing — mT5/XLM-R alpha-sampling (temperature)
     //      reweighting: per-source factors flattening the natural token
     //      distribution toward p^0.5, realized as a deterministic
@@ -1086,6 +1095,17 @@ object TextQueries extends QueryPack {
          |SELECT id_new AS doc_id, id_old AS best_old_id, jaccard AS best_jaccard,
          |  CAST(n_dups AS BIGINT) AS n_dups
          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "t19_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents),
+        |c AS (SELECT doc_id, l, unnest(range(0,
+        |    CAST(greatest(ceil(CAST(len(l) - 64 AS DOUBLE) / 48), 0) AS BIGINT) + 1))
+        |    AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(l[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS chunk,
+        |  least(CAST(64 AS BIGINT), len(l) - chunk_idx * 48) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "c7_curation_v2" ->
       s"""WITH $shinglesCte,
          |bk AS (SELECT doc_id,

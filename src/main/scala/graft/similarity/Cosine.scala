@@ -176,6 +176,43 @@ object Cosine {
         round(col("d2"), 6).as("dist_sq"))
   }
 
+  /** Per-dimension embedding data card: n, mean, population stddev, min,
+    * max for every vector dimension — the drift/quality check an
+    * embedding pipeline runs per shard before indexing (a shifted mean or
+    * collapsed variance on one dimension is the classic symptom of an
+    * encoder regression). One posexplode + one combine-enabled
+    * aggregation; 64 output rows at any corpus size.
+    *
+    * `sorted = true` folds sums over the SORTED per-dim values (state
+    * linear in corpus/dim-count — the oracle-gate path, bit-reproducible
+    * by an external engine doing the same fold); the default uses plain
+    * avg/stddev_pop (bounded state, last-ulp topology drift — the 100 TB
+    * configuration), mirroring the [[cellCentroids]] split. */
+  def dimStats(corpus: DataFrame, vecCol: String,
+               sorted: Boolean = false): DataFrame = {
+    val exploded = corpus.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+    val base =
+      if (!sorted)
+        exploded.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"), avg(col("x")).as("mean"),
+            stddev_pop(col("x")).as("sd"), min(col("x")).as("vmin"),
+            max(col("x")).as("vmax"))
+      else
+        exploded.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"), collect_list(col("x")).as("xs"),
+            min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+          .withColumn("s1", aggregate(sort_array(col("xs")), lit(0.0), _ + _))
+          .withColumn("s2", aggregate(sort_array(col("xs")), lit(0.0),
+            (a, x) => a + x * x))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("sd",
+            sqrt(greatest(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+              lit(0.0))))
+    base.select((col("pos") + 1).cast("long").as("dim"), col("n"),
+      round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("stddev"),
+      round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"))
+  }
+
   /** Product-quantization CODES (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): the vector is split into `nSub`
     * contiguous subvectors of `subDim` dims; each subvector is quantized

@@ -160,6 +160,31 @@ object TextAnalysis {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlPattern = "https?://[^\\s]+"
 
+  /** Overlapping token-window chunking — the RAG / embedding-pipeline
+    * primitive: each document becomes ⌈n/stride⌉ windows of up to `size`
+    * tokens, starting every `stride` tokens (overlap = size − stride).
+    * Output one row per (doc, chunk): chunk_idx, chunk text, token count.
+    * Entirely map-side (array expressions + one explode): no shuffle, no
+    * UDF — the corpus-sized fan-out happens inside the scan stage, and
+    * the output is `size/stride`× the input rows at any scale. */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, size: Int,
+                   stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = tokens(col(textCol))
+    val nChunks = greatest(ceil((org.apache.spark.sql.functions.size(toks) - size)
+      .cast("double") / stride).cast("long"), lit(0L)) + 1
+    val chunks = transform(sequence(lit(0L), nChunks - 1), i =>
+      struct(i.as("chunk_idx"),
+        concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(size))).as("chunk"),
+        least(lit(size.toLong),
+          org.apache.spark.sql.functions.size(toks).cast("long") - i * stride)
+          .as("n_tokens")))
+    docs.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
+  }
+
   /** Temperature-based corpus mixing (the mT5 / XLM-R "alpha sampling"
     * reweighting, Xue et al. 2021 §3.1): per-source sampling factors that
     * move the natural token distribution p_s toward the flattened target
