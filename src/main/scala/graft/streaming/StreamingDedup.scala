@@ -138,6 +138,73 @@ object StreamingDedup {
     }
   }
 
+  case class Vec(vec_id: Long, embedding: Array[Float])
+  case class NearVec(vec_id: Long, match_id: Long, sim: Double)
+  /** One SRP bucket's memory: vectors (as doubles) with precomputed
+    * squared norms. */
+  case class BucketVec(vec_id: Long, v: Array[Double], nsq: Double)
+
+  /** Streaming embedding near-dup detection — the incremental twin of the
+    * batch SRP pair scan ([[graft.similarity.Cosine.srpPairs]] / x3):
+    * each arriving vector is bucketed by the sign bits of the SAME
+    * deterministic hyperplane projections the batch operator uses
+    * (identical constants ⇒ identical buckets ⇒ identical candidate
+    * semantics), and cosine-verified against the vectors already in its
+    * bucket. Emits one pair row per (new, earlier) near-dup.
+    *
+    * Determinism: projections and cosines fold left-to-right in double,
+    * exactly like the batch `dot_product` kernel, so the spec can assert
+    * streaming ≡ batch down to the similarity values. Scale: state is
+    * sharded by bucket (2^nPlanes keys; add planes as the corpus grows —
+    * same knob as batch SRP); per-bucket state holds the bucket's
+    * vectors, which is what the batch join reads per candidate too. */
+  def srpCandidates(vecs: Dataset[Vec], threshold: Double,
+                    nPlanes: Int, dim: Int): Dataset[NearVec] = {
+    import vecs.sparkSession.implicits._
+    val planes: Array[Array[Double]] =
+      graft.similarity.Cosine.hyperplanes(nPlanes, dim).map(_.toArray).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val keyed = vecs.map { r =>
+      val v = r.embedding.map(_.toDouble)
+      var bucket = 0L
+      planes.zipWithIndex.foreach { case (h, i) =>
+        if (dot(v, h) > 0) bucket |= (1L << i)
+      }
+      (bucket, r.vec_id, v)
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[BucketVec], NearVec](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Array[Double])],
+         state: GroupState[List[BucketVec]]) =>
+          val ordered = rows.map { case (_, id, v) => BucketVec(id, v, dot(v, v)) }
+            .toSeq.sortBy(_.vec_id)
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearVec]
+          ordered.foreach { d =>
+            seen.foreach { p =>
+              if (p.vec_id != d.vec_id) {
+                val denom = math.sqrt(d.nsq) * math.sqrt(p.nsq)
+                if (denom != 0.0) {
+                  val sim = dot(d.v, p.v) / denom
+                  if (sim >= threshold)
+                    out += NearVec(d.vec_id, p.vec_id,
+                      BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                        .toDouble)
+                }
+              }
+            }
+            seen = d :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** SimHash near-dup candidates over the stream: one row per
     * (new doc, earlier doc) pair within `maxDist`, verified by exact
     * Hamming distance inside the bucket state. */

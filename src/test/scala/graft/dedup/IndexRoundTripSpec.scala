@@ -40,4 +40,22 @@ class IndexRoundTripSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("IVF centroid table round-trips through parquet: assignment identical") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.similarity.Cosine.cellCentroidsSorted(emb, "label", "embedding")
+    val fresh = graft.similarity.Cosine.assignToCentroids(
+      emb, "vec_id", "embedding", cents, "label").orderBy("vec_id").collect().toSeq
+    assert(fresh.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      cents.write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val viaStore = graft.similarity.Cosine.assignToCentroids(
+        emb, "vec_id", "embedding", stored, "label").orderBy("vec_id").collect().toSeq
+      assert(viaStore == fresh, "stored-centroid assignment diverged")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -102,6 +102,30 @@ class StreamingDedupSpec extends SparkSpec {
       s"diff=${(got diff batch) ++ (batch diff got)}")
   }
 
+  test("streaming SRP embedding dedup equals the batch x3 pair scan on real vectors") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val embDf = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val batch = graft.similarity.Cosine.srpPairs(embDf, "vec_id", "embedding",
+        threshold = 0.3, nPlanes = 4, dim = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "corpus must contain SRP near-dup pairs at 0.3")
+    val vecs = embDf.select("vec_id", "embedding").collect()
+      .map(r => StreamingDedup.Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val mem = MemoryStream[StreamingDedup.Vec]
+    val q = StreamingDedup.srpCandidates(mem.toDS(), threshold = 0.3,
+        nPlanes = 4, dim = 64)
+      .writeStream.format("memory").queryName("sd_srp").outputMode("append").start()
+    vecs.grouped(17).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    // ids arrive in order, so (match_id, vec_id) is the batch's (id_a < id_b)
+    val got = sp.sql("SELECT match_id, vec_id, sim FROM sd_srp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == batch, s"streaming=${got.size} batch=${batch.size} " +
+      s"diff=${(got diff batch) ++ (batch diff got)}")
+  }
+
   test("snapshot-seeded streaming state reproduces batch cross-snapshot dedup") {
     val sp = spark; import sp.implicits._
     implicit val sc = sp.sqlContext
