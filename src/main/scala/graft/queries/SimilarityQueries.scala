@@ -102,6 +102,28 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // ---- X12: ANN recall evaluation — IVF top-k (x4) measured against
+    //      brute-force truth (x1) per query: the acceptance check a
+    //      pipeline runs before trusting an index. Both sides are the
+    //      already-gated operators; the metric is one join + count.
+    "x12_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Cosine.ivfTopK(queries, emb, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+        .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
+          Seq("query_id"), "right")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("n_exact"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_exact"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- X9: product-quantization codes — 8 subspaces × 4 sign bits,
     //      map-side, 256 B float vector → 4 B of codes (serialized csv
     //      for the cross-engine comparator)
@@ -319,6 +341,40 @@ object SimilarityQueries extends QueryPack {
          |  row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY centroid_sim ASC NULLS LAST, vec_id ASC) = 1 AS keep
          |FROM m ORDER BY vec_id""".stripMargin,
+    "x12_ann_recall" ->
+      s"""WITH $vCte,
+         |esims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM esims) WHERE rank <= 5),
+         |asims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM asims) WHERE rank <= 5),
+         |ov AS (SELECT e.query_id, count(*) AS n_overlap
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+         |SELECT ex.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
+         |FROM ex LEFT JOIN ov ON ov.query_id = ex.query_id
+         |ORDER BY ex.query_id""".stripMargin,
     "x11_embedding_stats" ->
       s"""WITH $vCte,
          |e AS (SELECT t.i AS dim, emb[t.i] AS x

@@ -126,6 +126,46 @@ class StreamingDedupSpec extends SparkSpec {
       s"diff=${(got diff batch) ++ (batch diff got)}")
   }
 
+  test("LSH bucket state survives a checkpointed restart and matches batch truth") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val chk = java.nio.file.Files.createTempDirectory("graft-lsh-chk")
+    try {
+      val mem = MemoryStream[StreamingDedup.Doc]
+      var emitted = Vector.empty[(Long, Long, Double)]
+      def start() =
+        StreamingDedup.minhashCandidates(mem.toDS(), n = 2, threshold = 0.5)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", chk.toString)
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[StreamingDedup.NearDupJ], _: Long) =>
+              emitted = emitted ++ df.collect()
+                .map(p => (p.doc_id, p.match_id, p.jaccard))
+          }.start()
+      val b1 = Seq(
+        StreamingDedup.Doc(1L, "the quick brown fox jumps over the lazy dog near the river today"),
+        StreamingDedup.Doc(2L, "completely different content about spark plans and shuffles here"))
+      val b2 = Seq(
+        StreamingDedup.Doc(10L, "the quick brown fox jumps over the lazy dog near the river forever"),
+        StreamingDedup.Doc(11L, "nothing else here resembles anything sent in an earlier batch"))
+      val q1 = start()
+      mem.addData(b1: _*); q1.processAllAvailable(); q1.stop()
+      emitted = Vector.empty // isolate the restarted run
+      val q2 = start()
+      mem.addData(b2: _*); q2.processAllAvailable(); q2.stop()
+      // doc 10 pairs with doc 1 from BATCH 1 — possible only if the
+      // bucket state (including doc 1's shingle set) was recovered from
+      // the checkpoint: the restarted query never re-reads batch 1
+      val got = emitted.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+      val batch = graft.dedup.MinHash.nearDuplicates(
+          (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", n = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.exists { case (a, _, _) => a == 1L }, "fixture needs a cross-batch pair")
+      assert(got == batch, s"restarted stream=$got batch=$batch")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(chk.toFile)
+  }
+
   test("snapshot-seeded streaming state reproduces batch cross-snapshot dedup") {
     val sp = spark; import sp.implicits._
     implicit val sc = sp.sqlContext
