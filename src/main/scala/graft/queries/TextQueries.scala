@@ -464,6 +464,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- T20: REAL BPE tokenization — merges learned from the corpus's
+    //      own word histogram (one vocabulary-sized aggregation, then
+    //      driver-side pair merging, the shape production BPE trainers
+    //      use), encoding map-side under broadcast ranks. Iterative merge
+    //      learning is not SQL-expressible, so this query is rows-only at
+    //      the driver gate; `BpeSpec` carries the correctness load
+    //      (hand-derived merge sequence, round-trip, unseen-word
+    //      segmentation, distributed≡local training).
+    "t20_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 64)
+      graft.text.Bpe.encode(s, docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- C6: corpus mixing — mT5/XLM-R alpha-sampling (temperature)
     //      reweighting: per-source factors flattening the natural token
     //      distribution toward p^0.5, realized as a deterministic
