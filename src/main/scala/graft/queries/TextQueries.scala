@@ -464,6 +464,15 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- T21: interpolated BIGRAM cross-entropy — t18 upgraded one
+    //      order toward the KenLM model CCNet uses: per-transition
+    //      p(w2|w1) = λ·p_bi + (1−λ)·p_uni, both add-one-smoothed on the
+    //      train split; single-token docs fall back to the unigram score
+    "t21_bigram_logprob" -> ((s, dir) => {
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T20: REAL BPE tokenization — merges learned from the corpus's
     //      own word histogram (one vocabulary-sized aggregation, then
     //      driver-side pair merging, the shape production BPE trainers
@@ -1168,8 +1177,9 @@ object TextQueries extends QueryPack {
          |      / (vtot.tot + vtot.v + 1)) * 1000000, 0) AS BIGINT) AS logp_micro
          |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN vtot),
          |xe AS (SELECT doc_id,
-         |    ROUND(-CAST(CAST(sum(logp_micro * tf) AS BIGINT) AS DOUBLE)
-         |      / (CAST(sum(tf) AS BIGINT) * 1000000), 6) AS xent
+         |    CAST((2 * (-CAST(sum(logp_micro * tf) AS BIGINT))
+         |        + CAST(sum(tf) AS BIGINT))
+         |      // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent
          |  FROM scored GROUP BY doc_id),
          |thr AS (SELECT quantile_cont(xent, 0.9) AS thr FROM xe),
          |perdoc AS (SELECT doc_id, source,
@@ -1223,6 +1233,61 @@ object TextQueries extends QueryPack {
         |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
         |FROM perdoc p JOIN f USING (source) ORDER BY p.doc_id""".stripMargin,
+    "t21_bigram_logprob" -> {
+      val lamM = math.round(0.7 * 1000) // λ in thousandths — exact integers
+      val lamC = 1000L - lamM
+      s"""WITH bt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+         |  FROM documents),
+         |pr0 AS (SELECT doc_id,
+         |    unnest([{'w1': l[i], 'w2': l[i+1]} for i in range(1, len(l))]) AS p
+         |  FROM bt),
+         |pr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr0),
+         |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pr GROUP BY 1, 2, 3),
+         |lm2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2
+         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
+         |  GROUP BY w1, w2),
+         |lm1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM lm2 GROUP BY w1),
+         |uni AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cu FROM lm2 GROUP BY w2),
+         |btot AS (SELECT CAST(sum(cu) AS BIGINT) AS tot,
+         |  CAST(count(*) AS BIGINT) AS v FROM uni),
+         |sc AS (SELECT tf2.doc_id, tf2.tf,
+         |    CAST(ROUND(ln(
+         |      CAST($lamM * (coalesce(lm2.c2, 0) + 1) * (btot.tot + btot.v + 1)
+         |         + $lamC * (coalesce(uni.cu, 0) + 1)
+         |           * (coalesce(lm1.c1, 0) + btot.v + 1) AS DOUBLE)
+         |      / CAST(1000 * (coalesce(lm1.c1, 0) + btot.v + 1)
+         |             * (btot.tot + btot.v + 1) AS DOUBLE)) * 1000000, 0)
+         |      AS BIGINT) AS lm
+         |  FROM tf2 LEFT JOIN lm2 USING (w1, w2) LEFT JOIN lm1 USING (w1)
+         |  LEFT JOIN uni ON uni.w2 = tf2.w2 CROSS JOIN btot),
+         |bg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+         |    CAST((2 * (-CAST(sum(lm * tf) AS BIGINT)) + CAST(sum(tf) AS BIGINT))
+         |      // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent2
+         |  FROM sc GROUP BY doc_id),
+         |ut AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |utf AS (SELECT doc_id, token, count(*) AS tf FROM ut GROUP BY doc_id, token),
+         |uvocab AS (SELECT token, sum(tf) AS cnt FROM utf
+         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
+         |  GROUP BY token),
+         |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |  CAST(count(*) AS BIGINT) AS v FROM uvocab),
+         |usc AS (SELECT utf.doc_id, utf.tf,
+         |    CAST(ROUND(ln(CAST(coalesce(uvocab.cnt, 0) + 1 AS DOUBLE)
+         |      / (utot.tot + utot.v + 1)) * 1000000, 0) AS BIGINT) AS lm
+         |  FROM utf LEFT JOIN uvocab USING (token) CROSS JOIN utot),
+         |uxe AS (SELECT doc_id,
+         |    CAST((2 * (-CAST(sum(lm * tf) AS BIGINT)) + CAST(sum(tf) AS BIGINT))
+         |      // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent
+         |  FROM usc GROUP BY doc_id)
+         |SELECT u.doc_id, coalesce(bg.n_transitions, 0) AS n_transitions,
+         |  coalesce(bg.xent2, u.xent) AS xent2
+         |FROM uxe u LEFT JOIN bg ON bg.doc_id = u.doc_id
+         |ORDER BY u.doc_id""".stripMargin
+    },
     "t18_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -1240,7 +1305,8 @@ object TextQueries extends QueryPack {
         |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
-        |  ROUND(-CAST(CAST(sum(logp_micro * tf) AS BIGINT) AS DOUBLE)
-        |    / (CAST(sum(tf) AS BIGINT) * 1000000), 6) AS xent
+        |  CAST((2 * (-CAST(sum(logp_micro * tf) AS BIGINT))
+        |      + CAST(sum(tf) AS BIGINT))
+        |    // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

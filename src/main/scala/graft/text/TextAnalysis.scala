@@ -160,6 +160,85 @@ object TextAnalysis {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlPattern = "https?://[^\\s]+"
 
+  /** Interpolated bigram cross-entropy — [[unigramLogProb]] upgraded one
+    * order toward the KenLM model CCNet actually uses: each transition
+    * scores p(w_i | w_{i-1}) = λ·p_bigram + (1−λ)·p_unigram (Jelinek-
+    * Mercer interpolation), with both LMs trained on the t7 train split
+    * and add-one-smoothed; the unigram term keeps unseen transitions
+    * finite. Scored over a doc's n−1 transitions (single-token docs fall
+    * back to the unigram score of their one token).
+    *
+    * Scale shape: bigrams are built MAP-SIDE from the token array (no
+    * self-join), then one (doc, w1, w2) combine-enabled aggregation; the
+    * bigram LM is a Zipf-bounded count frame joined on (w1, w2) and the
+    * unigram LM on w1/w2 — all vocabulary-shaped, AQE-broadcast at
+    * harness scale, ordinary shuffle joins at corpus scale. Per-
+    * transition log-probs are integer micro-nats (see [[unigramLogProb]]
+    * for why), so per-doc sums are exact and engine-independent. */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, lambda: Double = 0.7,
+                    trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    // map-side adjacent pairs: (w1, w2) per position; docs with < 2
+    // tokens contribute zero transitions here
+    val nm1 = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), nm1), slice(toks, lit(2), nm1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    val tf2 = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val isTrain = splitBucket(col(idCol)) < trainBucketBelow
+    // bigram LM: train-split transition counts
+    val lm2 = tf2.filter(isTrain).groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("c2"))
+    // context totals c1(w1) = Σ_w c2(w1, w), and the target-word unigram
+    // for the interpolation fallback
+    val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = lm2.groupBy(col("w2")).agg(sum(col("c2")).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("tot"), count(lit(1)).as("v"))
+    // add-one over the TARGET vocabulary in both denominators: an unseen
+    // context scores 1/(v+1) — small — instead of the degenerate 1 a
+    // fanout-based Laplace would give it.
+    // The interpolation λ·n1/d1 + (1−λ)·n2/d2 is computed as ONE exact
+    // integer rational (λ in thousandths): a float multiply-add here
+    // differs by an ulp between engines (FMA contraction) and flipped the
+    // 6th decimal on ~1e-4 of sf1 docs; with the blend exact, the only
+    // cross-engine float op left is a single ln of identical doubles.
+    // (BIGINT bounds: den = 1000·d1·d2 — fine through ~10^7-token-count
+    // LMs; a 100 TB LM lifts these four products to DECIMAL(38,0).)
+    val lamM = math.round(lambda * 1000)
+    val n1 = coalesce(col("c2"), lit(0L)) + 1
+    val d1 = coalesce(col("c1"), lit(0L)) + col("v") + 1
+    val n2 = coalesce(col("cu"), lit(0L)) + 1
+    val d2 = col("tot") + col("v") + 1
+    val num = lit(lamM) * n1 * d2 + lit(1000L - lamM) * n2 * d1
+    val den = lit(1000L) * d1 * d2
+    val logp = round(log(num.cast("double") / den.cast("double")) * 1000000, 0)
+      .cast("long")
+    val scoredPairs = tf2
+      .join(lm2, Seq("w1", "w2"), "left")
+      .join(lm1, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w2", "w2u"), col("w2") === col("w2u"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
+      .withColumn("logp_micro", logp)
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_transitions"),
+        (-sum(col("logp_micro") * col("tf"))).as("s_micro"))
+      // integer half-up rounding — see unigramLogProb for why
+      .withColumn("xent2",
+        expr("CAST((2 * s_micro + n_transitions) DIV (2 * n_transitions) AS DOUBLE) / 1000000"))
+      .drop("s_micro")
+    // every doc comes back: single-token docs carry NULL transitions and
+    // fall back to the unigram score
+    val uniDoc = unigramLogProb(docs, idCol, textCol, trainBucketBelow)
+      .select(col(idCol), col("xent"))
+    uniDoc.join(scoredPairs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("xent2"), col("xent")).as("xent2"))
+  }
+
   /** Overlapping token-window chunking — the RAG / embedding-pipeline
     * primitive: each document becomes ⌈n/stride⌉ windows of up to `size`
     * tokens, starting every `stride` tokens (overlap = size − stride).
@@ -269,13 +348,21 @@ object TextAnalysis {
     val totals = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
     val logp = round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
       (col("tot") + col("v") + 1).cast("double")) * 1000000, 0).cast("long")
+    // the 6-dp rounding happens in INTEGER micro-nats — q = ⌈S/N⌋ via
+    // (2S+N) div (2N) — because a float ROUND of S/(N·10^6) hits exact
+    // decimal midpoints whenever N divides a power of 10: Spark rounds
+    // the shortest decimal repr (half-up) while DuckDB rounds the binary
+    // double (just below the midpoint), flipping the 6th decimal. The
+    // final q/10^6 division of identical integers is engine-exact.
     tf.join(vocab, Seq("token"), "left")
       .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
       .withColumn("logp_micro", logp)
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"),
-        round(-(sum(col("logp_micro") * col("tf")).cast("double")) /
-          (sum(col("tf")) * lit(1000000L)).cast("double"), 6).as("xent"))
+        (-sum(col("logp_micro") * col("tf"))).as("s_micro"))
+      .withColumn("xent",
+        expr("CAST((2 * s_micro + n_tokens) DIV (2 * n_tokens) AS DOUBLE) / 1000000"))
+      .drop("s_micro")
   }
 }

@@ -15,6 +15,11 @@ class UnigramLogProbSpec extends SparkSpec {
   private def micro(logp: Double): Long =
     BigDecimal(logp * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
+  /** The engine's per-doc score: integer half-up of S/N micro-nats, then
+    * one exact division — mirrors unigramLogProb's DIV formulation. */
+  private def xentOf(sumMicro: Long, n: Long): Double =
+    ((2 * sumMicro + n) / (2 * n)).toDouble / 1000000
+
   test("hand-computed cross-entropy on a tiny all-train corpus") {
     val sp = spark; import sp.implicits._
     // trainBucketBelow=100 -> every doc is train, so the LM is known
@@ -27,8 +32,8 @@ class UnigramLogProbSpec extends SparkSpec {
     val lpB = micro(math.log(3.0 / 9))
     val lpC = micro(math.log(2.0 / 9))
     // per-doc sum is exact integer micro-nats; one final division
-    val want1 = round6(-(2 * lpA + 1 * lpB).toDouble / (3L * 1000000))
-    val want2 = round6(-(lpB + lpC).toDouble / (2L * 1000000))
+    val want1 = xentOf(-(2 * lpA + 1 * lpB), 3)
+    val want2 = xentOf(-(lpB + lpC), 2)
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 3L, 0L), (2L, 2L, 0L)))
     assert(out(0).getDouble(3) == want1, s"${out(0).getDouble(3)} != $want1")
@@ -54,7 +59,7 @@ class UnigramLogProbSpec extends SparkSpec {
     // LM: common:2 words:2, tot=4, V=2, denom=7
     val lpCommon = micro(math.log(3.0 / 7))
     val lpOov = micro(math.log(1.0 / 7))
-    assert(out(heldOut)._3 == round6(-(lpOov + lpCommon).toDouble / (2L * 1000000)))
+    assert(out(heldOut)._3 == xentOf(-(lpOov + lpCommon), 2))
     // the unseen token is maximally improbable: held-out doc scores worse
     assert(out(heldOut)._3 > out(train)._3)
   }
