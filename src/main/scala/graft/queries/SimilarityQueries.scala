@@ -102,6 +102,15 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // ---- X13: iterative Lloyd k-means — the full trainer whose single
+    //      step x5/x6 expose: 2 rounds of (centroids → reassign) from the
+    //      label initialization. Gate runs the sorted-fold centroid path.
+    "x13_kmeans_2iter" -> ((s, dir) => {
+      Cosine.lloydIterations(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", iters = 2, centroidFn = Cosine.cellCentroidsSorted)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- X12: ANN recall evaluation — IVF top-k (x4) measured against
     //      brute-force truth (x1) per query: the acceptance check a
     //      pipeline runs before trusting an index. Both sides are the
@@ -341,6 +350,48 @@ object SimilarityQueries extends QueryPack {
          |  row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY centroid_sim ASC NULLS LAST, vec_id ASC) = 1 AS keep
          |FROM m ORDER BY vec_id""".stripMargin,
+    "x13_kmeans_2iter" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e1 AS (SELECT label AS cell, t.i AS dim, emb[t.i] AS x
+        |       FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+        |g1 AS (SELECT cell, dim, list_sort(list(x)) AS xs, count(*) AS n
+        |       FROM e1 GROUP BY cell, dim),
+        |c1 AS (SELECT cell, dim,
+        |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |      (a, b) -> a + b) / n, 6) AS centroid
+        |  FROM g1),
+        |cv1 AS (SELECT cell, list(centroid ORDER BY dim) AS cvec FROM c1 GROUP BY cell),
+        |d1 AS (SELECT v.vec_id, cv1.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> (v.emb[i] - cv1.cvec[i]) * (v.emb[i] - cv1.cvec[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cv1),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, d2, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |e2 AS (SELECT a1.cell, t.i AS dim, v.emb[t.i] AS x
+        |       FROM v JOIN a1 USING (vec_id),
+        |            (SELECT unnest(range(1, 65)) AS i) t),
+        |g2 AS (SELECT cell, dim, list_sort(list(x)) AS xs, count(*) AS n
+        |       FROM e2 GROUP BY cell, dim),
+        |c2 AS (SELECT cell, dim,
+        |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |      (a, b) -> a + b) / n, 6) AS centroid
+        |  FROM g2),
+        |cv2 AS (SELECT cell, list(centroid ORDER BY dim) AS cvec FROM c2 GROUP BY cell),
+        |d2r AS (SELECT v.vec_id, cv2.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> (v.emb[i] - cv2.cvec[i]) * (v.emb[i] - cv2.cvec[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cv2)
+        |SELECT vec_id, cell AS assigned_cell, ROUND(d2, 6) AS dist_sq FROM (
+        |  SELECT vec_id, cell, d2, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d2r)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "x12_ann_recall" ->
       s"""WITH $vCte,
          |esims AS (

@@ -176,6 +176,39 @@ object Cosine {
         round(col("d2"), 6).as("dist_sq"))
   }
 
+  /** Iterative Lloyd k-means over the IVF building blocks: each round is
+    * [[cellCentroids]] (or the sorted-fold gate path) followed by
+    * [[assignToCentroids]] — the full trainer whose single step x5/x6
+    * expose. Initialization is the supplied coarse cell column (label
+    * here; hash buckets in general). Cells that lose every member simply
+    * drop out of the next round's centroid table, the standard Lloyd
+    * behavior.
+    *
+    * Scale: each round is one combine-enabled aggregation (centroids:
+    * k·dim rows) plus one broadcast map-side assignment — the corpus
+    * shuffles ZERO times per round (the groupBy keys on a map-side-derived
+    * cell). For many rounds insert a `localCheckpoint` every few
+    * iterations exactly as [[graft.dedup.Clusters]] does for its label-
+    * propagation loop (the gated 2-iteration form doesn't need it). */
+  def lloydIterations(corpus: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, iters: Int,
+                      centroidFn: (DataFrame, String, String) => DataFrame =
+                        cellCentroids): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    val base = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    var cur = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"),
+      col(cellCol).as("cell"))
+    var out: DataFrame = null
+    (0 until iters).foreach { _ =>
+      val cents = centroidFn(cur.select(col("cell"), col("v")), "cell", "v")
+      out = assignToCentroids(base.withColumnRenamed("v", "emb"), idCol, "emb",
+        cents, "cell")
+      cur = out.select(col(idCol), col("assigned_cell").as("cell"))
+        .join(base, Seq(idCol))
+    }
+    out.orderBy(col(idCol))
+  }
+
   /** Per-dimension embedding data card: n, mean, population stddev, min,
     * max for every vector dimension — the drift/quality check an
     * embedding pipeline runs per shard before indexing (a shifted mean or
