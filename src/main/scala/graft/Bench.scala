@@ -80,6 +80,13 @@ object Bench {
       // than the whole suite, so 100+ queries' shuffle dirs pile up on
       // disk (judge r04: c1 inflated 4-6× in-suite vs isolated)
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Spark 4's HybridAnalyzer tentatively dual-runs the new single-pass
+      // resolver and LOGS its failures at ERROR with a full stack even
+      // when the fixed-point analyzer then succeeds — on the s4 fixture's
+      // glob read this prints a spurious FileNotFoundException per fresh
+      // fixture dir. Benign, but indistinguishable from a real crash in
+      // the bench log; run the stable analyzer only.
+      .config("spark.sql.analyzer.singlePassResolver.enabledTentatively", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Releasing a localCheckpoint'ed frontier (Clusters.releaseCheckpoint,
@@ -92,6 +99,15 @@ object Bench {
     // ERROR for the bench run so the tail stays readable.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // Reading ANY glob path makes FileStreamSink probe it for streaming-
+    // sink metadata; the stat of a glob throws, and Spark WARNs with a
+    // full FileNotFoundException stack ("Assume no metadata directory")
+    // before proceeding normally — a benign probe indistinguishable from
+    // a crash in the log tail (s4's fixture glob triggers it per fresh
+    // dir). Same treatment as the RDD logger above.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     // SPARK_GRAFT_ONLY=d3_minhash_lsh,d5_dedup_clusters → time just those
     // (local iteration aid; driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

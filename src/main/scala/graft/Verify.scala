@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // silence the HybridAnalyzer's tentative-resolver failure stacks
+      // (see Bench.scala) so the verify log stays readable
+      .config("spark.sql.analyzer.singlePassResolver.enabledTentatively", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

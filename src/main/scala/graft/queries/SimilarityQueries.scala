@@ -102,6 +102,17 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // ---- X14: IVFADC — the composed production ANN shape: IVF cell
+    //      pruning bounds WHICH vectors are scored, PQ reconstruction
+    //      bounds WHAT is read per candidate. Gate runs the sorted-fold
+    //      codebook, as with x10.
+    "x14_ivfadc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.ivfAdcTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", "label", k = 5, centroidFn = Cosine.cellCentroidsSorted)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- X13: iterative Lloyd k-means — the full trainer whose single
     //      step x5/x6 expose: 2 rounds of (centroids → reassign) from the
     //      label initialization. Gate runs the sorted-fold centroid path.
@@ -448,6 +459,37 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, ${(0 until 8).map(j =>
              s"CAST((${pqBucketSql(j)}) AS VARCHAR)").mkString(" || ',' || ")} AS codes
          |FROM v ORDER BY vec_id""".stripMargin,
+    "x14_ivfadc_topk" ->
+      s"""WITH $vCte,
+         |codes AS (SELECT vec_id, emb,
+         |    [${(0 until 8).map(pqBucketSql).mkString(", ")}] AS cs
+         |  FROM v),
+         |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv,
+         |    cs[t.j+1] AS code
+         |  FROM codes, (SELECT unnest(range(0, 8)) AS j) t),
+         |e AS (SELECT j, code, d.i AS dim, subv[d.i] AS x
+         |      FROM sub, (SELECT unnest(range(1, 9)) AS i) d),
+         |g AS (SELECT j, code, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+         |      FROM e GROUP BY j, code, dim),
+         |cw AS (SELECT j, code, dim,
+         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) / cnt, 6) AS c
+         |  FROM g),
+         |cwv AS (SELECT j, code, list(c ORDER BY dim) AS cvec FROM cw GROUP BY j, code),
+         |recon AS (SELECT s.vec_id, flatten(list(cwv.cvec ORDER BY s.j)) AS rv
+         |  FROM sub s JOIN cwv ON cwv.j = s.j AND cwv.code = s.code
+         |  GROUP BY s.vec_id),
+         |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+         |  FROM v q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  JOIN recon r ON r.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id, rank, neighbor_id, adc_sim FROM (
+         |  SELECT query_id, neighbor_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x10_pq_adc_topk" ->
       s"""WITH $vCte,
          |codes AS (SELECT vec_id, emb,

@@ -329,6 +329,44 @@ object Cosine {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_sim"))
   }
 
+  /** IVFADC search (Jégou et al. 2011 §IV): the composed production ANN
+    * shape — IVF cell pruning bounds WHICH vectors are scored (per-query
+    * work ∝ probed cell size, like [[ivfTopK]]) and PQ asymmetric
+    * distance bounds WHAT is read per candidate (codes + one broadcast
+    * codebook instead of raw floats, like [[pqAdcTopK]]). The corpus's
+    * raw vectors appear only in codebook training; search touches codes.
+    *
+    * Plan: same equi-join-on-cell skeleton as [[ivfTopK]] with the
+    * reconstruction substituted for the stored vector — broadcast
+    * codebook map, zero extra shuffles. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, cellCol: String, k: Int,
+                 nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                 centroidFn: (DataFrame, String, String) => DataFrame =
+                   cellCentroids): DataFrame = {
+    val book = pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn)
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cw"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("cell"), col("cw"))))).as("book"))
+    val recon = flatten(transform(sequence(lit(0), lit(nSub - 1)),
+      j => element_at(col("book"),
+        (j * (1 << nPlanes) + element_at(col("codes"), j + 1)).cast("long"))))
+    val c = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+      .join(corpus.select(col(idCol), col(cellCol)), idCol)
+      .crossJoin(broadcast(book))
+      .select(col(cellCol), col(idCol).as("neighbor_id"), recon.as("rv"))
+    val q = queries.select(col(cellCol), col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val sims = q.join(c, Seq(cellCol)).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_sim", round(dot(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering embeddings then pruning within-cluster near-duplicate
     * groups, KEEPING the member LEAST similar to its cluster centroid —

@@ -65,6 +65,20 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC: cell pruning bounds candidates, ADC scores them") {
+    val labeled = clustered.withColumn("label",
+      (col("vec_id") / 100).cast("int"))
+    val queries = labeled.filter(col("vec_id") % 100 === 0)
+    val top = Cosine.ivfAdcTopK(queries, labeled, "vec_id", "embedding",
+      "label", k = 3).collect()
+    assert(top.nonEmpty)
+    // the cell join admits only same-cell candidates by construction —
+    // every retrieved neighbor shares the query's cluster at every rank
+    top.foreach { r =>
+      assert(r.getLong(0) / 100 == r.getLong(2) / 100, r.toString)
+    }
+  }
+
   test("plain-avg and sorted-fold codebooks agree after rounding on this corpus") {
     val a = Cosine.pqCodebook(clustered, "vec_id", "embedding",
       centroidFn = Cosine.cellCentroids).orderBy("cell", "dim").collect()
