@@ -32,6 +32,34 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("greedy encode equals the apply-merges-in-rank-order reference") {
+    // the obviously-correct reference: walk the merge list IN ORDER and
+    // apply each merge exhaustively — the original BPE formulation; the
+    // engine's greedy lowest-rank loop must segment identically
+    def reference(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == a && syms(i + 1) == b)
+            syms = (syms.take(i) :+ (a + b)) ++ syms.drop(i + 2)
+          else i += 1
+        }
+      }
+      syms
+    }
+    val merges = Bpe.trainFromHistogram(hist, 10)
+    val ranks = merges.zipWithIndex.toMap
+    val next = seededInts(29L)
+    val alphabet = "lowernstwid" // the training alphabet, so merges fire
+    (1 to 300).foreach { _ =>
+      val w = (0 until (1 + next(10)))
+        .map(_ => alphabet(next(alphabet.length))).mkString
+      assert(Bpe.encodeWord(w, ranks) == reference(w, merges),
+        s"greedy and rank-order reference diverge on '$w'")
+    }
+  }
+
   test("distributed training equals local training on the same histogram") {
     val sp = spark; import sp.implicits._
     val docs = (hist.flatMap { case (w, c) => Seq.fill(c.toInt)(w) })
