@@ -464,6 +464,15 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- T22: Zipf rank-frequency data card — least-squares slope of
+    //      log count over log rank (natural language sits near −1; far
+    //      from it flags template/machine text), with vocab size, token
+    //      total, and top-token share. Milli-fixed logs → exact integer
+    //      regression sums → engine-exact slope.
+    "t22_zipf_card" -> ((s, dir) => {
+      TextAnalysis.zipfCard(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // ---- T21: interpolated BIGRAM cross-entropy — t18 upgraded one
     //      order toward the KenLM model CCNet uses: per-transition
     //      p(w2|w1) = λ·p_bi + (1−λ)·p_uni, both add-one-smoothed on the
@@ -1233,6 +1242,29 @@ object TextQueries extends QueryPack {
         |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
         |FROM perdoc p JOIN f USING (source) ORDER BY p.doc_id""".stripMargin,
+    "t22_zipf_card" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |rk AS (SELECT c, token,
+        |    row_number() OVER (ORDER BY c DESC, token ASC) AS r FROM cnt),
+        |m AS (SELECT c,
+        |    CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000, 0) AS BIGINT) AS x,
+        |    CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT) AS y
+        |  FROM rk),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c) AS BIGINT) AS total_tokens,
+        |    CAST(max(c) AS BIGINT) AS top_count,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM m)
+        |SELECT vocab, total_tokens,
+        |  ROUND(CAST(top_count AS DOUBLE) / total_tokens, 6) AS top_share,
+        |  ROUND((CAST(vocab AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(vocab AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |    AS zipf_slope
+        |FROM s""".stripMargin,
     "t21_bigram_logprob" -> {
       val lamM = math.round(0.7 * 1000) // λ in thousandths — exact integers
       val lamC = 1000L - lamM

@@ -160,6 +160,51 @@ object TextAnalysis {
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val urlPattern = "https?://[^\\s]+"
 
+  /** Zipf rank-frequency data card: the least-squares slope of
+    * log(count) over log(rank) across the vocabulary — natural-language
+    * corpora sit near −1 (Zipf's law); a slope far from it flags
+    * template/machine-generated or truncated text — plus the vocabulary
+    * size, token total, and top-token share.
+    *
+    * Scale shape: one token-count aggregation (vocabulary-sized), one
+    * window for ranks (partitioned arbitrarily? no — a single global
+    * order over the VOCABULARY frame, which is Zipf-bounded, not
+    * corpus-bounded), and one scalar aggregation for the regression
+    * sums.
+    *
+    * Determinism: log(rank) and log(count) are fixed to MILLI-nat longs;
+    * the regression sums are then exact integers, and the closed-form
+    * slope is evaluated with the same operand order on both engines
+    * (products of identical exact integers in double — identical
+    * doubles), so the one rounded output is engine-exact. */
+  def zipfCard(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // single-value non-foldable partition key: silences the
+    // "No Partition Defined" warning without changing ranks (all rows
+    // share key 0) — same device as o3, see MiscQueries.o3_global_topk
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c") % lit(1))
+      .orderBy(col("c").desc, col("token").asc)
+    val ranked = counts.withColumn("r", row_number().over(w))
+      .select(col("c"),
+        round(log(col("r").cast("double")) * 1000, 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1000, 0).cast("long").as("y"))
+    ranked.agg(count(lit(1)).as("vocab"), sum(col("c")).as("total_tokens"),
+        max(col("c")).as("top_count"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("vocab"), col("total_tokens"),
+        round(col("top_count").cast("double") / col("total_tokens"), 6)
+          .as("top_share"),
+        round((col("vocab").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+          (col("vocab").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")), 6).as("zipf_slope"))
+  }
+
   /** Interpolated bigram cross-entropy — [[unigramLogProb]] upgraded one
     * order toward the KenLM model CCNet actually uses: each transition
     * scores p(w_i | w_{i-1}) = λ·p_bigram + (1−λ)·p_unigram (Jelinek-

@@ -102,6 +102,39 @@ class StreamingDedupSpec extends SparkSpec {
       s"diff=${(got diff batch) ++ (batch diff got)}")
   }
 
+  test("streaming LSH equals batch d3 on randomized corpora (property sweep)") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    Seq(3L, 17L, 101L).foreach { seed =>
+      val next = seededInts(seed)
+      // ~50 docs over a small vocabulary with planted near-copies: every
+      // 4th doc is a 1-token mutation of the previous one
+      val docs = scala.collection.mutable.ArrayBuffer.empty[StreamingDedup.Doc]
+      (0 until 50).foreach { i =>
+        val text =
+          if (i % 4 == 1 && docs.nonEmpty) {
+            val prev = docs(i - 1).text.split(" ")
+            prev.updated(next(prev.length), s"mut${next(100)}").mkString(" ")
+          } else (0 until (6 + next(8))).map(_ => s"w${next(30)}").mkString(" ")
+        docs += StreamingDedup.Doc(i.toLong, text)
+      }
+      val batch = graft.dedup.MinHash.nearDuplicates(
+          docs.toSeq.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", n = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mem = MemoryStream[StreamingDedup.Doc]
+      val q = StreamingDedup.minhashCandidates(mem.toDS(), n = 2, threshold = 0.5)
+        .writeStream.format("memory").queryName(s"sd_prop_$seed")
+        .outputMode("append").start()
+      docs.grouped(11).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = sp.sql(s"SELECT DISTINCT match_id, doc_id, jaccard FROM sd_prop_$seed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      q.stop()
+      assert(batch.nonEmpty, s"seed $seed produced no near-dups")
+      assert(got == batch, s"seed $seed: streaming ${got.size} vs batch ${batch.size}")
+    }
+  }
+
   test("streaming SRP embedding dedup equals the batch x3 pair scan on real vectors") {
     val sp = spark; import sp.implicits._
     implicit val sc = sp.sqlContext
