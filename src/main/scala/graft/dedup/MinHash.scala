@@ -326,7 +326,7 @@ object MinHash {
     import org.apache.spark.sql.functions._
     val sh = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
     val row = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-      .agg(expr(s"approx_percentile(df, $q)")).head
+      .agg(expr(s"approx_percentile(df, $q)")).head()
     // zero shingles (empty corpus / all docs shorter than n) → NULL agg
     if (row.isNullAt(0)) 1 else math.max(1L, row.getLong(0)).toInt
   }

@@ -59,7 +59,7 @@ object DescriptionIngest {
       .filter(size(col("page")) > 0 && size(col("bullet_points")) > 0 &&
         size(col("categories")) > 0)
     validated.select(col("vendor_id") +: col("api_reference") +:
-      outputSchema.fieldNames.map(col(_)): _*)
+      outputSchema.fieldNames.toIndexedSeq.map(col(_)): _*)
   }
 
   /** Full ingest: join the validated outputs to the server inventory
@@ -74,6 +74,6 @@ object DescriptionIngest {
         broadcast(servers.select(col("vendor_id"), col("server_id"), col("api_reference"))),
         Seq("vendor_id", "api_reference"))
       .select(col("vendor_id") +: col("server_id") +:
-        outputSchema.fieldNames.map(col(_)): _*)
+        outputSchema.fieldNames.toIndexedSeq.map(col(_)): _*)
   }
 }

@@ -46,7 +46,7 @@ object AsOf {
         .drop(rightTs)) {
       case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

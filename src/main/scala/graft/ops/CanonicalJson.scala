@@ -128,7 +128,7 @@ object CanonicalJson {
         case x => x
       })
     }
-    ListMap(fields.sortBy(_._1): _*)
+    ListMap(fields.sortBy(_._1).toIndexedSeq: _*)
   }
 
   def sha1Hex(s: String): String =
