@@ -184,10 +184,18 @@ object MinHash {
     * a streaming decision can be compared 1:1 against the batch pipeline
     * (`MinHashScalarSpec` pins the parity on real corpus data). */
   object Scalar {
-    /** Whitespace tokens of the trimmed text (trim ⇒ no leading/trailing
-      * empties; `\s+` ⇒ no internal empties; "" ⇒ one empty token —
-      * matching `split(trim(text), "\\s+")`). */
-    def tokens(text: String): Array[String] = text.trim.split("\\s+")
+    /** Whitespace tokens matching `split(trim(text), "\\s+")` EXACTLY:
+      * Spark's `trim` strips only the space character (0x20) — NOT tabs
+      * or newlines, unlike Java's `String.trim` — and Spark's `split`
+      * uses limit -1, KEEPING trailing empty tokens (a doc ending in a
+      * tab yields a trailing "" token). Both differences are invisible on
+      * clean text and real divergences on tab/newline-adjacent text (the
+      * adversarial parity sweep caught the Java-trim version producing
+      * one fewer shingle). */
+    def tokens(text: String): Array[String] = {
+      val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      t.split("\\s+", -1)
+    }
 
     /** Distinct word n-grams with the <n-token partial-shingle edge case
       * of [[TextAnalysis.shingles]]. */

@@ -135,6 +135,28 @@ class MinHashSpec extends SparkSpec {
     assert(asym.nonEmpty && asym == sym, s"asym=$asym sym=$sym")
   }
 
+  test("pure-Scala kernels match the Column kernels on adversarial synthetic text") {
+    val sp = spark; import sp.implicits._
+    val next = seededInts(41L)
+    // unicode beyond ASCII, repeated/mixed whitespace, empties, 1-token
+    // docs — the tokenizer/md5 edge cases the real corpus never exercises
+    val pieces = Array("fox", "δοκιμή", "試験", "naïve", "x", "", "  ",
+      "\tword\t", "a-b.c", "émoji🙂", "ZWNJ‌join")
+    val docs = (0 until 60).map { i =>
+      val text = (0 until next(12)).map(_ => pieces(next(pieces.length)))
+        .mkString(if (i % 3 == 0) "  " else " ")
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val colShingles = MinHash.hashedShingleArray(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    docs.foreach { case (id, text) =>
+      val sh = MinHash.Scalar.hashedShingles(text, 2)
+      assert(sh.sorted.toSeq == colShingles(id).sorted.toSeq,
+        s"shingles diverge for doc $id: '$text'")
+    }
+  }
+
   test("pure-Scala kernels are value-identical to the Column kernels on real docs") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
