@@ -433,6 +433,31 @@ object TextQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- D11: winnowing-collision near-dup candidates (Schleimer et
+    //      al. 2003, the MOSS fingerprinting scheme): docs whose
+    //      winnowed min-window hash (t4) COINCIDES are candidate pairs —
+    //      an O(n) equality join on one long per doc, the cheapest
+    //      member of the dedup family (vs LSH's banding) with the
+    //      winnowing guarantee that long shared runs always collide.
+    //      Candidates are verified by exact 4-gram intersection, so a
+    //      hash collision can never produce a false pair.
+    "d11_winnow_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val f = docs.select(col("doc_id"),
+        TextAnalysis.winnowedFingerprint(col("text"), w = 4).as("wfp"))
+      val pairs = f.select(col("doc_id").as("id_a"), col("wfp"))
+        .join(f.select(col("doc_id").as("id_b"), col("wfp")), "wfp")
+        .filter(col("id_a") < col("id_b"))
+      val sh = MinHash.hashedShingleArray(docs, "doc_id", "text", 4)
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sharr").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sharr").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- D10: cross-snapshot dedup — each doc of the incoming batch
     //      (t7 buckets ≥ 80) LSH-checked against the prior snapshot
     //      (buckets < 80); per new doc: its best old match and how many
@@ -1242,6 +1267,33 @@ object TextQueries extends QueryPack {
         |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
         |FROM perdoc p JOIN f USING (source) ORDER BY p.doc_id""".stripMargin,
+    "d11_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007) AS th
+        |  FROM documents),
+        |wf AS (SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(len(th) - 4 + 1, 1) + 1),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 3]),
+        |      (acc, x) -> (acc * 1009 + x) % 1000000007))) AS wfp
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM wf a JOIN wf b ON a.wfp = b.wfp AND a.doc_id < b.doc_id),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3])
+        |   for i in range(1, greatest(len(l) - 3, 1) + 1)])) AS shingle
+        |  FROM tk),
+        |shh AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash
+        |  FROM sh),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_shared
+        |  FROM p JOIN shh a ON a.doc_id = p.id_a
+        |  JOIN shh b ON b.doc_id = p.id_b AND b.shash = a.shash
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM inter WHERE n_shared >= 1 ORDER BY id_a, id_b""".stripMargin,
     "t22_zipf_card" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -135,6 +135,30 @@ class MinHashSpec extends SparkSpec {
     assert(asym.nonEmpty && asym == sym, s"asym=$asym sym=$sym")
   }
 
+  test("winnowing collisions: identical content collides, disjoint content cannot") {
+    val sp = spark; import sp.implicits._
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "shared prefix tokens one two three four five six seven eight"),
+      (2L, "shared prefix tokens one two three four five six seven eight"),
+      (3L, "an entirely different document with no overlapping windows at all"))
+      .toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+        TextAnalysis.winnowedFingerprint(col("text"), w = 4).as("wfp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical text => identical min-window fingerprint, guaranteed
+    assert(fp(1L) == fp(2L))
+    // docs with NO shared 4-token window can only collide by hash
+    // accident (~2^-30 for one pair); this fixture must not
+    assert(fp(3L) != fp(1L))
+    // and the verified pair query confirms the shared-window count:
+    // 11 tokens -> 8 windows, all shared
+    val sh = MinHash.hashedShingleArray(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sh(1L) intersect sh(2L)).size == 8)
+    assert((sh(1L) intersect sh(3L)).isEmpty)
+  }
+
   test("pure-Scala kernels match the Column kernels on adversarial synthetic text") {
     val sp = spark; import sp.implicits._
     val next = seededInts(41L)
