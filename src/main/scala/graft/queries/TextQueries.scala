@@ -443,12 +443,15 @@ object TextQueries extends QueryPack {
     //      hash collision can never produce a false pair.
     "d11_winnow_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val f = docs.select(col("doc_id"),
-        TextAnalysis.winnowedFingerprint(col("text"), w = 4).as("wfp"))
+      // both frames feed TWO joins each — persist so the md5-heavy
+      // interpreted projections run once (same device as d3's sharr)
+      val f = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text", w = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = f.select(col("doc_id").as("id_a"), col("wfp"))
         .join(f.select(col("doc_id").as("id_b"), col("wfp")), "wfp")
         .filter(col("id_a") < col("id_b"))
       val sh = MinHash.hashedShingleArray(docs, "doc_id", "text", 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs
         .join(sh.select(col("doc_id").as("id_a"), col("sharr").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sharr").as("sh_b")), "id_b")

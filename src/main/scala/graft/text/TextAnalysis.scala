@@ -110,12 +110,31 @@ object TextAnalysis {
     * candidate keys). Documents shorter than `w` fall back to one
     * truncated window. Entirely map-side array expressions. */
   def winnowedFingerprint(text: Column, w: Int, b: Long = 1009L,
-                          p: Long = 1000000007L): Column = {
-    val th = tokenHashes(text, p)
+                          p: Long = 1000000007L): Column =
+    winnowedFromHashes(tokenHashes(text, p), w, b, p)
+
+  /** The window fold over an ALREADY-COMPUTED hash array column. */
+  def winnowedFromHashes(th: Column, w: Int, b: Long = 1009L,
+                         p: Long = 1000000007L): Column = {
     val nWin = greatest(size(th) - w + 1, lit(1))
     array_min(transform(sequence(lit(1), nWin),
       i => aggregate(slice(th, i, lit(w)), lit(0L), (acc, x) => (acc * b + x) % p)))
   }
+
+  /** Frame-level winnowed fingerprints with the token-hash array
+    * MATERIALIZED once per row before the per-window folds. The pure
+    * Column composition ([[winnowedFingerprint]]) inlines the whole
+    * token-hashing tree into the window lambda, and lambda bodies are
+    * re-evaluated per element with no cross-window subexpression
+    * elimination — O(tokens × windows) md5 calls per document, measured
+    * ~50× slower at sf0.1 when the fingerprint feeds a join. Values are
+    * identical (same fold over the same hashes); only the evaluation
+    * count changes. */
+  def winnowedFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, w: Int, b: Long = 1009L,
+                           p: Long = 1000000007L): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), tokenHashes(col(textCol), p).as("__th"))
+      .select(col(idCol), winnowedFromHashes(col("__th"), w, b, p).as("wfp"))
 
   /** TF-IDF scores per (doc, token): tf = in-doc count, idf = ln(N/df)
     * with df = docs containing the token. Two aggregations (both with

@@ -157,6 +157,11 @@ class MinHashSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert((sh(1L) intersect sh(2L)).size == 8)
     assert((sh(1L) intersect sh(3L)).isEmpty)
+    // the materialized-array frame form is value-identical to the pure
+    // Column composition (it only changes the evaluation COUNT)
+    val viaFrame = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFrame == fp)
   }
 
   test("pure-Scala kernels match the Column kernels on adversarial synthetic text") {
