@@ -513,14 +513,22 @@ object TextQueries extends QueryPack {
     // ---- T20: REAL BPE tokenization — merges learned from the corpus's
     //      own word histogram (one vocabulary-sized aggregation, then
     //      driver-side pair merging, the shape production BPE trainers
-    //      use), encoding map-side under broadcast ranks. Iterative merge
-    //      learning is not SQL-expressible, so this query is rows-only at
-    //      the driver gate; `BpeSpec` carries the correctness load
-    //      (hand-derived merge sequence, round-trip, unseen-word
-    //      segmentation, distributed≡local training).
+    //      use), encoding map-side under broadcast ranks. The iterative
+    //      TRAINING loop is not SQL-expressible (BpeSpec carries it:
+    //      hand-derived merge sequence, round-trip, unseen-word
+    //      segmentation, distributed≡local training), but the map-side
+    //      ENCODE — the part that runs at corpus scale — is a pure
+    //      function of the learned merge table, which the oracle replays
+    //      in DuckDB: the merges are emitted as SQL literals and a
+    //      recursive CTE applies the same leftmost-lowest-rank greedy
+    //      merge loop per distinct word (see bpeOracleSql).
     "t20_bpe_tokens" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val merges = graft.text.Bpe.train(docs, "text", numMerges = 64)
+      // stash for the oracle: `oracle` is a def the Verify harness reads
+      // AFTER running the queries, so the learned merge table can be
+      // emitted as SQL literals for the DuckDB recursive-CTE encoder
+      lastBpeMerges = merges
       graft.text.Bpe.encode(s, docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"))
     }),
@@ -605,7 +613,59 @@ object TextQueries extends QueryPack {
   private val constsValues = (0 until MinHash.NumHashes)
     .map(i => s"(${i}, ${MinHash.A(i)}, ${MinHash.B(i)})").mkString(", ")
 
-  val oracle: Map[String, String] = Map(
+  /** Merge table learned by the last t20 run, read by [[oracle]] (a def,
+    * evaluated by Verify AFTER the queries run) to emit the DuckDB
+    * encoder with the exact merges the engine used. */
+  @volatile private var lastBpeMerges: Seq[(String, String)] = Nil
+
+  /** DuckDB replay of [[graft.text.Bpe.encode]] under a literal merge
+    * table: a recursive CTE applies, per distinct word, the identical
+    * leftmost-lowest-rank single-pair merge loop until no learned pair
+    * remains, then documents are re-assembled word-by-word in order.
+    * `list_position` over the rank-ordered pair list IS the rank lookup
+    * (first index = lowest rank), so tie-breaking cannot drift. */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val lst =
+      if (merges.isEmpty) "CAST([] AS VARCHAR[])"
+      else merges.map { case (a, b) => s"'${esc(a)} ${esc(b)}'" }
+        .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |w AS (SELECT DISTINCT unnest(ws) AS w FROM d),
+       |enc(w, syms, done) AS (
+       |  SELECT w, [substr(w, i, 1) for i in range(1, length(w)+1)], false FROM w
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN best IS NULL THEN syms
+       |         ELSE syms[1:best-1] || [syms[best] || syms[best+1]] || syms[best+2:] END,
+       |    best IS NULL
+       |  FROM (
+       |    SELECT w, syms,
+       |      [coalesce(nullif(list_position($lst, syms[i] || ' ' || syms[i+1]), 0), 999999)
+       |       for i in range(1, len(syms))] AS rk
+       |    FROM enc WHERE NOT done),
+       |    LATERAL (SELECT CASE WHEN len(rk) = 0 OR list_min(rk) = 999999 THEN NULL
+       |                         ELSE list_position(rk, list_min(rk)) END AS best)
+       |),
+       |fin AS (SELECT w, syms FROM enc WHERE done),
+       |tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos FROM d),
+       |docsyms AS (
+       |  SELECT t.doc_id, flatten(list(f.syms ORDER BY t.pos)) AS toks
+       |  FROM tok t JOIN fin f USING (w) GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(s.toks), 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(array_to_string(s.toks[1:8], ' '), '') AS preview
+       |FROM d LEFT JOIN docsyms s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def oracle: Map[String, String] =
+    staticOracle + ("t20_bpe_tokens" -> bpeOracleSql(lastBpeMerges))
+
+  private val staticOracle: Map[String, String] = Map(
     "t1_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -109,7 +109,10 @@ object Bpe {
       .mapPartitions { it =>
         val r = bc.value
         it.map { case (id, text) =>
-          val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          // Locale.ROOT: locale-sensitive toLowerCase would diverge from the
+          // Spark lower() convention train() uses (e.g. Turkish dotless ı)
+          val words = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
           val toks = words.iterator.flatMap(w => encodeWord(w, r)).toVector
           (id, toks.length.toLong, toks.take(previewN).mkString(" "))
         }

@@ -20,13 +20,11 @@ class RegistrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     val dangling = o -- q
     assert(dangling.isEmpty, s"oracles without a query (driver gate FAIL): $dangling")
-    // non-SQL-expressible ops, rows-only at the driver gate — each must
-    // carry its correctness in a spec instead (listed explicitly so a
-    // forgotten oracle still fails here):
-    //   t20: BPE merge learning is an iterative driver-side loop (BpeSpec)
-    val rowsOnly = Set("t20_bpe_tokens")
-    val ungated = q -- o -- rowsOnly
+    // EVERY query carries an oracle — the rows-only allowlist is empty
+    // since round 8 (t20's encode stage is replayed by a recursive-CTE
+    // DuckDB encoder over the learned merge table; training correctness
+    // stays in BpeSpec).
+    val ungated = q -- o
     assert(ungated.isEmpty, s"queries without an oracle (weak rows-only check): $ungated")
-    assert((rowsOnly -- q).isEmpty, s"stale rows-only allowlist: ${rowsOnly -- q}")
   }
 }
