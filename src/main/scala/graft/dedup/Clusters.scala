@@ -110,10 +110,14 @@ object Clusters {
     // exit would keep multiple representatives of one cluster with no
     // signal. Fail loudly — the caller can raise maxIterations (per-round
     // cost stays bounded by the localCheckpoint).
-    if (!converged)
+    if (!converged) {
+      // the abandoned frontier's blocks must not outlive the failure
+      // (the adaptive fallback would otherwise leak one frontier per run)
+      if (prevRound != null) releaseCheckpoint(prevRound)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIterations iterations " +
           s"($lastChanged labels still changing); raise maxIterations")
+    }
     labels
   }
 
@@ -190,11 +194,38 @@ object Clusters {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Diameter-adaptive components: min-label propagation (cheapest per
+    * round; near-dup clusters usually have tiny diameters) with an
+    * automatic switch to large-star/small-star when the graph turns out
+    * to be DEEP — the first sparse-candidate corpus that produced a
+    * >50-link chain (x8's occupancy-scaled SRP config at sf1) made the
+    * fixed-algorithm choice a correctness hazard: min-label either burns
+    * a shuffle per link or throws. The pair-detection lineage is
+    * materialized ONCE up front, so a fallback never re-runs the (much
+    * more expensive) candidate-pair stage. Labels are identical either
+    * way (cluster_id = component minimum is algorithm-independent). */
+  def connectedComponentsAdaptive(pairs: DataFrame,
+                                  colA: String = "id_a", colB: String = "id_b",
+                                  switchAfter: Int = 8,
+                                  maxIterations: Int = 50): DataFrame = {
+    val p = pairs.select(col(colA), col(colB)).localCheckpoint(true)
+    val labels =
+      try connectedComponents(p, colA, colB, switchAfter)
+      catch {
+        case _: IllegalStateException =>
+          connectedComponentsLSS(p, colA, colB, maxIterations)
+      }
+    // both algorithms build exclusively on EAGER checkpoints seeded from
+    // p, so p's blocks are dead as soon as the inner call returns
+    releaseCheckpoint(p)
+    labels
+  }
+
   /** Full dedup decision frame: every document with its cluster id (its
     * own id when it has no near-dup) and a keep flag for the cluster
     * representative (minimum id). */
   def dedupPlan(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+    val comps = connectedComponentsAdaptive(pairs)
     docs.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))

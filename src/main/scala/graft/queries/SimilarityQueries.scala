@@ -86,10 +86,20 @@ object SimilarityQueries extends QueryPack {
     // ---- X8: SemDeDup over SRP buckets — the 100 TB pair-stage swap
     //      (x3's bucketing feeding x7's CC + keep rule) as a gated
     //      configuration. Centroid similarity still scores against the
-    //      label-cell centroid; only candidate generation changes.
+    //      label-cell centroid; only candidate generation changes. The
+    //      plane count is DERIVED from the corpus size (a fixed count is
+    //      the occupancy blowup SCALE.md measured: within-bucket pairs
+    //      grow quadratically with occupancy) with multi-table
+    //      OR-amplification holding recall; the derived config is stashed
+    //      so the oracle replays the exact same tables.
     "x8_semdedup_srp" -> ((s, dir) => {
-      Cosine.semDedupSrp(Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-          threshold = 0.4, nPlanes = 4, dim = 64,
+      val emb = Tables.embeddings(s, dir)
+      val nPlanes = Cosine.autoPlanes(emb.count())
+      val nTables = Cosine.autoTables(nPlanes)
+      lastX8Config = (nPlanes, nTables)
+      Cosine.semDedupFromPairs(emb, "vec_id", "embedding", "label",
+          Cosine.srpPairsMulti(emb, "vec_id", "embedding", threshold = 0.4,
+            nPlanes = nPlanes, dim = 64, nTables = nTables),
           centroidFn = Cosine.cellCentroidsSorted)
         .orderBy(col("vec_id"))
     }),
@@ -173,6 +183,22 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_dot_product(emb, [${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** x8's derived SRP configuration (planes, tables) stashed by the last
+    * run, read by [[oracle]] (a def, evaluated by Verify AFTER queries
+    * run) so the DuckDB replay buckets with the exact same tables. */
+  @volatile private var lastX8Config: (Int, Int) = (1, 1)
+
+  /** Multi-table SRP bucketing as a UNION ALL of per-table sign-bit rows
+    * — generated from the same seeded hyperplanes as
+    * [[Cosine.srpPairsMulti]]. */
+  private def srpMultiBucketSql(nPlanes: Int, nTables: Int): String =
+    (0 until nTables).map { t =>
+      val b = Cosine.hyperplanesSeeded(t, nPlanes, 64).zipWithIndex.map { case (h, i) =>
+        s"(CASE WHEN list_dot_product(emb, [${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, emb, $t AS t, $b AS b FROM v"
+    }.mkString("\n  UNION ALL ")
+
   /** PQ code of subspace `j` (8 dims, 4 shared hyperplanes) — generated
     * from the same constants as [[Cosine.pqCodes]]. */
   private def pqBucketSql(j: Int): String =
@@ -185,7 +211,9 @@ object SimilarityQueries extends QueryPack {
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |n AS (SELECT vec_id, list_dot_product(emb, emb) AS nsq FROM v)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // a def, not a val: x8's SQL embeds the SRP config derived by the last
+  // x8 run (Verify reads oracles after running the queries)
+  def oracle: Map[String, String] = Map(
     "x1_cosine_topk" ->
       s"""WITH $vCte,
          |sims AS (
@@ -338,10 +366,11 @@ object SimilarityQueries extends QueryPack {
          |             * sqrt(list_dot_product(cv.cvec, cv.cvec)), 0.0), 6)
          |      AS centroid_sim
          |  FROM v JOIN cv ON v.label = cv.label),
-         |bk AS (SELECT vec_id, emb, $srpBucketSql AS bucket FROM v),
+         |bk AS (
+         |  ${srpMultiBucketSql(lastX8Config._1, lastX8Config._2)}),
          |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
          |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
          |  WHERE list_dot_product(a.emb, b.emb) / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4),
          |edges AS (SELECT id_a AS s, id_b AS d FROM p

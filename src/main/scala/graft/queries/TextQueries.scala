@@ -395,7 +395,7 @@ object TextQueries extends QueryPack {
     "d5_dedup_clusters" -> ((s, dir) => {
       val pairs = MinHash.exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 2, threshold = 0.8)
-      Clusters.connectedComponents(pairs, "id_a", "id_b")
+      Clusters.connectedComponentsAdaptive(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }),
@@ -440,16 +440,17 @@ object TextQueries extends QueryPack {
     //      member of the dedup family (vs LSH's banding) with the
     //      winnowing guarantee that long shared runs always collide.
     //      Candidates are verified by exact 4-gram intersection, so a
-    //      hash collision can never produce a false pair.
+    //      hash collision can never produce a false pair. Hot-fingerprint
+    //      groups (boilerplate shared by more docs than the adaptive
+    //      cutoff) are star-paired instead of all-paired, so the pair
+    //      stage stays linear under skew — see winnowCollisionPairs.
     "d11_winnow_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // both frames feed TWO joins each — persist so the md5-heavy
       // interpreted projections run once (same device as d3's sharr)
       val f = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text", w = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = f.select(col("doc_id").as("id_a"), col("wfp"))
-        .join(f.select(col("doc_id").as("id_b"), col("wfp")), "wfp")
-        .filter(col("id_a") < col("id_b"))
+      val pairs = TextAnalysis.winnowCollisionPairs(f, "doc_id")
       val sh = MinHash.hashedShingleArray(docs, "doc_id", "text", 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs
@@ -1340,8 +1341,17 @@ object TextQueries extends QueryPack {
         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i : i + 3]),
         |      (acc, x) -> (acc * 1009 + x) % 1000000007))) AS wfp
         |  FROM t),
+        |fr AS (SELECT wfp, count(*) AS gf, min(doc_id) AS gmin
+        |  FROM wf GROUP BY wfp),
+        |cut AS (SELECT greatest(round(quantile_cont(gf, 0.999), 4), 32.0) AS gcut
+        |  FROM fr),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM wf a JOIN wf b ON a.wfp = b.wfp AND a.doc_id < b.doc_id),
+        |  FROM wf a JOIN wf b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+        |  JOIN fr ON fr.wfp = a.wfp, cut WHERE fr.gf <= cut.gcut
+        |  UNION ALL
+        |  SELECT fr.gmin AS id_a, w.doc_id AS id_b
+        |  FROM wf w JOIN fr ON fr.wfp = w.wfp, cut
+        |  WHERE fr.gf > cut.gcut AND w.doc_id <> fr.gmin),
         |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
         |  FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

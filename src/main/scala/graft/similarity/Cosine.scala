@@ -66,12 +66,36 @@ object Cosine {
     * [-1, 1]. Deterministic so an external oracle can reproduce bucketing
     * exactly. */
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    hyperplanesSeeded(0, nPlanes, dim)
+
+  /** Per-TABLE hyperplanes for OR-amplified multi-table SRP. Table 0
+    * reproduces [[hyperplanes]] exactly (key "i:j", pinned by the x3
+    * oracle); table t>0 derives an independent set from key "Tt:i:j". */
+  def hyperplanesSeeded(table: Int, nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { i =>
       (0 until dim).map { j =>
-        val hex = graft.ops.CanonicalJson.sha1Hex(s"$i:$j").substring(0, 8)
+        val key = if (table == 0) s"$i:$j" else s"T$table:$i:$j"
+        val hex = graft.ops.CanonicalJson.sha1Hex(key).substring(0, 8)
         ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
       }
     }
+
+  /** Plane count for a TARGET bucket occupancy: ceil(log2(n/target)).
+    * A FIXED plane count is the occupancy-control failure mode SCALE.md
+    * measured (6.6× time at 10× data): within-bucket pairs grow
+    * quadratically with occupancy, so the bucket count must track the
+    * corpus — 2^planes ≈ n/target keeps per-bucket pair work flat. */
+  def autoPlanes(n: Long, targetOccupancy: Int = 128): Int = {
+    require(targetOccupancy > 0)
+    val ratio = math.max(1.0, n.toDouble / targetOccupancy)
+    math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt)
+  }
+
+  /** OR-amplification table count: more planes per table shrink single-
+    * table recall geometrically, so the table count grows with the plane
+    * count (capped — each table is one more pass over the corpus). */
+  def autoTables(nPlanes: Int): Int =
+    math.min(4, math.max(1, math.ceil(nPlanes / 2.0).toInt))
 
   /** SRP-LSH near-duplicate pairs: bucket = sign bits of `nPlanes` random
     * projections; only same-bucket pairs are compared. The general scale
@@ -95,6 +119,44 @@ object Cosine {
       .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("bucket"), col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Multi-table OR-amplified SRP pairs: `nTables` independent plane
+    * sets ([[hyperplanesSeeded]]); a pair is a candidate if it collides
+    * in ANY table — recall 1-(1-p^planes)^tables instead of p^planes, so
+    * plane counts can scale with the corpus ([[autoPlanes]]) without
+    * recall collapsing. ONE corpus scan computes every table's bucket
+    * (posexplode fan-out, not per-table re-scans), the bucket self-join
+    * carries ONLY (bucket, id) rows — 16 bytes/row of shuffle however
+    * wide the vectors — and candidates are DISTINCT'd before the one
+    * vector-join similarity pass, so a pair colliding in 3 tables is
+    * scored once. */
+  def srpPairsMulti(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nPlanes: Int, dim: Int,
+                    nTables: Int): DataFrame = {
+    require(dim > 0, s"dim must be the positive embedding width, got $dim")
+    require(nPlanes >= 1 && nPlanes <= 62 && nTables >= 1)
+    val v0 = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val tableBuckets = array((0 until nTables).map { t =>
+      hyperplanesSeeded(t, nPlanes, dim).zipWithIndex.map { case (h, i) =>
+        when(dot(col("v"), array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    // composite (table, bucket) join key — no bit-packing games, so any
+    // plane count up to 62 is safe
+    val tb = v0.select(col(idCol), posexplode(tableBuckets).as(Seq("t", "b")))
+    val cand = tb.select(col("t"), col("b"), col(idCol).as("id_a"))
+      .join(tb.select(col("t"), col("b"), col(idCol).as("id_b")), Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = v0.select(col(idCol).as("id_a"), col("v").as("va"))
+      .withColumn("na", normSq(col("va")))
+    val vb = v0.select(col(idCol).as("id_b"), col("v").as("vb"))
+      .withColumn("nb", normSq(col("vb")))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** IVF-style approximate top-k SEARCH: each query probes only its own
@@ -411,6 +473,22 @@ object Cosine {
     semDedupFromPairs(corpus, idCol, vecCol, cellCol,
       srpPairs(corpus, idCol, vecCol, threshold, nPlanes, dim), centroidFn)
 
+  /** [[semDedupSrp]] with the SRP configuration DERIVED from the corpus
+    * size instead of pinned: nPlanes = [[autoPlanes]](count), nTables =
+    * [[autoTables]](nPlanes), pairs from [[srpPairsMulti]]. The count is
+    * one column-pruned scan (parquet answers it from footer metadata);
+    * everything downstream is identical to [[semDedupSrp]]. */
+  def semDedupSrpAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, threshold: Double, dim: Int,
+                      targetOccupancy: Int = 128,
+                      centroidFn: (DataFrame, String, String) => DataFrame =
+                        cellCentroids): DataFrame = {
+    val p = autoPlanes(corpus.count(), targetOccupancy)
+    semDedupFromPairs(corpus, idCol, vecCol, cellCol,
+      srpPairsMulti(corpus, idCol, vecCol, threshold, p, dim, autoTables(p)),
+      centroidFn)
+  }
+
   /** Shared SemDeDup tail: centroid similarity (broadcast k·dim centroids),
     * connected components over the supplied candidate `pairs`, and the
     * least-central keep window. `pairs` only needs `id_a`/`id_b` columns —
@@ -428,7 +506,7 @@ object Cosine {
       .withColumn("centroid_sim",
         round(cosine(col("v"), col("cv"), normSq(col("v")), normSq(col("cv"))), 6))
       .select(col(idCol), col("centroid_sim"))
-    val comps = graft.dedup.Clusters.connectedComponents(pairs)
+    val comps = graft.dedup.Clusters.connectedComponentsAdaptive(pairs)
     withSim
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))

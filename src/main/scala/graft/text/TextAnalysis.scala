@@ -136,6 +136,43 @@ object TextAnalysis {
     docs.select(col(idCol), tokenHashes(col(textCol), p).as("__th"))
       .select(col(idCol), winnowedFromHashes(col("__th"), w, b, p).as("wfp"))
 
+  /** Candidate pairs from fingerprint COLLISIONS, with the hot-group
+    * fan-out capped: a fingerprint shared by f documents yields f²/2
+    * pairs under a plain self-join — one boilerplate fingerprint
+    * (license header, templated page) in 1% of a 100 TB corpus is a
+    * quadratic blowup on a single skewed key. Groups whose frequency
+    * exceeds the cutoff are STAR-paired instead (every member against
+    * the group's min id): linear in the group size, and the cluster
+    * stays connected for downstream transitive grouping — the member↔
+    * member edges a star drops are exactly the ones connected-components
+    * recovers through the hub.
+    *
+    * The cutoff is `max(capFloor, q-quantile of group frequency)` — the
+    * same df-distribution-derived form as
+    * [[graft.dedup.MinHash.exactJaccardPairsAdaptive]] (a fixed cutoff
+    * is corpus-dependent; see SCALE.md round-3), computed in-plan as a
+    * mergeable sketch and broadcast as one row. `f` must have columns
+    * (idCol, wfp). */
+  def winnowCollisionPairs(f: org.apache.spark.sql.DataFrame, idCol: String,
+                           capFloor: Int = 32,
+                           q: Double = 0.999): org.apache.spark.sql.DataFrame = {
+    val fr = f.groupBy(col("wfp"))
+      .agg(count(lit(1)).as("gf"), min(col(idCol)).as("gmin"))
+    val cut = fr.agg(greatest(
+      coalesce(expr(s"approx_percentile(gf, $q)"), lit(1L)),
+      lit(capFloor.toLong)).as("gcut"))
+    val fg = f.join(fr, "wfp")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(cut))
+    val normal = fg.filter(col("gf") <= col("gcut"))
+    val pairsN = normal.select(col(idCol).as("id_a"), col("wfp"))
+      .join(normal.select(col(idCol).as("id_b"), col("wfp")), "wfp")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val pairsH = fg.filter(col("gf") > col("gcut") && col(idCol) =!= col("gmin"))
+      .select(col("gmin").as("id_a"), col(idCol).as("id_b"))
+    pairsN.union(pairsH)
+  }
+
   /** TF-IDF scores per (doc, token): tf = in-doc count, idf = ln(N/df)
     * with df = docs containing the token. Two aggregations (both with
     * map-side combine) and one join on the token — the token-frequency

@@ -164,6 +164,36 @@ class MinHashSpec extends SparkSpec {
     assert(viaFrame == fp)
   }
 
+  test("winnowCollisionPairs: hot boilerplate groups are star-paired, normal groups all-paired") {
+    val sp = spark; import sp.implicits._
+    import graft.text.TextAnalysis
+    // 200 docs sharing ONE boilerplate text (a planted hot fingerprint —
+    // the license-header case) + two small dup pairs + unique docs
+    val boiler = (0L until 200L).map(i => (i, "standard license header text body one two three four"))
+    val pairA = Seq((1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"))
+    // enough distinct fingerprints that the 0.999-quantile of group
+    // frequency sits at 1 (hot keys are a vanishing fraction of keys at
+    // corpus scale; a fixture with 20 keys would put the quantile AT the
+    // hot group and correctly not cap it)
+    val uniq = (2000L until 4000L).map(i =>
+      (i, s"unique document number $i with body tokens $i-${i * 7} $i-${i * 13} tail"))
+    val docs = (boiler ++ pairA ++ uniq).toDF("doc_id", "text")
+    val f = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text", w = 4)
+    val pairs = TextAnalysis.winnowCollisionPairs(f, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot group (200 >> capFloor 32): star around min id 0 — 199 pairs,
+    // NOT 200*199/2 = 19900; the cluster is still fully connected
+    val hot = pairs.filter { case (a, b) => a < 200 && b < 200 }
+    assert(hot.size == 199, s"expected 199 star pairs, got ${hot.size}")
+    assert(hot.forall(_._1 == 0L), "star pairs must hub on the group min id")
+    // normal dup pair below the cap keeps exact all-pairs semantics
+    assert(pairs.contains((1000L, 1001L)))
+    // no cross-group or unique-doc pairs
+    assert(pairs.size == 200 &&
+      !pairs.exists { case (a, b) => (a < 2000) != (b < 2000) })
+  }
+
   test("pure-Scala kernels match the Column kernels on adversarial synthetic text") {
     val sp = spark; import sp.implicits._
     val next = seededInts(41L)

@@ -81,6 +81,46 @@ class SemDedupSpec extends SparkSpec {
     assert(multi > 0, "no multi-member cluster — SRP-parity test is vacuous")
   }
 
+  test("auto-scaled SRP config: occupancy-derived planes, capped tables, table-0 compat") {
+    // bucket count tracks the corpus: 2^planes ≈ n/targetOccupancy
+    assert(Cosine.autoPlanes(500) == 2)      // sf0.01-scale
+    assert(Cosine.autoPlanes(5000) == 6)     // sf0.1-scale
+    assert(Cosine.autoPlanes(50000) == 9)    // sf1-scale
+    assert(Cosine.autoPlanes(100000000000L) == 30)  // 100 TB-scale: still tiny
+    assert(Cosine.autoPlanes(100) == 1, "n below target floors at 1 plane")
+    // OR-amplification grows with planes, capped at 4 corpus passes
+    assert(Cosine.autoTables(2) == 1 && Cosine.autoTables(6) == 3 &&
+      Cosine.autoTables(9) == 4 && Cosine.autoTables(30) == 4)
+    // table 0 reproduces the legacy plane set bit-for-bit (x3 oracle pin)
+    assert(Cosine.hyperplanesSeeded(0, 4, 64) == Cosine.hyperplanes(4, 64))
+    assert(Cosine.hyperplanesSeeded(1, 4, 64) != Cosine.hyperplanes(4, 64))
+  }
+
+  test("multi-table SRP recall ≥ 0.95 on planted near-dups at the derived config") {
+    val sp = spark; import sp.implicits._
+    val next = seededInts(77L)
+    // 2000 base vectors + 200 planted near-dups (cosine ≈ 0.9999)
+    val base = (0 until 2000).map { id =>
+      (id.toLong, Array.fill(64)((next(2001) - 1000) / 1000.0f))
+    }
+    val dups = (0 until 200).map { i =>
+      val (id, v) = base(i * 7)
+      (10000L + id, v.map(x => x + (next(21) - 10) / 10000.0f))
+    }
+    val docs = (base ++ dups).toDF("vec_id", "embedding")
+    val nPlanes = Cosine.autoPlanes(docs.count())   // 2200 → 5 planes
+    val nTables = Cosine.autoTables(nPlanes)        // → 3 tables
+    assert(nPlanes == 5 && nTables == 3)
+    val pairs = Cosine.srpPairsMulti(docs, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = nPlanes, dim = 64, nTables = nTables)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = dups.map { case (dupId, _) => (dupId - 10000L, dupId) }.toSet
+    val found = planted.count(pairs.contains)
+    assert(found >= 190, s"recall ${found / 200.0} below 0.95 at $nPlanes planes / $nTables tables")
+    // each surviving pair is scored once (DISTINCT before the sim join)
+    assert(pairs.size == pairs.toSeq.distinct.size)
+  }
+
   test("default plain-avg centroid path and sorted-fold path agree on decisions") {
     val sem = Cosine.semDedup(corpus, "vec_id", "embedding", "label", 0.4)
       .select(col("vec_id"), col("cluster_id"), col("keep"))

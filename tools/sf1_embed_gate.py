@@ -45,13 +45,16 @@ FROM embeddings""")
 import json
 oracle_all = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
-def srp_bucket_expr():
-    """Extract the generated SRP bucket expression from the x8 oracle text
-    (between 'bk AS (SELECT vec_id, emb, ' and ' AS bucket FROM v)')."""
+def srp_multi_bucket_body():
+    """Extract the generated MULTI-TABLE SRP bucket union from the x8
+    oracle text (the body of 'bk AS (...)': one SELECT per hash table,
+    each ending 'AS b FROM v'), and widen each per-table SELECT with the
+    nsq column so the staged pair join needs no further norm join."""
     sql = oracle_all["x8_semdedup_srp"]
-    start = sql.index("bk AS (SELECT vec_id, emb, ") + len("bk AS (SELECT vec_id, emb, ")
-    end = sql.index(" AS bucket FROM v)")
-    return sql[start:end]
+    start = sql.index("bk AS (\n") + len("bk AS (\n")
+    end = sql.index("),\np AS (")
+    return sql[start:end].replace("SELECT vec_id, emb, ",
+                                  "SELECT vec_id, emb, nsq, ")
 
 def make_pairs(key_sql):
     con.execute("DROP TABLE IF EXISTS pairs")
@@ -131,15 +134,14 @@ for q in queries:
     if q in ("d8_embedding_dups", "x7_semdedup"):
         n = make_pairs("a.label = b.label")
     elif q == "x8_semdedup_srp":
-        bucket = srp_bucket_expr()
+        body = srp_multi_bucket_body()
+        con.execute("CREATE OR REPLACE TEMP VIEW v AS SELECT vec_id, emb, nsq FROM vt")
         con.execute("DROP TABLE IF EXISTS bt")
-        con.execute(f"""CREATE TEMP TABLE bt AS
-            SELECT vec_id, emb, nsq, ({bucket}) AS bucket
-            FROM (SELECT vec_id, emb AS emb, nsq FROM vt)""")
+        con.execute(f"CREATE TEMP TABLE bt AS {body}")
         con.execute("DROP TABLE IF EXISTS pairs")
         con.execute("""CREATE TEMP TABLE pairs AS
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM bt a JOIN bt b ON a.bucket = b.bucket
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bt a JOIN bt b ON a.t = b.t AND a.b = b.b
             WHERE a.vec_id < b.vec_id
               AND list_dot_product(a.emb, b.emb) / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.4""")
         n = con.execute("SELECT count(*) FROM pairs").fetchone()[0]
