@@ -10,7 +10,7 @@ object SparkEntry {
 
   private[graft] val packs: Seq[QueryPack] =
     Seq(CoreQueries, ScoreQueries, TextQueries, SimilarityQueries,
-      ReshapeQueries, MiscQueries, LifecycleQueries)
+      ReshapeQueries, MiscQueries, LifecycleQueries, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
     * the workload-score composite — the reference's richest dataflow. */

@@ -182,7 +182,8 @@ object MinHash {
     * for use where rows arrive one at a time (the streaming dedup state
     * functions) — REQUIRED to be value-identical to the Column forms, so
     * a streaming decision can be compared 1:1 against the batch pipeline
-    * (`MinHashScalarSpec` pins the parity on real corpus data). */
+    * (`DedupModulesSpec`'s kernel-parity tests pin this on real corpus
+    * data). */
   object Scalar {
     /** Whitespace tokens matching `split(trim(text), "\\s+")` EXACTLY:
       * Spark's `trim` strips only the space character (0x20) — NOT tabs
@@ -300,6 +301,7 @@ object MinHash {
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
     val bOld = oldIndex.select(col(idCol).as("id_old"), col("band"), col("band_hash"))
     val pairs = bNew.join(bOld, Seq("band", "band_hash"))
+      .filter(col("id_new") =!= col("id_old"))
       .select(col("id_new"), col("id_old")).distinct()
     val shOldById = oldIndex.select(col(idCol).as("id_old"), col("sharr").as("sh_b"))
       .dropDuplicates("id_old")

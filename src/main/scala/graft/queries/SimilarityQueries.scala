@@ -123,6 +123,18 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X15: multiprobe IVF — the standard IVF recall knob: each query
+    //      probes its 3 nearest cells by centroid distance instead of only
+    //      its own. Gate runs the sorted-fold centroid path (as x5/x6) so
+    //      the probe ranking is bit-reproducible by the oracle.
+    "x15_ivf_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.ivfTopKMultiprobe(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", "label", k = 5, nProbe = 3,
+          centroidFn = Cosine.cellCentroidsSorted)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- X13: iterative Lloyd k-means — the full trainer whose single
     //      step x5/x6 expose: 2 rounds of (centroids → reassign) from the
     //      label initialization. Gate runs the sorted-fold centroid path.
@@ -277,6 +289,45 @@ object SimilarityQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn
         |  FROM d)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // x15: x6's sorted-fold centroid CTEs -> top-3 probe cells per query
+    // by (d2 asc, label asc) -> x4's top-k shape over the probed cells
+    "x15_ivf_multiprobe" ->
+      s"""WITH $vCte,
+         |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+         |      FROM e GROUP BY label, dim),
+         |c AS (SELECT label, dim,
+         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) / cnt, 6) AS centroid
+         |  FROM g),
+         |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |d AS (SELECT q.vec_id AS query_id, cv.label,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> (q.emb[i] - cv.cvec[i]) * (q.emb[i] - cv.cvec[i]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM v q CROSS JOIN cv WHERE q.vec_id < 10),
+         |pr AS (SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, label ASC)
+         |        AS prn
+         |    FROM d)
+         |  WHERE prn <= 3),
+         |sims AS (
+         |  SELECT pr.query_id, cand.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, cand.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM pr
+         |  JOIN v q ON q.vec_id = pr.query_id
+         |  JOIN v cand ON cand.label = pr.label AND cand.vec_id <> pr.query_id
+         |  JOIN n qn ON qn.vec_id = pr.query_id
+         |  JOIN n cn ON cn.vec_id = cand.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+         |      AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x4_ivf_topk" ->
       s"""WITH $vCte,
          |sims AS (

@@ -577,6 +577,19 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C8: paragraph-level exact dedup (CCNet/Dolma's step between
+    //      whole-doc dedup and span cutting): non-overlapping 20-token
+    //      blocks stand in for paragraphs (this corpus has no newline
+    //      structure); any block repeating an earlier one — (doc_id,
+    //      block_idx) order — is cut, docs reassembled from survivors.
+    //      String block keys here for the oracle; the xxhash64-keyed
+    //      default is spec-pinned row-identical (the d9 pattern).
+    "c8_paragraph_dedup" -> ((s, dir) => {
+      TextAnalysis.blockDedup(Tables.documents(s, dir), "doc_id", "text",
+          blockSize = 20, hashKeys = false)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -1228,6 +1241,27 @@ object TextQueries extends QueryPack {
         |  array_to_string(l[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS chunk,
         |  least(CAST(64 AS BIGINT), len(l) - chunk_idx * 48) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // c8: same chunk construction as t19 with stride = size = 20; first
+    // occurrence via a window rank (the engine's min-struct agg is
+    // decision-identical), docs reassembled from rn=1 blocks
+    "c8_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents),
+        |c AS (SELECT doc_id, l, unnest(range(0,
+        |    CAST(greatest(ceil(CAST(len(l) - 20 AS DOUBLE) / 20), 0) AS BIGINT) + 1))
+        |    AS block_idx
+        |  FROM t),
+        |b AS (SELECT doc_id, block_idx,
+        |    array_to_string(l[(block_idx * 20 + 1):(block_idx * 20 + 20)], ' ') AS btxt
+        |  FROM c),
+        |k AS (SELECT doc_id, block_idx, btxt,
+        |    row_number() OVER (PARTITION BY btxt ORDER BY doc_id, block_idx) AS rn
+        |  FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  coalesce(string_agg(btxt, ' ' ORDER BY block_idx) FILTER (WHERE rn = 1),
+        |    '') AS text_clean
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "c7_curation_v2" ->
       s"""WITH $shinglesCte,
          |bk AS (SELECT doc_id,

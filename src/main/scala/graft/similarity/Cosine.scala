@@ -182,6 +182,53 @@ object Cosine {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Multiprobe IVF top-k (the standard IVF recall knob, Jégou et al.
+    * 2011 §V): each query probes its `nProbe` NEAREST cells by centroid
+    * distance instead of only its own — recall rises toward brute force
+    * as nProbe grows while per-query work stays `nProbe` cells, never the
+    * corpus. `IvfMultiprobeSpec` pins recall(nProbe) monotone ≥ the
+    * single-probe path against the exact x1 baseline.
+    *
+    * Scale shape: the centroid table is k·dim values — reshaped and
+    * BROADCAST, so probe selection is a map-side pass over the queries
+    * producing queries×nProbe probe rows; candidates then come from the
+    * same cell-key equi-join as [[ivfTopK]] (shuffle on the cell id, work
+    * per query = the probed cells' sizes). `centroidFn` follows the
+    * [[cellCentroids]] / [[cellCentroidsSorted]] gate split. */
+  def ivfTopKMultiprobe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, cellCol: String, k: Int, nProbe: Int,
+                        centroidFn: (DataFrame, String, String) => DataFrame =
+                          cellCentroids): DataFrame = {
+    require(nProbe >= 1, "need at least one probed cell")
+    val cvec = centroidFn(corpus.select(col(cellCol), toDouble(col(vecCol)).as("v")),
+        cellCol, "v")
+      .groupBy(col(cellCol))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", normSq(col("qv")))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = q.crossJoin(broadcast(cvec))
+      .withColumn("d2", d2)
+      .withColumn("prn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col(cellCol).asc)))
+      .filter(col("prn") <= nProbe)
+      .select(col(cellCol), col("query_id"), col("qv"), col("qn"))
+    val c = corpus.select(col(cellCol), col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", normSq(col("nv")))
+    val sims = probes.join(c, Seq(cellCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF TRAINING step: per-cell elementwise centroid — the DEFAULT path.
     * Plain `avg` keyed by (cell, dim): a combine-enabled HashAggregate
     * whose per-group state is (sum, count) — two doubles — regardless of
@@ -249,9 +296,12 @@ object Cosine {
     * Scale: each round is one combine-enabled aggregation (centroids:
     * k·dim rows) plus one broadcast map-side assignment — the corpus
     * shuffles ZERO times per round (the groupBy keys on a map-side-derived
-    * cell). For many rounds insert a `localCheckpoint` every few
-    * iterations exactly as [[graft.dedup.Clusters]] does for its label-
-    * propagation loop (the gated 2-iteration form doesn't need it). */
+    * cell). Each round's assignment frame is `localCheckpoint`ed so deep
+    * iteration counts never chain the full lineage of every prior round —
+    * the identical failure mode [[graft.dedup.Clusters]] hit in its
+    * label-propagation loop (multi-second driver re-canonicalization
+    * stalls past ~10 chained rounds). `KmeansSpec` pins the plan size of
+    * a 12-round run to that of a 2-round run. */
   def lloydIterations(corpus: DataFrame, idCol: String, vecCol: String,
                       cellCol: String, iters: Int,
                       centroidFn: (DataFrame, String, String) => DataFrame =
@@ -261,14 +311,49 @@ object Cosine {
     var cur = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"),
       col(cellCol).as("cell"))
     var out: DataFrame = null
-    (0 until iters).foreach { _ =>
+    (0 until iters).foreach { i =>
       val cents = centroidFn(cur.select(col("cell"), col("v")), "cell", "v")
       out = assignToCentroids(base.withColumnRenamed("v", "emb"), idCol, "emb",
         cents, "cell")
-      cur = out.select(col(idCol), col("assigned_cell").as("cell"))
-        .join(base, Seq(idCol))
+      if (i < iters - 1)
+        cur = out.select(col(idCol), col("assigned_cell").as("cell"))
+          .join(base, Seq(idCol)).localCheckpoint()
     }
     out.orderBy(col(idCol))
+  }
+
+  /** [[lloydIterations]] that runs until ASSIGNMENTS FIX-POINT (no vector
+    * changes cell — the standard Lloyd stopping rule; with discrete
+    * assignments, "centroid movement < ε" and "no reassignment" coincide
+    * at ε→0) or `maxIters`, whichever first. Returns the final assignment
+    * frame and the number of rounds actually run. Each round adds one
+    * id-keyed count over the (checkpointed, lineage-free) assignment
+    * frame — the convergence probe costs one small job, not a corpus
+    * re-read, because the probe scans the materialized checkpoint. */
+  def lloydConverge(corpus: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, maxIters: Int,
+                    centroidFn: (DataFrame, String, String) => DataFrame =
+                      cellCentroids): (DataFrame, Int) = {
+    require(maxIters >= 1, "need at least one Lloyd iteration")
+    val base = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    var cur = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"),
+      col(cellCol).as("cell"))
+    var out: DataFrame = null
+    var rounds = 0
+    var moved = -1L
+    while (rounds < maxIters && moved != 0L) {
+      val cents = centroidFn(cur.select(col("cell"), col("v")), "cell", "v")
+      out = assignToCentroids(base.withColumnRenamed("v", "emb"), idCol, "emb",
+        cents, "cell")
+      val next = out.select(col(idCol), col("assigned_cell").as("cell"))
+        .join(base, Seq(idCol)).localCheckpoint()
+      moved = next.select(col(idCol), col("cell"))
+        .join(cur.select(col(idCol), col("cell").as("cell_prev")), Seq(idCol))
+        .filter(col("cell") =!= col("cell_prev")).count()
+      cur = next
+      rounds += 1
+    }
+    (out.orderBy(col(idCol)), rounds)
   }
 
   /** Per-dimension embedding data card: n, mean, population stddev, min,

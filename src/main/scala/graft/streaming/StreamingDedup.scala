@@ -168,13 +168,18 @@ object StreamingDedup {
       while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val keyed = vecs.map { r =>
-      val v = r.embedding.map(_.toDouble)
-      var bucket = 0L
-      planes.zipWithIndex.foreach { case (h, i) =>
-        if (dot(v, h) > 0) bucket |= (1L << i)
+    // Batch srpPairs drops malformed vectors (zip_with yields null on a
+    // length mismatch); skip them here too so parity holds on bad input.
+    val keyed = vecs.flatMap { r =>
+      if (r.embedding.length != dim) None
+      else {
+        val v = r.embedding.map(_.toDouble)
+        var bucket = 0L
+        planes.zipWithIndex.foreach { case (h, i) =>
+          if (dot(v, h) > 0) bucket |= (1L << i)
+        }
+        Some((bucket, r.vec_id, v))
       }
-      (bucket, r.vec_id, v)
     }
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState[List[BucketVec], NearVec](

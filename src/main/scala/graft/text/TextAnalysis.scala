@@ -365,6 +365,45 @@ object TextAnalysis {
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
   }
 
+  /** Paragraph-level exact dedup (the CCNet / Dolma step between whole-doc
+    * dedup and span cutting): the corpus is cut into NON-overlapping token
+    * blocks (the word-stream analogue of paragraphs — this corpus has no
+    * newline structure), every block that exactly repeats an EARLIER block
+    * anywhere in the corpus (order: doc id, then block index) is removed,
+    * and documents are reassembled from their surviving blocks.
+    *
+    * Output: (id, n_blocks, n_kept, text_clean), one row per document —
+    * docs whose every block was seen before come out with n_kept=0 and
+    * empty text, ready for a downstream length filter.
+    *
+    * Scale shape: block fan-out is map-side ([[chunkWindows]] with stride =
+    * size); the global "first occurrence" is ONE combine-enabled
+    * `min(struct(id, idx))` aggregation on the block key — never a window
+    * sort over the corpus — followed by a key-partitioned join and the
+    * doc-keyed reassembly agg. With `hashKeys` (default) the shuffle key
+    * is an 8-byte xxhash64 instead of the block string (~10× narrower,
+    * same trade [[graft.dedup.Spans]] documents); string keys are for the
+    * oracle gate, spec-pinned row-identical. */
+  def blockDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, blockSize: Int,
+                 hashKeys: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val key = if (hashKeys) xxhash64(col("chunk")) else col("chunk")
+    val b = chunkWindows(docs, idCol, textCol, blockSize, blockSize)
+      .select(col(idCol), col("chunk_idx"), col("chunk"), key.as("bkey"))
+    val winners = b.groupBy(col("bkey"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("w"))
+    b.join(winners, "bkey")
+      .withColumn("kept",
+        col(idCol) === col(s"w.$idCol") && col("chunk_idx") === col("w.chunk_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_clean"))
+  }
+
   /** Temperature-based corpus mixing (the mT5 / XLM-R "alpha sampling"
     * reweighting, Xue et al. 2021 §3.1): per-source sampling factors that
     * move the natural token distribution p_s toward the flattened target

@@ -45,6 +45,43 @@ class KmeansSpec extends SparkSpec {
     assert(s2 <= s1 + 1e-9 && s3 <= s2 + 1e-9, s"SSE rose: $s1 -> $s2 -> $s3")
   }
 
+  test("deep iteration keeps the plan bounded (per-round localCheckpoint)") {
+    // Without the per-round checkpoint, every extra round chains the full
+    // lineage of all prior rounds and the optimized plan grows without
+    // bound (the Clusters.scala label-propagation failure mode). With it,
+    // a 12-round plan must stay the size of a 2-round plan.
+    val p2 = Cosine.lloydIterations(clustered, "vec_id", "embedding", "label",
+      iters = 2).queryExecution.optimizedPlan.toString.length
+    val p12 = Cosine.lloydIterations(clustered, "vec_id", "embedding", "label",
+      iters = 12).queryExecution.optimizedPlan.toString.length
+    assert(p12 <= p2 * 2, s"plan grew with iteration count: 2-round=$p2 chars, " +
+      s"12-round=$p12 chars")
+    // and the deep run still lands on the converged clustering
+    val out = Cosine.lloydIterations(clustered, "vec_id", "embedding", "label",
+        iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 3).foreach { c =>
+      assert((0 until 8).map(m => out(c * 100L + m)).distinct.size == 1)
+    }
+  }
+
+  test("lloydConverge stops at the fix point and reports the round count") {
+    val (df, rounds) = Cosine.lloydConverge(clustered, "vec_id", "embedding",
+      "label", maxIters = 20)
+    // 3 planted clusters with one bad seed each converge in far fewer
+    // than 20 rounds; the fix-point probe must cut the loop short
+    assert(rounds >= 2 && rounds < 20, s"unexpected round count $rounds")
+    val out = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 3).foreach { c =>
+      assert((0 until 8).map(m => out(c * 100L + m)).distinct.size == 1)
+    }
+    // converged assignments equal the deep fixed-iteration run
+    val fixed = Cosine.lloydIterations(clustered, "vec_id", "embedding",
+        "label", iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == fixed)
+  }
+
   test("an already-converged init is a fixed point") {
     val sp = spark; import sp.implicits._
     val clean = clustered.withColumn("label",

@@ -34,6 +34,24 @@ con = duckdb.connect()
 doc_cases = " ".join(
     f"WHEN {i} THEN translate(text, 'aeiouAEIOU', '{m}{m.upper()}')"
     for i, m in enumerate(VOWEL_MAPS[:n]))
+# Planted heavy hitters (round-8: makes the t17 sf1 gate NON-vacuous —
+# the vowel-map copies keep every real token's count flat while total n
+# grows 10x, so nothing crosses the 1% threshold organically): 3 hot
+# tokens, each in 400 docs x 100 occurrences = 40k >= 1.35% of the final
+# ~2.95M tokens. Each hot occurrence is INTERLEAVED with a globally
+# unique filler token, so every word bigram in a planted doc is unique —
+# planted docs are not near-duplicates of anything (no d2/d3/d10 pairs,
+# no LSH bucket collisions), they only shift the unigram distribution.
+planted = """
+  SELECT CAST(200000000 + t * 1000 + d AS BIGINT) AS doc_id,
+         string_agg('graftplant' || t || ' f' || t || '_' || d || '_' || j,
+                    ' ' ORDER BY j) AS text,
+         'en' AS lang, 'planted' AS source,
+         CAST(length(string_agg('graftplant' || t || ' f' || t || '_' || d
+           || '_' || j, ' ' ORDER BY j)) AS BIGINT) AS n_chars
+  FROM range(3) AS ts(t), range(400) AS ds(d), range(100) AS js(j)
+  GROUP BY t, d
+"""
 con.execute(f"""
 COPY (
   SELECT doc_id + i * 10000000 AS doc_id,
@@ -42,6 +60,8 @@ COPY (
          CAST(length(text) AS BIGINT) AS n_chars
   FROM read_parquet('{src}/documents.parquet')
   CROSS JOIN (SELECT unnest(range(0, {n})) AS i)
+  UNION ALL
+  {planted}
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
 # vector rotation: tail slice ++ head slice (1-indexed, inclusive slicing)
