@@ -404,6 +404,53 @@ object TextAnalysis {
           s => s.getField("chunk"))).as("text_clean"))
   }
 
+  /** The persisted form of a finalized snapshot's paragraph-dedup state:
+    * the DISTINCT block keys the snapshot contains — one narrow column,
+    * written as parquet (partitioned by key range at scale) when the
+    * snapshot closes. The [[blockDedup]] analogue of
+    * [[graft.dedup.MinHash.snapshotIndex]]: later batches dedup against
+    * the stored keys without re-reading the snapshot's text. */
+  def blockIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, blockSize: Int,
+                 hashKeys: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val key = if (hashKeys) xxhash64(col("chunk")) else col("chunk")
+    chunkWindows(docs, idCol, textCol, blockSize, blockSize)
+      .select(key.as("bkey")).distinct()
+  }
+
+  /** Incremental [[blockDedup]]: dedup an incoming batch against a prior
+    * snapshot's [[blockIndex]] AND within itself — the daily-batch corpus
+    * workflow (the d10 shape at paragraph granularity). A block is kept
+    * iff it is the batch's own first occurrence and its key is absent
+    * from the stored index; output shape matches [[blockDedup]], and
+    * equals running it over (snapshot ∪ batch) restricted to the batch
+    * when batch ids sort after snapshot ids (`BlockDedupSpec` pins the
+    * equivalence and the parquet index round trip). */
+  def blockDedupAgainst(newDocs: org.apache.spark.sql.DataFrame,
+                        oldIndex: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String, blockSize: Int,
+                        hashKeys: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val key = if (hashKeys) xxhash64(col("chunk")) else col("chunk")
+    val b = chunkWindows(newDocs, idCol, textCol, blockSize, blockSize)
+      .select(col(idCol), col("chunk_idx"), col("chunk"), key.as("bkey"))
+    val winners = b.groupBy(col("bkey"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("w"))
+    val seenOld = oldIndex.select(col("bkey")).distinct()
+      .withColumn("seen_old", lit(true))
+    b.join(winners, "bkey")
+      .join(seenOld, Seq("bkey"), "left")
+      .withColumn("kept",
+        col(idCol) === col(s"w.$idCol") && col("chunk_idx") === col("w.chunk_idx")
+          && col("seen_old").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_clean"))
+  }
+
   /** Temperature-based corpus mixing (the mT5 / XLM-R "alpha sampling"
     * reweighting, Xue et al. 2021 §3.1): per-source sampling factors that
     * move the natural token distribution p_s toward the flattened target

@@ -35,6 +35,31 @@ class BlockDedupSpec extends SparkSpec {
     assert(out(2) == ((3L, 1L, "p q")))
   }
 
+  test("incremental dedup against a stored index equals the unioned run") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // snapshot = low ids, batch = high ids, so in the unioned run every
+    // snapshot occurrence precedes every batch occurrence — the exact
+    // precondition blockDedupAgainst encodes
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val idx = TextAnalysis.blockIndex(old, "doc_id", "text", 20)
+    // parquet round trip: decisions must be identical from the stored form
+    val dir = java.nio.file.Files.createTempDirectory("blockidx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val incremental = TextAnalysis.blockDedupAgainst(batch, stored,
+      "doc_id", "text", 20).orderBy("doc_id")
+    val unioned = TextAnalysis.blockDedup(old.unionByName(batch),
+        "doc_id", "text", 20)
+      .filter(col("doc_id") >= 1000000L).orderBy("doc_id")
+    assert(incremental.exceptAll(unioned).isEmpty
+      && unioned.exceptAll(incremental).isEmpty)
+    // non-vacuous: the batch loses some blocks to the snapshot
+    assert(incremental.filter(col("n_kept") < col("n_blocks")).count() > 0)
+  }
+
   test("xxhash64 block keys are row-identical to string keys (d9 pattern)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val byHash = TextAnalysis.blockDedup(docs, "doc_id", "text", 20,
