@@ -605,6 +605,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C10: c9 through the Dolma-style bloom path — index keys folded
+    //      into one mergeable bloom aggregate (broadcast scalar), exact
+    //      confirm join only for bloom-positive keys. Same oracle as c9:
+    //      bloom fp handling and the xxhash64 keying are both on trial.
+    "c10_paragraph_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val old = docs.filter(bucket < 80)
+      val batch = docs.filter(bucket >= 80)
+      TextAnalysis.blockDedupAgainstBloom(batch,
+          TextAnalysis.blockIndex(old, "doc_id", "text", 20),
+          "doc_id", "text", 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -617,6 +632,37 @@ object TextQueries extends QueryPack {
     }))
 
   // ------------------------------------------------------------------ oracle
+
+  /** c9/c10 shared oracle: c8's block construction split by the md5
+    * bucket; batch blocks keep only first-in-batch occurrences whose
+    * text is absent from the snapshot side. c10's bloom prefilter is
+    * transparent to the answer (fp removed by the exact confirm join,
+    * no fn exist), so both queries gate against this one statement. */
+  private val incrementalParagraphSql =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS l,
+      |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |      ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |c AS (SELECT doc_id, bucket, l, unnest(range(0,
+      |    CAST(greatest(ceil(CAST(len(l) - 20 AS DOUBLE) / 20), 0) AS BIGINT) + 1))
+      |    AS block_idx
+      |  FROM t),
+      |b AS (SELECT doc_id, bucket, block_idx,
+      |    array_to_string(l[(block_idx * 20 + 1):(block_idx * 20 + 20)], ' ') AS btxt
+      |  FROM c),
+      |oldb AS (SELECT DISTINCT btxt FROM b WHERE bucket < 80),
+      |nb AS (SELECT doc_id, block_idx, btxt FROM b WHERE bucket >= 80),
+      |k AS (SELECT nb.doc_id, nb.block_idx, nb.btxt,
+      |    row_number() OVER (PARTITION BY nb.btxt ORDER BY nb.doc_id, nb.block_idx)
+      |      AS rn,
+      |    (o.btxt IS NOT NULL) AS seen
+      |  FROM nb LEFT JOIN oldb o ON nb.btxt = o.btxt)
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  count(*) FILTER (WHERE rn = 1 AND NOT seen) AS n_kept,
+      |  coalesce(string_agg(btxt, ' ' ORDER BY block_idx)
+      |    FILTER (WHERE rn = 1 AND NOT seen), '') AS text_clean
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Word-2gram distinct shingles per doc (count parity with
     * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
@@ -1280,31 +1326,10 @@ object TextQueries extends QueryPack {
     // c9: c8's block construction split by the md5 bucket; batch blocks
     // keep only first-in-batch occurrences whose text is absent from the
     // snapshot side
-    "c9_paragraph_increment" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS l,
-        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-        |      ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
-        |  FROM documents),
-        |c AS (SELECT doc_id, bucket, l, unnest(range(0,
-        |    CAST(greatest(ceil(CAST(len(l) - 20 AS DOUBLE) / 20), 0) AS BIGINT) + 1))
-        |    AS block_idx
-        |  FROM t),
-        |b AS (SELECT doc_id, bucket, block_idx,
-        |    array_to_string(l[(block_idx * 20 + 1):(block_idx * 20 + 20)], ' ') AS btxt
-        |  FROM c),
-        |oldb AS (SELECT DISTINCT btxt FROM b WHERE bucket < 80),
-        |nb AS (SELECT doc_id, block_idx, btxt FROM b WHERE bucket >= 80),
-        |k AS (SELECT nb.doc_id, nb.block_idx, nb.btxt,
-        |    row_number() OVER (PARTITION BY nb.btxt ORDER BY nb.doc_id, nb.block_idx)
-        |      AS rn,
-        |    (o.btxt IS NOT NULL) AS seen
-        |  FROM nb LEFT JOIN oldb o ON nb.btxt = o.btxt)
-        |SELECT doc_id, count(*) AS n_blocks,
-        |  count(*) FILTER (WHERE rn = 1 AND NOT seen) AS n_kept,
-        |  coalesce(string_agg(btxt, ' ' ORDER BY block_idx)
-        |    FILTER (WHERE rn = 1 AND NOT seen), '') AS text_clean
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c9_paragraph_increment" -> incrementalParagraphSql,
+    // c10: the bloom-prefiltered path is exactly c9 (fp removed by the
+    // confirm join, no fn exist), so it shares c9's oracle verbatim
+    "c10_paragraph_bloom" -> incrementalParagraphSql,
     "c7_curation_v2" ->
       s"""WITH $shinglesCte,
          |bk AS (SELECT doc_id,

@@ -451,6 +451,54 @@ object TextAnalysis {
           s => s.getField("chunk"))).as("text_clean"))
   }
 
+  /** [[blockDedupAgainst]] with a BLOOM-prefiltered index probe — the
+    * 100 TB configuration (Dolma runs its paragraph dedup exactly this
+    * way, a bloom filter over seen-paragraph hashes): the stored index's
+    * keys are folded into one mergeable bloom aggregate, delivered to the
+    * probe as a broadcast SCALAR (evaluated once — the c5 lesson: sketch
+    * state must never flow through per-row rows), and only
+    * bloom-POSITIVE batch keys reach the exact confirm join against the
+    * stored index. False positives are removed by the confirm, false
+    * negatives don't exist, so the result is EXACTLY
+    * [[blockDedupAgainst]] (hash keys) — c10 gates it against c9's own
+    * oracle. At a realistic dup rate the confirm join's probe side is a
+    * small fraction of the batch, so the index shuffle all but
+    * disappears; the bloom itself is `numBits/8` bytes at any index
+    * size. */
+  def blockDedupAgainstBloom(newDocs: org.apache.spark.sql.DataFrame,
+                             oldIndex: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String, blockSize: Int,
+                             numBits: Int = 1 << 22,
+                             numHashes: Int = 7): org.apache.spark.sql.DataFrame = {
+    import graft.plans.BloomSketchAgg.{bloomContains, bloomState}
+    val b = chunkWindows(newDocs, idCol, textCol, blockSize, blockSize)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        xxhash64(col("chunk")).as("bkey"))
+    val winners = b.groupBy(col("bkey"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("w"))
+    val oldKeys = oldIndex.select(col("bkey")).distinct()
+    val filterRow = oldKeys.agg(bloomState(col("bkey"), numBits, numHashes).as("__bloom"))
+    val stateScalar = graft.plans.Exprs.toColumn(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        filterRow.queryExecution.analyzed))
+    val confirmed = b.select(col("bkey")).distinct()
+      .filter(bloomContains(stateScalar, col("bkey")))
+      .join(oldKeys, Seq("bkey"), "left_semi")
+      .withColumn("seen_old", lit(true))
+    b.join(winners, "bkey")
+      .join(confirmed, Seq("bkey"), "left")
+      .withColumn("kept",
+        col(idCol) === col(s"w.$idCol") && col("chunk_idx") === col("w.chunk_idx")
+          && col("seen_old").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("text_clean"))
+  }
+
   /** Temperature-based corpus mixing (the mT5 / XLM-R "alpha sampling"
     * reweighting, Xue et al. 2021 §3.1): per-source sampling factors that
     * move the natural token distribution p_s toward the flattened target

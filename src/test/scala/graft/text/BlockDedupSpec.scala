@@ -60,6 +60,23 @@ class BlockDedupSpec extends SparkSpec {
     assert(incremental.filter(col("n_kept") < col("n_blocks")).count() > 0)
   }
 
+  test("bloom-prefiltered incremental dedup is exactly the plain path") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val idx = TextAnalysis.blockIndex(old, "doc_id", "text", 20)
+    val plain = TextAnalysis.blockDedupAgainst(batch, idx, "doc_id", "text", 20)
+    val bloom = TextAnalysis.blockDedupAgainstBloom(batch, idx, "doc_id", "text", 20)
+    assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
+    // a DELIBERATELY undersized filter (64 bits for thousands of keys ->
+    // near-every probe is a false positive) must still be exact: the
+    // confirm join removes every fp
+    val tiny = TextAnalysis.blockDedupAgainstBloom(batch, idx, "doc_id", "text",
+      20, numBits = 64, numHashes = 2)
+    assert(tiny.exceptAll(plain).isEmpty && plain.exceptAll(tiny).isEmpty)
+  }
+
   test("xxhash64 block keys are row-identical to string keys (d9 pattern)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val byHash = TextAnalysis.blockDedup(docs, "doc_id", "text", 20,
