@@ -241,4 +241,73 @@ object StreamingDedup {
           out.iterator
       }
   }
+
+  case class BlockDecision(doc_id: Long, block_idx: Long, keep: Boolean)
+
+  /** Streaming paragraph dedup — the incremental twin of the batch c8/c9
+    * block operators ([[graft.text.TextAnalysis.blockDedup]] /
+    * `blockDedupAgainst`): each arriving document is cut into
+    * non-overlapping `blockSize`-token blocks MAP-SIDE (the tokenizer and
+    * the block count formula replicate the batch `chunkWindows` exactly —
+    * [[graft.dedup.MinHash.Scalar.tokens]] is the spec-pinned Spark-parity
+    * kernel), the stream is keyed by the block TEXT, and per-key state
+    * remembers the first (doc_id, block_idx) to claim it — so a block
+    * repeating anything seen earlier in the stream emits keep=false,
+    * forever, across micro-batches and restarts.
+    *
+    * `initialKeys`: the block strings of a prior snapshot's
+    * [[graft.text.TextAnalysis.blockIndex]] (string-key form) loaded as
+    * initial state — the streaming form of c9: stream blocks dedup against
+    * the stored snapshot AND each other without re-reading snapshot text.
+    *
+    * Output is one decision row per block; reassembly (concat of kept
+    * blocks per doc) is a per-sink groupBy, exactly the batch tail.
+    * Scale: state is sharded by block text (one small entry per distinct
+    * block); production swaps the RocksDB store + TTL horizon as with the
+    * other streaming twins. */
+  def blockDecisions(docs: Dataset[Doc], blockSize: Int,
+                     initialKeys: Option[Dataset[String]] = None)
+      : Dataset[BlockDecision] = {
+    import docs.sparkSession.implicits._
+    require(blockSize > 0, "need a positive block size")
+    val keyed = docs.flatMap { d =>
+      val toks = graft.dedup.MinHash.Scalar.tokens(d.text)
+      // chunkWindows' count: greatest(ceil((n - size) / size), 0) + 1
+      val nChunks = math.max(
+        math.ceil((toks.length - blockSize).toDouble / blockSize).toLong, 0L) + 1
+      (0L until nChunks).map { i =>
+        val from = (i * blockSize).toInt
+        (toks.slice(from, from + blockSize).mkString(" "), d.doc_id, i)
+      }
+    }
+    def step(key: String, rows: Iterator[(String, Long, Long)],
+             state: GroupState[(Long, Long)]): Iterator[BlockDecision] = {
+      val ordered = rows.map { case (_, id, idx) => (id, idx) }.toSeq.sorted
+      val out = scala.collection.mutable.ListBuffer.empty[BlockDecision]
+      var first = state.getOption
+      ordered.foreach { case (id, idx) =>
+        first match {
+          case None =>
+            first = Some((id, idx))
+            out += BlockDecision(id, idx, keep = true)
+          case Some(_) =>
+            out += BlockDecision(id, idx, keep = false)
+        }
+      }
+      first.foreach(state.update)
+      out.iterator
+    }
+    val grouped = keyed.groupByKey(_._1)
+    initialKeys match {
+      case None =>
+        grouped.flatMapGroupsWithState[(Long, Long), BlockDecision](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(step _)
+      case Some(keys) =>
+        // sentinel claimant: any stream occurrence of a seeded key loses
+        val init = keys.distinct().groupByKey(identity)
+          .mapValues(_ => (Long.MinValue, Long.MinValue))
+        grouped.flatMapGroupsWithState[(Long, Long), BlockDecision](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), init)(step _)
+    }
+  }
 }

@@ -143,4 +143,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
   }
+
+  test("c8 first-occurrence is an aggregate, not a corpus window sort") {
+    val plan = physical(SparkEntry.queries("c8_paragraph_dedup")(spark, dir))
+    // min(struct) winners + doc reassembly: HashAggregates with partial
+    // (merge) phases; the only Window would be a corpus-wide row_number
+    assert(!plan.contains("Window"), s"c8 fell back to a window sort:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("c10 bloom state reaches the probe as a scalar subquery, not a row column") {
+    val df = SparkEntry.queries("c10_paragraph_bloom")(spark, dir)
+    val plan = physical(df)
+    // the c5 lesson: the 512KB filter must be a runtime constant
+    // (scalar-subquery), never carried per-row through a join
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"bloom state not a scalar subquery:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x15 probe selection broadcasts the centroid table") {
+    val plan = physical(SparkEntry.queries("x15_ivf_multiprobe")(spark, dir))
+    // centroid table is k·dim values: the probe cross join must be a
+    // broadcast, and candidate matching an equi join on the cell key
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
