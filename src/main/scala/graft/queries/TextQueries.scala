@@ -620,6 +620,15 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T23: shard manifest — the materialization tail: deterministic
+    //      salted-md5 sharding with per-shard doc/token counts, an
+    //      order-independent bit_xor content checksum (overflow-free at
+    //      any scale, partition-merge invariant), and id bounds.
+    "t23_shard_manifest" -> ((s, dir) => {
+      graft.ops.Sharding.manifest(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8)
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -1326,6 +1335,19 @@ object TextQueries extends QueryPack {
     // c9: c8's block construction split by the md5 bucket; batch blocks
     // keep only first-in-batch occurrences whose text is absent from the
     // snapshot side
+    "t23_shard_manifest" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':graft-shard-v1')), 1, 15)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  bit_xor(fp) AS checksum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "c9_paragraph_increment" -> incrementalParagraphSql,
     // c10: the bloom-prefiltered path is exactly c9 (fp removed by the
     // confirm join, no fn exist), so it shares c9's oracle verbatim

@@ -1,0 +1,45 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The ANN SERVING shape: an IVF index (trained centroids + cell-assigned
+  * corpus) persisted as parquet when the corpus shard is finalized, then
+  * queries probe the STORED index — no centroid recompute, no corpus
+  * re-assignment. Pins the x-family round trip the way IndexRoundTripSpec
+  * pins the d10 LSH index: decisions identical from the stored form. */
+class IvfIndexSpec extends SparkSpec {
+
+  test("ivf search from a parquet-persisted index is decision-identical") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // "train": centroids from the label init + one assignment pass
+    val cents = Cosine.cellCentroids(emb.select(col("label"),
+      Cosine.toDouble(col("embedding")).as("v")), "label", "v")
+    val assigned = Cosine.assignToCentroids(emb, "vec_id", "embedding", cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    // persist both index halves, reload
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").parquet(s"$dir/corpus")
+    val storedCents = spark.read.parquet(s"$dir/centroids")
+    val storedCorpus = spark.read.parquet(s"$dir/corpus")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    // live path: same index computed in-plan
+    val live = Cosine.ivfTopKMultiprobe(queries, assigned, "vec_id", "embedding",
+      "cell", k = 5, nProbe = 2)
+    // served path: everything read back from parquet
+    val served = Cosine.ivfTopKMultiprobe(queries, storedCorpus, "vec_id",
+      "embedding", "cell", k = 5, nProbe = 2)
+    assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty)
+    // the stored centroid table alone also reproduces assignment exactly
+    val reassign = Cosine.assignToCentroids(emb, "vec_id", "embedding",
+      storedCents, "label")
+    val liveassign = Cosine.assignToCentroids(emb, "vec_id", "embedding",
+      cents, "label")
+    assert(reassign.exceptAll(liveassign).isEmpty
+      && liveassign.exceptAll(reassign).isEmpty)
+    assert(live.count() > 0)
+  }
+}
