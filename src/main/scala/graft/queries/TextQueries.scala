@@ -418,6 +418,30 @@ object TextQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- D12: LSH recall evaluation — x12's acceptance check for the
+    //      TEXT dedup family: d3's banded pipeline measured against the
+    //      unpruned exact Jaccard pair set at the same threshold. LSH
+    //      verification is exact, so precision is 1 by construction and
+    //      the metric is pure banding recall; integer ppm keeps the
+    //      division engine-exact.
+    "d12_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = MinHash.exactJaccardPairs(docs, "doc_id", "text",
+          n = 2, threshold = 0.7, maxDf = Int.MaxValue)
+        .select(col("id_a"), col("id_b"))
+      val lsh = MinHash.nearDuplicates(docs, "doc_id", "text",
+          n = 2, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nh = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      ne.crossJoin(broadcast(nl)).crossJoin(broadcast(nh))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          expr("CAST(CASE WHEN n_exact = 0 THEN 1000000 " +
+            "ELSE (n_hit * 1000000) DIV n_exact END AS BIGINT)").as("recall_ppm"))
+    }),
+
     // ---- D4: SimHash 32-bit fingerprints
     "d4_simhash" -> ((s, dir) => {
       SimHash.fingerprints(Tables.documents(s, dir), "doc_id", "text")
@@ -1233,6 +1257,48 @@ object TextQueries extends QueryPack {
          |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
          |  GROUP BY 1, 2),
          |${jaccardTail("shh", "0.7")}""".stripMargin,
+    // d12: d3's banded pipeline (cand -> verified pairs) vs the unpruned
+    // exact pair set; one metric row
+    "d12_lsh_recall" ->
+      s"""WITH $shinglesCte,
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
+         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+         |    AS band_hash
+         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |interL AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+         |  GROUP BY 1, 2),
+         |lsh AS (SELECT id_a, id_b FROM interL
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |interE AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT id_a, id_b FROM interE
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |m AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |             (SELECT count(*) FROM lsh) AS n_lsh,
+         |             (SELECT count(*) FROM exact e JOIN lsh l
+         |                ON e.id_a = l.id_a AND e.id_b = l.id_b) AS n_hit)
+         |SELECT n_exact, n_lsh, n_hit,
+         |  CAST(CASE WHEN n_exact = 0 THEN 1000000
+         |    ELSE (n_hit * 1000000) // n_exact END AS BIGINT) AS recall_ppm
+         |FROM m""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |           FROM documents),
