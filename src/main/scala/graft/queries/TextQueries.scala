@@ -426,15 +426,31 @@ object TextQueries extends QueryPack {
     //      division engine-exact.
     "d12_lsh_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val exact = MinHash.exactJaccardPairs(docs, "doc_id", "text",
-          n = 2, threshold = 0.7, maxDf = Int.MaxValue)
-        .select(col("id_a"), col("id_b"))
-      val lsh = MinHash.nearDuplicates(docs, "doc_id", "text",
-          n = 2, threshold = 0.7)
-        .select(col("id_a"), col("id_b"))
+      // ground truth on a 10% PROBE SAMPLE (x12's estimator shape): exact
+      // (probe, neighbor) pairs from the inverted index, unpruned — truth
+      // cost scales with the sample, not the corpus pair count
+      val sh = MinHash.hashedShingleRows(
+          MinHash.shingleRows(docs, "doc_id", "text", n = 2), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val exact = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("q"), col("shash"))
+        .join(sh.select(col("doc_id").as("nbr"), col("shash")), "shash")
+        .filter(col("q") =!= col("nbr"))
+        .groupBy(col("q"), col("nbr")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("q"), col("n").as("nq")), "q")
+        .join(sizes.select(col("doc_id").as("nbr"), col("n").as("nn")), "nbr")
+        .filter(col("inter").cast("double")
+          / (col("nq") + col("nn") - col("inter")) >= 0.7)
+        .select(col("q"), col("nbr"))
+      val lshPairs = MinHash.nearDuplicates(docs, "doc_id", "text",
+        n = 2, threshold = 0.7)
+      val lsh = lshPairs.select(col("id_a").as("q"), col("id_b").as("nbr"))
+        .unionAll(lshPairs.select(col("id_b").as("q"), col("id_a").as("nbr")))
+        .filter(col("q") % 10 === 0)
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nl = lsh.agg(count(lit(1)).as("n_lsh"))
-      val nh = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      val nh = exact.join(lsh, Seq("q", "nbr"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       ne.crossJoin(broadcast(nl)).crossJoin(broadcast(nh))
         .select(col("n_exact"), col("n_lsh"), col("n_hit"),
@@ -1281,20 +1297,25 @@ object TextQueries extends QueryPack {
          |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
          |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
          |  GROUP BY 1, 2),
-         |lsh AS (SELECT id_a, id_b FROM interL
+         |lshp AS (SELECT id_a, id_b FROM interL
          |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |lsh AS (SELECT q, nbr FROM (
+         |    SELECT id_a AS q, id_b AS nbr FROM lshp
+         |    UNION ALL SELECT id_b, id_a FROM lshp)
+         |  WHERE q % 10 = 0),
          |interE AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  SELECT a.doc_id AS q, b.doc_id AS nbr, count(*) AS inter
+         |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 10 = 0
          |  GROUP BY 1, 2),
-         |exact AS (SELECT id_a, id_b FROM interE
-         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |exact AS (SELECT q, nbr FROM interE
+         |  JOIN sizes sa ON sa.doc_id = q JOIN sizes sb ON sb.doc_id = nbr
          |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
          |m AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
          |             (SELECT count(*) FROM lsh) AS n_lsh,
          |             (SELECT count(*) FROM exact e JOIN lsh l
-         |                ON e.id_a = l.id_a AND e.id_b = l.id_b) AS n_hit)
+         |                ON e.q = l.q AND e.nbr = l.nbr) AS n_hit)
          |SELECT n_exact, n_lsh, n_hit,
          |  CAST(CASE WHEN n_exact = 0 THEN 1000000
          |    ELSE (n_hit * 1000000) // n_exact END AS BIGINT) AS recall_ppm
