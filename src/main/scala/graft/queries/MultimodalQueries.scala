@@ -53,6 +53,27 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // ---- M3: video frame fan-out — every 2nd MJPEG frame of each clip is
+    //      REALLY decoded (RIFF walk + per-frame ImageIO) and featurized;
+    //      the gated values are the fan-out row counts, sampled indices,
+    //      and feature arity, all closed-form in (n_frames, everyN). Frame
+    //      pixel values stay spec-level only: JPEG is lossy, so cell luma
+    //      is not oracle-predictable the way m2's PNG luma is.
+    "m3_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Tables.supplier(s, dir).select(col("s_suppkey").as("k")).as[Long]
+      val media = keys.map { k =>
+        Multimodal.MediaRow(k, "video",
+          MediaSynth.flatAvi(16, 12, (3 + k % 7).toInt, 5))
+      }
+      Multimodal.videoFrameFeatures(media, everyN = 2).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_idx")).cast("long").as("last_idx"),
+          sum(size(col("feature"))).as("n_values"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- M2: feature-extraction round trip. Flat-color PNG → every
     //      bilinear grid cell carries the integer luma; constant-sample WAV
     //      → every RMS segment inverts to the amplitude. The query UNDOES
@@ -105,6 +126,15 @@ object MultimodalQueries extends QueryPack {
         |  CAST(2 + k % 4 AS INTEGER)
         |FROM k
         |ORDER BY media_id""".stripMargin,
+
+    "m3_video_frames" ->
+      """WITH k AS (SELECT s_suppkey AS k FROM supplier),
+        |v AS (SELECT k AS media_id, 3 + k % 7 AS nf FROM k)
+        |SELECT media_id,
+        |  (nf - 1) // 2 + 1 AS n_sampled,
+        |  CAST(((nf - 1) // 2) * 2 AS BIGINT) AS last_idx,
+        |  CAST(((nf - 1) // 2 + 1) * 64 AS BIGINT) AS n_values
+        |FROM v ORDER BY media_id""".stripMargin,
 
     "m2_media_features" ->
       """WITH k AS (SELECT s_suppkey AS k FROM supplier)
