@@ -102,8 +102,35 @@ object Pipeline {
     pullStage(spark, url)
     streamingStage(spark)
     multimodalStage(spark)
+    curationTailStage(spark)
     println("[pipeline] OK")
     spark.stop()
+  }
+
+  /** Curation tail (round 8): paragraph dedup against a persisted block
+    * index, then shard materialization with manifests — the last mile of
+    * a training-data pipeline, driven end-to-end on real testdata. */
+  private def curationTailStage(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val idx = graft.text.TextAnalysis.blockIndex(old, "doc_id", "text", 20)
+    val deduped = graft.text.TextAnalysis.blockDedupAgainstBloom(
+      batch, idx, "doc_id", "text", 20)
+    val survivors = deduped.filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val nIn = batch.count(); val nOut = survivors.count()
+    assert(nOut > 0 && nOut <= nIn, s"curation tail lost the corpus: $nIn -> $nOut")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.ops.Sharding.shardedWrite(survivors, "doc_id", outDir, nShards = 4)
+    val manifest = graft.ops.Sharding.manifest(survivors, "doc_id", "text", 4)
+      .collect()
+    val written = spark.read.parquet(outDir).count()
+    assert(written == nOut, s"shard write dropped rows: $nOut -> $written")
+    assert(manifest.map(_.getLong(1)).sum == nOut)
+    println(s"[pipeline] curation tail: $nIn batch docs -> $nOut kept, " +
+      s"4 shards (docs per shard: ${manifest.map(_.getLong(1)).mkString("/")})")
   }
 
   /** Vendor-inventory stage (reference §3.1 `inventory_server_prices`):
