@@ -163,9 +163,19 @@ object MinHash {
     * candidate-driven verification joins, both proportional to candidate
     * count, not corpus size. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val sharr = hashedShingleArray(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                     n: Int = 2, threshold: Double = 0.7): DataFrame =
+    nearDuplicatesFromArray(
+      hashedShingleArray(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, threshold)
+
+  /** [[nearDuplicates]] over a PREBUILT (ideally persisted)
+    * [[hashedShingleArray]] frame — lets a caller pay the per-shingle md5
+    * once and share it between the LSH pipeline and other consumers
+    * (d12's recall harness derives its exact ground truth from the same
+    * arrays). */
+  def nearDuplicatesFromArray(sharr: DataFrame, idCol: String,
+                              threshold: Double = 0.7): DataFrame = {
     val pairs = {
       val bands = bandRows(signaturesFromArray(sharr, idCol), idCol)
       val l = bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))

@@ -429,10 +429,11 @@ object TextQueries extends QueryPack {
       // ground truth on a 10% PROBE SAMPLE (x12's estimator shape): exact
       // (probe, neighbor) pairs from the inverted index, unpruned — truth
       // cost scales with the sample, not the corpus pair count
-      val sh = MinHash.hashedShingleRows(
-          MinHash.shingleRows(docs, "doc_id", "text", n = 2), "doc_id")
+      val sharr = MinHash.hashedShingleArray(docs, "doc_id", "text", n = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // one md5 pass: truth explodes the same arrays the LSH side signs
+      val sh = sharr.select(col("doc_id"), explode(col("sharr")).as("shash"))
+      val sizes = sharr.select(col("doc_id"), size(col("sharr")).as("n"))
       val exact = sh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("q"), col("shash"))
         .join(sh.select(col("doc_id").as("nbr"), col("shash")), "shash")
@@ -443,8 +444,8 @@ object TextQueries extends QueryPack {
         .filter(col("inter").cast("double")
           / (col("nq") + col("nn") - col("inter")) >= 0.7)
         .select(col("q"), col("nbr"))
-      val lshPairs = MinHash.nearDuplicates(docs, "doc_id", "text",
-        n = 2, threshold = 0.7)
+      val lshPairs = MinHash.nearDuplicatesFromArray(sharr, "doc_id",
+        threshold = 0.7)
       val lsh = lshPairs.select(col("id_a").as("q"), col("id_b").as("nbr"))
         .unionAll(lshPairs.select(col("id_b").as("q"), col("id_a").as("nbr")))
         .filter(col("q") % 10 === 0)
