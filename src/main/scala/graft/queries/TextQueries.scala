@@ -426,15 +426,20 @@ object TextQueries extends QueryPack {
     //      division engine-exact.
     "d12_lsh_recall" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // ground truth on a 10% PROBE SAMPLE (x12's estimator shape): exact
-      // (probe, neighbor) pairs from the inverted index, unpruned — truth
-      // cost scales with the sample, not the corpus pair count
+      // ground truth on a FIXED 500-doc PROBE PANEL (x12's estimator
+      // shape; first 500 ids — deterministic, oracle-replayable): exact
+      // (probe, neighbor) pairs from the unpruned inverted index. A fixed
+      // panel (not a fixed rate) is the scale knob: truth cost grows with
+      // DUPLICATION DENSITY only, never corpus × density — the 10×-dup
+      // stress measured a rate-based panel at 100× intermediate fan-out
+      // (SCALE.md round 8)
+      val probeIds = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(500)
       val sharr = MinHash.hashedShingleArray(docs, "doc_id", "text", n = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one md5 pass: truth explodes the same arrays the LSH side signs
       val sh = sharr.select(col("doc_id"), explode(col("sharr")).as("shash"))
       val sizes = sharr.select(col("doc_id"), size(col("sharr")).as("n"))
-      val exact = sh.filter(col("doc_id") % 10 === 0)
+      val exact = sh.join(broadcast(probeIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id").as("q"), col("shash"))
         .join(sh.select(col("doc_id").as("nbr"), col("shash")), "shash")
         .filter(col("q") =!= col("nbr"))
@@ -448,7 +453,8 @@ object TextQueries extends QueryPack {
         threshold = 0.7)
       val lsh = lshPairs.select(col("id_a").as("q"), col("id_b").as("nbr"))
         .unionAll(lshPairs.select(col("id_b").as("q"), col("id_a").as("nbr")))
-        .filter(col("q") % 10 === 0)
+        .join(broadcast(probeIds.withColumnRenamed("doc_id", "q")), Seq("q"),
+          "left_semi")
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nl = lsh.agg(count(lit(1)).as("n_lsh"))
       val nh = exact.join(lsh, Seq("q", "nbr"), "left_semi")
@@ -1301,14 +1307,15 @@ object TextQueries extends QueryPack {
          |lshp AS (SELECT id_a, id_b FROM interL
          |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |panel AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500),
          |lsh AS (SELECT q, nbr FROM (
          |    SELECT id_a AS q, id_b AS nbr FROM lshp
          |    UNION ALL SELECT id_b, id_a FROM lshp)
-         |  WHERE q % 10 = 0),
+         |  WHERE q IN (SELECT doc_id FROM panel)),
          |interE AS (
          |  SELECT a.doc_id AS q, b.doc_id AS nbr, count(*) AS inter
          |  FROM shh a JOIN shh b ON a.shash = b.shash AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id % 10 = 0
+         |  WHERE a.doc_id IN (SELECT doc_id FROM panel)
          |  GROUP BY 1, 2),
          |exact AS (SELECT q, nbr FROM interE
          |  JOIN sizes sa ON sa.doc_id = q JOIN sizes sb ON sb.doc_id = nbr
