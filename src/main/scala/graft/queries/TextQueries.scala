@@ -676,6 +676,18 @@ object TextQueries extends QueryPack {
         nShards = 8)
     }),
 
+    // ---- R1: BM25 lexical top-k — the SPARSE retrieval counterpart of
+    //      the dense ANN family (x1/x4/x15): inverted-index join of the
+    //      probe docs' terms against corpus postings, per-term
+    //      contributions fixed to integer micro units before the pair sum
+    //      (the t18 recipe), so scores and ranks are engine-exact.
+    "r1_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+          "doc_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -1430,6 +1442,44 @@ object TextQueries extends QueryPack {
     // c9: c8's block construction split by the md5 bucket; batch blocks
     // keep only first-in-batch occurrences whose text is absent from the
     // snapshot side
+    // r1: same postings/df/idf/saturation arithmetic, parenthesized
+    // IDENTICALLY to the Column tree so every per-term double op is the
+    // same IEEE operation; the per-pair sum is over integer micro units
+    "r1_bm25_topk" ->
+      """WITH p AS (SELECT doc_id AS did,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |post AS (SELECT did, term, count(*) AS tf FROM p GROUP BY did, term),
+        |dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY did),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+        |  FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |t AS (SELECT term,
+        |    CAST(round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df + 0.5)
+        |      / (df + 0.5)) * 1000000, 0) AS BIGINT) AS idf_micro
+        |  FROM dfq, st),
+        |qt AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> ''))) AS term
+        |  FROM documents WHERE doc_id < 10),
+        |sc AS (SELECT qt.qid, post.did,
+        |    CAST(round((t.idf_micro / 1000000.0) *
+        |      ((CAST(post.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (post.tf + (1.2 * ((1 - 0.75) + ((0.75 * dl.dl) /
+        |         (CAST(st.total_len AS DOUBLE) / st.n_docs))))))
+        |      * 1000000, 0) AS BIGINT) AS c
+        |  FROM qt JOIN t USING (term) JOIN post USING (term)
+        |  JOIN dl ON dl.did = post.did, st
+        |  WHERE qt.qid <> post.did AND t.idf_micro > 0),
+        |agg AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM sc GROUP BY qid, did)
+        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM (
+        |  SELECT qid, did, score_micro,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_micro DESC, did ASC) AS rank
+        |  FROM agg)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "t23_shard_manifest" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),

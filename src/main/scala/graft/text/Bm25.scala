@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene `+1` idf
+  * form) — the SPARSE counterpart of the dense ANN family (x1/x4/x15):
+  * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf_d(t)·(k1+1) /
+  *                             (tf_d(t) + k1·(1 − b + b·|d|/avg|d|)).
+  *
+  * Engine-exact scoring (the t18 integer recipe): every PER-TERM
+  * contribution is a chain of deterministic scalar double ops (ln /
+  * multiply / divide are correctly rounded and identical on any IEEE
+  * engine given identical inputs), fixed to integer MICRO units before
+  * the per-(query, doc) SUM — integer sums are associative, so scores
+  * and the rank order cannot drift with partition merge order or engine.
+  *
+  * Scale shape: one corpus tokenize pass → (doc, term, tf) postings; df
+  * and the (N, avglen) stats are combine-enabled aggregates (stats
+  * broadcast as a 1-row frame); candidate scoring is an equi-join of the
+  * query terms against the postings keyed on the TERM — the inverted
+  * index. `minIdfMicro` is the WAND-flavored pruning knob: terms whose
+  * idf falls at/below it (the near-stopwords whose postings dominate
+  * join fan-out but contribute least) are dropped from BOTH sides;
+  * 0 (default, gate configuration) prunes nothing. */
+object Bm25 {
+
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+           textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+           minIdfMicro: Long = 0L): DataFrame = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val postings = corpus
+      .select(col(idCol).as("did"), explode(toks).as("term"))
+      .groupBy(col("did"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doclen = postings.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf in micro-nats: ln(1 + (N - df + 0.5)/(df + 0.5)), > 0 always
+    val idfMicro = round(
+      log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5d)
+        / (col("df") + 0.5d)) * 1000000, 0).cast("long")
+    val terms = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"), idfMicro.as("idf_micro"),
+        col("n_docs"), col("total_len"))
+      .filter(col("idf_micro") > minIdfMicro)
+    val qterms = queries
+      .select(col(idCol).as("qid"), explode(array_distinct(toks)).as("term"))
+    // per-term contribution fixed to micro units BEFORE the per-pair sum
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val sat = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val contrib = round((col("idf_micro").cast("double") / 1000000.0d) * sat
+      * 1000000, 0).cast("long")
+    val scored = qterms
+      .join(terms, "term")
+      .join(postings, "term")
+      .filter(col("qid") =!= col("did"))
+      .join(doclen, "did")
+      .withColumn("c_micro", contrib)
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("c_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("did").as("doc_id"), col("score_micro"))
+  }
+}
