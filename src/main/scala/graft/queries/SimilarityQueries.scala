@@ -186,6 +186,26 @@ object SimilarityQueries extends QueryPack {
       Cosine.pqAdcTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
           k = 5, centroidFn = Cosine.cellCentroidsSorted)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- R2: hybrid retrieval — RRF fusion (Cormack et al. 2009) of the
+    //      SPARSE BM25 list (r1, over `documents`) and the DENSE cosine
+    //      list (x1, over `embeddings`, same ids = two modalities of one
+    //      corpus): the production RAG recall stage. Rank-only fusion
+    //      needs no cross-system score normalization; contributions are
+    //      floor'd integer nanos, so the fused order is engine-exact.
+    "r2_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val lex = graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+          "doc_id", "text", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Cosine.topK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.retrieval.Fusion.rrf(Seq(lex, dense), "query_id", "doc_id", "rank",
+          k0 = 60, perSystemK = 20, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   /** The same deterministic SRP hyperplanes the engine uses, as SQL array
@@ -226,6 +246,41 @@ object SimilarityQueries extends QueryPack {
   // a def, not a val: x8's SQL embeds the SRP config derived by the last
   // x8 run (Verify reads oracles after running the queries)
   def oracle: Map[String, String] = Map(
+    // r2: the lexical side replays TextQueries.bm25Ctes VERBATIM (the
+    // same generator r1 gates against, so the two lists cannot drift);
+    // the dense side is x1's sims CTE ranked to depth 20; fusion is
+    // floor'd integer nanos summed per (query, doc).
+    "r2_hybrid_rrf" ->
+      s"""WITH ${TextQueries.bm25Ctes(maxQid = 10)},
+         |$vCte,
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |den AS (SELECT query_id, neighbor_id AS did,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims),
+         |contrib AS (
+         |  SELECT qid AS query_id, did,
+         |    CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+         |  FROM lexr WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT query_id, did,
+         |    CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+         |  FROM den WHERE rank <= 20),
+         |f AS (SELECT query_id, did, CAST(sum(c) AS BIGINT) AS rrf_nano,
+         |    count(*) AS n_systems
+         |  FROM contrib GROUP BY query_id, did)
+         |SELECT query_id, rank, did AS doc_id, rrf_nano, n_systems FROM (
+         |  SELECT query_id, did, rrf_nano, n_systems,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_nano DESC, did ASC) AS rank
+         |  FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x1_cosine_topk" ->
       s"""WITH $vCte,
          |sims AS (

@@ -732,6 +732,47 @@ object TextQueries extends QueryPack {
       |    FILTER (WHERE rn = 1 AND NOT seen), '') AS text_clean
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BM25 oracle CTE chain ending in `lexr` (qid, did, score_micro,
+    * rank) — the full ranked list for probe docs `doc_id < maxQid`.
+    * Shared by r1's oracle and r2's hybrid fusion (SimilarityQueries),
+    * so the two replays cannot drift: same postings/df/idf/saturation
+    * arithmetic, parenthesized IDENTICALLY to [[graft.text.Bm25.topK]]'s
+    * Column tree so every per-term double op is the same IEEE operation;
+    * the per-pair sum is over integer micro units. */
+  private[queries] def bm25Ctes(maxQid: Int): String =
+    s"""p AS (SELECT doc_id AS did,
+       |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x <> '')) AS term
+       |  FROM documents),
+       |post AS (SELECT did, term, count(*) AS tf FROM p GROUP BY did, term),
+       |dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY did),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+       |  FROM dl),
+       |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+       |t AS (SELECT term,
+       |    CAST(round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df + 0.5)
+       |      / (df + 0.5)) * 1000000, 0) AS BIGINT) AS idf_micro
+       |  FROM dfq, st),
+       |qt AS (SELECT doc_id AS qid,
+       |    unnest(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x <> ''))) AS term
+       |  FROM documents WHERE doc_id < $maxQid),
+       |sc AS (SELECT qt.qid, post.did,
+       |    CAST(round((t.idf_micro / 1000000.0) *
+       |      ((CAST(post.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |       (post.tf + (1.2 * ((1 - 0.75) + ((0.75 * dl.dl) /
+       |         (CAST(st.total_len AS DOUBLE) / st.n_docs))))))
+       |      * 1000000, 0) AS BIGINT) AS c
+       |  FROM qt JOIN t USING (term) JOIN post USING (term)
+       |  JOIN dl ON dl.did = post.did, st
+       |  WHERE qt.qid <> post.did AND t.idf_micro > 0),
+       |agg AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM sc GROUP BY qid, did),
+       |lexr AS (SELECT qid, did, score_micro,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_micro DESC, did ASC) AS rank
+       |  FROM agg)""".stripMargin
+
   /** Word-2gram distinct shingles per doc (count parity with
     * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
     * md5-derived hash rows the engine joins on. */
@@ -1446,39 +1487,8 @@ object TextQueries extends QueryPack {
     // IDENTICALLY to the Column tree so every per-term double op is the
     // same IEEE operation; the per-pair sum is over integer micro units
     "r1_bm25_topk" ->
-      """WITH p AS (SELECT doc_id AS did,
-        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x <> '')) AS term
-        |  FROM documents),
-        |post AS (SELECT did, term, count(*) AS tf FROM p GROUP BY did, term),
-        |dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY did),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
-        |  FROM dl),
-        |dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
-        |t AS (SELECT term,
-        |    CAST(round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df + 0.5)
-        |      / (df + 0.5)) * 1000000, 0) AS BIGINT) AS idf_micro
-        |  FROM dfq, st),
-        |qt AS (SELECT doc_id AS qid,
-        |    unnest(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x <> ''))) AS term
-        |  FROM documents WHERE doc_id < 10),
-        |sc AS (SELECT qt.qid, post.did,
-        |    CAST(round((t.idf_micro / 1000000.0) *
-        |      ((CAST(post.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |       (post.tf + (1.2 * ((1 - 0.75) + ((0.75 * dl.dl) /
-        |         (CAST(st.total_len AS DOUBLE) / st.n_docs))))))
-        |      * 1000000, 0) AS BIGINT) AS c
-        |  FROM qt JOIN t USING (term) JOIN post USING (term)
-        |  JOIN dl ON dl.did = post.did, st
-        |  WHERE qt.qid <> post.did AND t.idf_micro > 0),
-        |agg AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS score_micro
-        |  FROM sc GROUP BY qid, did)
-        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM (
-        |  SELECT qid, did, score_micro,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY score_micro DESC, did ASC) AS rank
-        |  FROM agg)
+      s"""WITH ${bm25Ctes(maxQid = 10)}
+        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "t23_shard_manifest" ->
       """WITH s AS (SELECT doc_id,
