@@ -256,6 +256,59 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprint for DEDUP: the decoded image is resized
+    * to a `grid`×`grid` grayscale thumbnail (same bilinear path as
+    * [[imageFeatures]]), each cell quantized to its INTEGER luma (0..255),
+    * and the cell sequence hashed to a 60-bit md5-prefix fingerprint (the
+    * t23/Sharding convention, replayable by any engine from the quantized
+    * grid). Quantizing before hashing is what makes this a PERCEPTUAL
+    * fingerprint: re-encodes and resizes of the same image land on the
+    * same grid, so they collide on purpose — fp-equality dedup then
+    * removes visual duplicates the way d1 removes textual ones. Rows
+    * whose payload fails to decode are DROPPED (an error row must not
+    * cluster with other error rows as "duplicates").
+    *
+    * Scale shape: one mapPartitions decode pass, no shuffle; the output
+    * is (media_id, fp) — 16 bytes/row regardless of payload size, so the
+    * downstream dedup aggregate never carries image bytes. */
+  case class LumaGrid(media_id: Long, lumas: Array[Int])
+  def imageFingerprints(ds: Dataset[MediaRow], grid: Int = 8): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        decodeImage(m.content).map { img =>
+          val thumb = new java.awt.image.BufferedImage(grid, grid,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, grid, grid, null)
+          g.dispose()
+          LumaGrid(m.media_id, Array.tabulate(grid * grid) { i =>
+            val rgb = thumb.getRGB(i % grid, i / grid)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          })
+        }
+      }
+    }.toDF()
+      .select(col("media_id"),
+        conv(substring(md5(concat_ws(",", col("lumas").cast("array<string>"))),
+          1, 15), 16, 10).cast("long").as("fp"))
+  }
+
+  /** Fingerprint-equality dedup decision over [[imageFingerprints]] rows:
+    * the member with the smallest id represents each visual-duplicate
+    * group (one combine-enabled min per fp + a broadcast-friendly join
+    * back — the d1 decision shape on media). */
+  def dedupByFingerprint(fps: DataFrame): DataFrame = {
+    val reps = fps.groupBy(col("fp")).agg(min(col("media_id")).as("rep_id"))
+    fps.join(reps, "fp")
+      .select(col("media_id"), col("fp"), col("rep_id"),
+        (col("media_id") =!= col("rep_id")).as("is_dup"))
+  }
+
   /** STUB feature extraction for kinds without a JVM codec (none remain —
     * image/audio/video all decode for real now); kept for shape tests:
     * production replaces the body with a batched model forward pass; the

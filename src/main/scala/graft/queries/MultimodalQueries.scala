@@ -103,6 +103,27 @@ object MultimodalQueries extends QueryPack {
           round((exp(element_at(col("feature"), 1).cast("double")) - 1.0d)
             * 32768.0d / 100.0d).cast("int").as("recovered"))
       imgRec.unionAll(audRec).orderBy(col("media_id"))
+    }),
+
+    // ---- M4: visual dedup decision — images dedup'd on the PERCEPTUAL
+    //      fingerprint (decode → 8×8 quantized luma grid → 60-bit md5
+    //      prefix), the d1 shape on media. Payloads are planted in 12
+    //      color groups but with sizes varying per KEY, so group members
+    //      are different files/resolutions — fp equality is resize
+    //      invariance, not byte equality. The oracle predicts the luma
+    //      integer per group, replays the md5, and picks min-id reps.
+    "m4_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Tables.supplier(s, dir).select(col("s_suppkey").as("k")).as[Long]
+      val images = keys.map { k =>
+        val g = (k % 12).toInt
+        val rgb = (((g * 17 + 5) % 256) << 16) | (((g * 29 + 3) % 256) << 8) |
+          ((g * 41 + 7) % 256)
+        Multimodal.MediaRow(k, "image",
+          MediaSynth.flatPng((16 + k % 5).toInt, (8 + k % 3).toInt, rgb))
+      }
+      Multimodal.dedupByFingerprint(Multimodal.imageFingerprints(images))
+        .orderBy(col("media_id"))
     }))
 
   override def oracle: Map[String, String] = Map(
@@ -135,6 +156,22 @@ object MultimodalQueries extends QueryPack {
         |  CAST(((nf - 1) // 2) * 2 AS BIGINT) AS last_idx,
         |  CAST(((nf - 1) // 2 + 1) * 64 AS BIGINT) AS n_values
         |FROM v ORDER BY media_id""".stripMargin,
+
+    "m4_image_dedup" ->
+      """WITH k AS (SELECT s_suppkey AS k FROM supplier),
+        |lum AS (SELECT k, CAST(
+        |    (((k % 12) * 17 + 5) % 256) * 299 +
+        |    (((k % 12) * 29 + 3) % 256) * 587 +
+        |    (((k % 12) * 41 + 7) % 256) * 114 AS BIGINT) // 1000 AS l
+        |  FROM k),
+        |f AS (SELECT k AS media_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(
+        |      [CAST(l AS VARCHAR) for i in range(64)], ',')), 1, 15)) AS BIGINT)
+        |      AS fp
+        |  FROM lum),
+        |rep AS (SELECT fp, min(media_id) AS rep_id FROM f GROUP BY fp)
+        |SELECT media_id, fp, rep_id, media_id <> rep_id AS is_dup
+        |FROM f JOIN rep USING (fp) ORDER BY media_id""".stripMargin,
 
     "m2_media_features" ->
       """WITH k AS (SELECT s_suppkey AS k FROM supplier)

@@ -224,4 +224,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rep.count() == 3)
     assert(rep.rdd.getNumPartitions == 2)
   }
+
+  test("perceptual fingerprint: resize-invariant, color-separating, drops undecodables") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaSynth.flatPng(16, 8, 0x336699)),
+      Multimodal.MediaRow(2L, "image", MediaSynth.flatPng(40, 30, 0x336699)), // same color, resized
+      Multimodal.MediaRow(3L, "image", MediaSynth.flatPng(16, 8, 0x993366)), // different color
+      Multimodal.MediaRow(4L, "image", "not-an-image".getBytes)).toDS()
+    val fps = Multimodal.imageFingerprints(rows)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L), s"undecodable row not dropped: $fps")
+    assert(fps(1L) == fps(2L), "resize changed the perceptual fingerprint")
+    assert(fps(1L) != fps(3L), "different colors collided")
+  }
+
+  test("fingerprint dedup keeps the min-id representative per visual group") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(5L, "image", MediaSynth.flatPng(12, 12, 0x102030)),
+      Multimodal.MediaRow(7L, "image", MediaSynth.flatPng(24, 6, 0x102030)),
+      Multimodal.MediaRow(9L, "image", MediaSynth.flatPng(12, 12, 0xffffff))).toDS()
+    val out = Multimodal.dedupByFingerprint(Multimodal.imageFingerprints(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(5L) == ((5L, false)))
+    assert(byId(7L) == ((5L, true)), s"resized copy not deduped to rep 5: $byId")
+    assert(byId(9L) == ((9L, false)))
+  }
 }
