@@ -188,6 +188,19 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X16: Johnson-Lindenstrauss random projection — 64→16 dims on
+    //      the deterministic hyperplane table (4× fewer bytes before
+    //      indexing; SRP/x3 is the 1-bit extreme, PQ/x9 the codebook
+    //      one). Map-side only: planes are plan literals, each value one
+    //      sequential double fold the oracle replays exactly.
+    "x16_random_projection" -> ((s, dir) => {
+      Cosine.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+          outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "p")))
+        .select(col("vec_id"), col("dim"), round(col("p"), 6).as("proj"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // ---- R2: hybrid retrieval — RRF fusion (Cormack et al. 2009) of the
     //      SPARSE BM25 list (r1, over `documents`) and the DENSE cosine
     //      list (x1, over `embeddings`, same ids = two modalities of one
@@ -246,6 +259,15 @@ object SimilarityQueries extends QueryPack {
   // a def, not a val: x8's SQL embeds the SRP config derived by the last
   // x8 run (Verify reads oracles after running the queries)
   def oracle: Map[String, String] = Map(
+    // x16: one UNION ALL branch per output dim, each the same
+    // left-to-right double fold over the same generated plane literals
+    "x16_random_projection" ->
+      s"""WITH $vCte
+         |SELECT vec_id, dim, proj FROM (
+         |  ${Cosine.hyperplanesSeeded(0, 16, 64).zipWithIndex.map { case (h, j) =>
+               s"SELECT vec_id, $j AS dim, ROUND(list_dot_product(emb, [${h.mkString(", ")}]), 6) AS proj FROM v"
+             }.mkString("\n  UNION ALL ")})
+         |ORDER BY vec_id, dim""".stripMargin,
     // r2: the lexical side replays TextQueries.bm25Ctes VERBATIM (the
     // same generator r1 gates against, so the two lists cannot drift);
     // the dense side is x1's sims CTE ranked to depth 20; fusion is

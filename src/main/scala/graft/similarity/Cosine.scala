@@ -68,6 +68,26 @@ object Cosine {
   def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     hyperplanesSeeded(0, nPlanes, dim)
 
+  /** Johnson-Lindenstrauss random projection: `dim`-dim vectors onto the
+    * `outDim` deterministic hyperplanes of table `seed` — the dense
+    * dimensionality-reduction step a 100 TB embedding pipeline runs
+    * before indexing (4× fewer bytes at 64→16 while distances are
+    * preserved within the JL distortion; SRP/x3 is the 1-bit extreme of
+    * the same construction, PQ/x9 the codebook one). Values are raw
+    * plane dot products — the common scale factor (1/√outDim) cancels in
+    * any cosine/ratio downstream, so it is omitted rather than smeared
+    * into float noise. Map-side only: planes are literals baked into the
+    * plan (no broadcast, no shuffle), each output value one sequential
+    * double fold any engine reproduces exactly. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, dim: Int, seed: Int = 0): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val projCols = hyperplanesSeeded(seed, outDim, dim).map { h =>
+      dot(v, array(h.map(lit): _*))
+    }
+    df.select(col(idCol).as("vec_id"), array(projCols: _*).as("proj"))
+  }
+
   /** Per-TABLE hyperplanes for OR-amplified multi-table SRP. Table 0
     * reproduces [[hyperplanes]] exactly (key "i:j", pinned by the x3
     * oracle); table t>0 derives an independent set from key "Tt:i:j". */
