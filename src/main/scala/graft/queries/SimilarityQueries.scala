@@ -188,6 +188,47 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- R3: fusion evaluation — r2's fused list measured against each
+    //      source system (the x12/d12 acceptance pattern applied to the
+    //      hybrid): per query, how many of the dense and lexical top-5
+    //      survive into the fused top-10, and the reciprocal rank of the
+    //      dense top-1 in the fused list (floor'd integer nanos). The
+    //      dedicated cross-modal check a pipeline runs before shipping a
+    //      fusion config: if either count collapses to 0, the k0/topK
+    //      knobs are drowning one modality. Metric layer = three small
+    //      joins over |queries|·k rows — nothing corpus-sized.
+    "r3_fusion_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val lex = graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+          "doc_id", "text", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Cosine.topK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = graft.retrieval.Fusion.rrf(Seq(lex, dense), "query_id",
+        "doc_id", "rank", k0 = 60, perSystemK = 20, topK = 10)
+      def kept(sys: org.apache.spark.sql.DataFrame, out: String) = sys
+        .filter(col("rank") <= 5)
+        .join(fused.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(out))
+      val mrr = dense.filter(col("rank") === 1)
+        .join(fused.select(col("query_id"), col("doc_id"),
+          col("rank").as("frank")), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"),
+          coalesce(floor(lit(1000000000.0) / col("frank")), lit(0L)).as("mrr_nano"))
+      dense.select(col("query_id")).distinct()
+        .join(kept(dense, "n_dense_kept"), Seq("query_id"), "left")
+        .join(kept(lex, "n_lex_kept"), Seq("query_id"), "left")
+        .join(mrr, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_dense_kept"), lit(0L)).as("n_dense_kept"),
+          coalesce(col("n_lex_kept"), lit(0L)).as("n_lex_kept"),
+          col("mrr_nano"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- X16: Johnson-Lindenstrauss random projection — 64→16 dims on
     //      the deterministic hyperplane table (4× fewer bytes before
     //      indexing; SRP/x3 is the 1-bit extreme, PQ/x9 the codebook
@@ -259,6 +300,56 @@ object SimilarityQueries extends QueryPack {
   // a def, not a val: x8's SQL embeds the SRP config derived by the last
   // x8 run (Verify reads oracles after running the queries)
   def oracle: Map[String, String] = Map(
+    // r3: re-runs r2's full fusion chain (shared bm25Ctes + x1 sims +
+    // the same floor'd nano contributions), then measures per-system
+    // survival into the fused top-10 and the dense-top-1 MRR
+    "r3_fusion_eval" ->
+      s"""WITH ${TextQueries.bm25Ctes(maxQid = 10)},
+         |$vCte,
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |den AS (SELECT query_id, neighbor_id AS did,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims),
+         |contrib AS (
+         |  SELECT qid AS query_id, did,
+         |    CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+         |  FROM lexr WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT query_id, did,
+         |    CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+         |  FROM den WHERE rank <= 20),
+         |f AS (SELECT query_id, did, CAST(sum(c) AS BIGINT) AS rrf_nano
+         |  FROM contrib GROUP BY query_id, did),
+         |fused AS (SELECT query_id, did, rank FROM (
+         |  SELECT query_id, did,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_nano DESC, did ASC) AS rank
+         |  FROM f)
+         |WHERE rank <= 10),
+         |ovd AS (SELECT d.query_id, count(*) AS n_dense_kept
+         |  FROM den d JOIN fused u ON u.query_id = d.query_id AND u.did = d.did
+         |  WHERE d.rank <= 5 GROUP BY d.query_id),
+         |ovl AS (SELECT l.qid AS query_id, count(*) AS n_lex_kept
+         |  FROM lexr l JOIN fused u ON u.query_id = l.qid AND u.did = l.did
+         |  WHERE l.rank <= 5 GROUP BY l.qid),
+         |mrr AS (SELECT d.query_id,
+         |    coalesce(CAST(floor(1000000000.0 / u.rank) AS BIGINT), 0) AS mrr_nano
+         |  FROM den d LEFT JOIN fused u ON u.query_id = d.query_id AND u.did = d.did
+         |  WHERE d.rank = 1)
+         |SELECT q.query_id, coalesce(ovd.n_dense_kept, 0) AS n_dense_kept,
+         |  coalesce(ovl.n_lex_kept, 0) AS n_lex_kept, mrr.mrr_nano
+         |FROM (SELECT DISTINCT query_id FROM den) q
+         |LEFT JOIN ovd ON ovd.query_id = q.query_id
+         |LEFT JOIN ovl ON ovl.query_id = q.query_id
+         |LEFT JOIN mrr ON mrr.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     // x16: one UNION ALL branch per output dim, each the same
     // left-to-right double fold over the same generated plane literals
     "x16_random_projection" ->
