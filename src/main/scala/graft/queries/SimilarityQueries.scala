@@ -188,6 +188,19 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X17: per-dim whitening — the normalization run before PQ/IVF
+    //      training so no dimension dominates the codebook. Stats side is
+    //      ONE row of dim-sized arrays broadcast map-side; gate runs the
+    //      sorted-fold path so μ/σ (and hence every z) are bit-exact.
+    "x17_whiten" -> ((s, dir) => {
+      Cosine.whiten(Tables.embeddings(s, dir), "vec_id", "embedding",
+          sorted = true)
+        .select(col("vec_id"), posexplode(col("white")).as(Seq("pos", "zv")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("zv"), 6).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // ---- R3: fusion evaluation — r2's fused list measured against each
     //      source system (the x12/d12 acceptance pattern applied to the
     //      hybrid): per query, how many of the dense and lexical top-5
@@ -300,6 +313,26 @@ object SimilarityQueries extends QueryPack {
   // a def, not a val: x8's SQL embeds the SRP config derived by the last
   // x8 run (Verify reads oracles after running the queries)
   def oracle: Map[String, String] = Map(
+    // x17: same sorted folds as x11 but UNROUNDED μ/σ feeding the z
+    // expression with identical parenthesization
+    "x17_whiten" ->
+      s"""WITH $vCte,
+         |e AS (SELECT v.vec_id, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |g AS (SELECT dim, count(*) AS n, list_sort(list(x)) AS xs
+         |  FROM e GROUP BY dim),
+         |s AS (SELECT dim, n,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) AS s1,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b * b) AS s2
+         |  FROM g),
+         |w AS (SELECT dim, s1 / n AS mean,
+         |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+         |  FROM s)
+         |SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+         |  ROUND(CASE WHEN w.sd = 0 THEN 0.0 ELSE (e.x - w.mean) / w.sd END, 6) AS z
+         |FROM e JOIN w USING (dim) ORDER BY vec_id, dim""".stripMargin,
     // r3: re-runs r2's full fusion chain (shared bm25Ctes + x1 sims +
     // the same floor'd nano contributions), then measures per-system
     // survival into the fused top-10 and the dense-top-1 MRR

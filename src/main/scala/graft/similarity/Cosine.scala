@@ -413,6 +413,48 @@ object Cosine {
       round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"))
   }
 
+  /** Per-dimension standardization (whitening): z_d = (x_d − μ_d)/σ_d —
+    * the normalization step run before PQ/IVF so no dimension dominates
+    * the codebook (Jégou et al. 2011 §V trains on whitened data).
+    * Constant dimensions (σ=0) map to 0 rather than NaN: a dimension
+    * with no variance carries no information.
+    *
+    * Scale shape: the stats side collapses to ONE row of dim-sized
+    * arrays (64 doubles) regardless of corpus size — a combine-enabled
+    * aggregate, then a scalar broadcast (the c5/c10 lesson) — and the
+    * whitening itself is a map-side `zip_with`; no corpus shuffle.
+    * `sorted = true` (gate configuration) folds each dim's values in
+    * sorted order so an external engine reproduces μ/σ bit-exactly;
+    * the library default is the bounded-state avg/stddev_pop. */
+  def whiten(corpus: DataFrame, idCol: String, vecCol: String,
+             sorted: Boolean = false): DataFrame = {
+    val exploded = corpus.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+    val per =
+      if (!sorted)
+        exploded.groupBy(col("pos"))
+          .agg(avg(col("x")).as("mean"), stddev_pop(col("x")).as("sd"))
+      else
+        exploded.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"), collect_list(col("x")).as("xs"))
+          .withColumn("s1", aggregate(sort_array(col("xs")), lit(0.0), _ + _))
+          .withColumn("s2", aggregate(sort_array(col("xs")), lit(0.0),
+            (a, x) => a + x * x))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("sd", sqrt(greatest(
+            col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+            lit(0.0))))
+    val packed = per
+      .select(struct(col("pos"), col("mean"), col("sd")).as("t"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(transform(col("ts"), t => t("mean")).as("means"),
+        transform(col("ts"), t => t("sd")).as("sds"))
+    corpus.crossJoin(broadcast(packed))
+      .select(col(idCol).as("vec_id"),
+        zip_with(zip_with(toDouble(col(vecCol)), col("means"), (x, m) => x - m),
+          col("sds"),
+          (d, s) => when(s === 0.0, lit(0.0)).otherwise(d / s)).as("white"))
+  }
+
   /** Product-quantization CODES (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): the vector is split into `nSub`
     * contiguous subvectors of `subDim` dims; each subvector is quantized
