@@ -243,6 +243,20 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T25: per-doc novelty / memorization-risk score — for every
+    //      train doc, the fraction of its distinct 8-gram shingles that
+    //      already occur in the held-out reference split, as exact
+    //      integer ppm. Unlike c3 there is no pair explosion (the
+    //      reference side is DISTINCT keys, fan-out ≤ 1:1), so no df
+    //      pruning is needed and every train doc gets a row.
+    "t25_novelty" -> ((s, dir) => {
+      val bucket = graft.text.TextAnalysis.splitBucket(col("doc_id"))
+      graft.text.Decontaminate.noveltyScores(
+          Tables.documents(s, dir), "doc_id", "text", 8,
+          trainPred = bucket < 80, testPred = bucket >= 90)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- C5: bloom-prefiltered decontamination — the held-out split's
     //      shingles become ONE broadcast Bloom state and the train side
     //      is pre-filtered map-side before its shuffle; the exact join
@@ -1022,6 +1036,29 @@ object TextQueries extends QueryPack {
         |FROM shh tr JOIN shh te ON tr.shash = te.shash
         |JOIN keep k ON tr.shash = k.shash
         |WHERE tr.bucket < 80 AND te.bucket >= 90
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // t25: c3's shingle construction, but the reference side is DISTINCT
+    // keys and the join is LEFT — every train doc gets a row; ppm is
+    // exact integer floor division
+    "t25_novelty" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |w AS (SELECT doc_id, bucket, regexp_split_to_array(trim(text), '\s+') AS l FROM b),
+        |sh AS (SELECT doc_id, bucket, unnest(list_distinct(
+        |  [concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4], l[i+5], l[i+6], l[i+7])
+        |   for i in range(1, greatest(len(l) - 7, 1) + 1)])) AS shingle
+        |  FROM w),
+        |shh AS (SELECT doc_id, bucket,
+        |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh
+        |  WHERE bucket < 80 OR bucket >= 90),
+        |ref AS (SELECT DISTINCT shash FROM shh WHERE bucket >= 90),
+        |tr AS (SELECT doc_id, shash FROM shh WHERE bucket < 80)
+        |SELECT tr.doc_id, count(*) AS n_shingles,
+        |  count(ref.shash) AS n_seen,
+        |  CAST(count(ref.shash) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
+        |FROM tr LEFT JOIN ref ON tr.shash = ref.shash
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "t14_sequence_pack" ->
       """WITH t AS (SELECT lang, doc_id,

@@ -50,6 +50,33 @@ object Decontaminate {
         countDistinct(col("__test_id")).as("n_test_docs"))
   }
 
+  /** Per-doc NOVELTY score: for every train doc, how much of it already
+    * exists in a reference corpus — the memorization-risk / dataset-
+    * overlap rate (the Carlini-style eval-contamination metric, per doc
+    * instead of per pair). Output: doc id, n_shingles (distinct n-grams
+    * in the doc), n_seen (of them, how many occur anywhere in the
+    * reference split), overlap_ppm (integer parts-per-million, exact
+    * integer division — engine-independent).
+    *
+    * Scale shape: the reference side collapses to DISTINCT shingle keys
+    * before the join, so the left join fans out at most 1:1 (no df
+    * pruning needed — there is no pair explosion to guard, unlike
+    * [[overlaps]]); per-doc counts are one combine-enabled aggregate.
+    * At 100 TB the reference key set rides the same persisted-index /
+    * bloom-prefilter path as [[overlapsBloom]]. */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                    trainPred: Column, testPred: Column): DataFrame = {
+    val shh = shingleHashes(docs, idCol, textCol, n, trainPred, testPred)
+    val ref = shh.filter(col("__is_test")).select(col("shash")).distinct()
+      .withColumn("__seen", lit(1))
+    shh.filter(col("__is_train")).select(col(idCol), col("shash"))
+      .join(ref, Seq("shash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__seen")).as("n_seen"))
+      .select(col(idCol), col("n_shingles"), col("n_seen"),
+        expr("n_seen * 1000000 div n_shingles").as("overlap_ppm"))
+  }
+
   /** Shared shingle pass: `(idCol, __is_train, __is_test, shash)`,
     * persisted — the df aggregate and both join sides reuse it (the
     * cache is caller-owned, see [[overlaps]] scaladoc). */

@@ -104,4 +104,19 @@ class DecontaminateSpec extends SparkSpec {
     val leaked = sp.sparkContext.getPersistentRDDs.size - cachedBefore
     assert(leaked <= 2, s"expected ≤2 new persisted RDDs (shh + hot), got $leaked")
   }
+
+  test("novelty: every train doc scored; ppm is exact integer division") {
+    val out = Decontaminate.noveltyScores(corpus, "doc_id", "text", 3,
+        trainPred = col("doc_id") < 10, testPred = col("doc_id") >= 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == (0L until 10L).toSet, s"missing train docs: $out")
+    // doc 5's only shingle shared with the reference split is the
+    // boilerplate trigram "all rights reserved"
+    val (n5, seen5, ppm5) = out(5L)
+    assert(seen5 == 1, s"doc5: $n5 $seen5 $ppm5")
+    assert(ppm5 == seen5 * 1000000L / n5, s"ppm not exact integer division: $ppm5")
+    // doc 0 additionally contains the stolen answer → strictly higher overlap
+    val (n0, seen0, _) = out(0L)
+    assert(seen0 > seen5, s"doc0 $seen0 vs doc5 $seen5 (n0=$n0)")
+  }
 }
