@@ -63,6 +63,34 @@ object MinHash {
       .agg(min(col("h0")).as("h0"), (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
   }
 
+  /** Source-pair overlap MATRIX — the corpus-mixing data card: one
+    * minhash signature per GROUP (source/domain/snapshot) instead of per
+    * doc, then pairwise estimated Jaccard from component agreement
+    * (Broder 1997: P[h_min agrees] = J). The answer a mixture designer
+    * needs before weighting sources (c6): which corpora largely restate
+    * each other.
+    *
+    * Scale shape: per-group state is NumHashes longs (128 B) REGARDLESS
+    * of corpus size — one combine-enabled min-aggregate over the shingle
+    * pass, then a |groups|² self-join of a control-plane-sized frame.
+    * The estimate is integer ppm (n_agree·62500), engine-exact. */
+  def groupOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val sig = signatures(
+      hashedShingleRows(shingleRows(docs, groupCol, textCol, n), groupCol),
+      groupCol)
+    val a = sig.select(col(groupCol).as("source_a") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = sig.select(col(groupCol).as("source_b") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard_ppm", col("n_agree") * lit(1000000L / NumHashes))
+  }
+
   /** Band-mix modulus and multiplier: acc stays < MixMod ≈ 1e9, so each
     * fold step peaks ≈ 1e12 — overflow-free under ANSI on both engines.
     * An 8-byte join key instead of an md5 string; mix collisions only cost

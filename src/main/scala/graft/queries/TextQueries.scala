@@ -243,6 +243,17 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T26: source-pair overlap matrix — one minhash signature per
+    //      SOURCE (128 B of state regardless of corpus size), pairwise
+    //      estimated Jaccard from component agreement in integer ppm:
+    //      the data card a mixture designer (c6) reads to see which
+    //      corpora largely restate each other.
+    "t26_source_overlap" -> ((s, dir) => {
+      graft.dedup.MinHash.groupOverlapMatrix(Tables.documents(s, dir),
+          "source", "text", n = 2)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ---- T25: per-doc novelty / memorization-risk score — for every
     //      train doc, the fraction of its distinct 8-gram shingles that
     //      already occur in the held-out reference split, as exact
@@ -1037,6 +1048,27 @@ object TextQueries extends QueryPack {
         |JOIN keep k ON tr.shash = k.shash
         |WHERE tr.bucket < 80 AND te.bucket >= 90
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // t26: d3's minhash arithmetic grouped by source instead of doc;
+    // agreement counted per component pair, ppm = n_agree * 62500 exact
+    "t26_source_overlap" ->
+      s"""WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS l
+         |  FROM documents),
+         |sh AS (SELECT source, unnest(list_distinct(
+         |  [concat_ws(' ', l[i], l[i+1]) for i in range(1, greatest(len(l), 2))])) AS shingle
+         |  FROM w),
+         |shh AS (SELECT source,
+         |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh),
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT source, shash % ${MinHash.ShingleMod} AS x FROM shh),
+         |hs AS (SELECT source, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY source, c.i),
+         |ag AS (SELECT s1.source AS source_a, s2.source AS source_b,
+         |    count(*) FILTER (WHERE s1.h = s2.h) AS n_agree
+         |  FROM hs s1 JOIN hs s2 ON s1.i = s2.i AND s1.source < s2.source
+         |  GROUP BY s1.source, s2.source)
+         |SELECT source_a, source_b, CAST(n_agree AS BIGINT) AS n_agree,
+         |  CAST(n_agree * ${1000000L / MinHash.NumHashes} AS BIGINT) AS est_jaccard_ppm
+         |FROM ag ORDER BY source_a, source_b""".stripMargin,
     // t25: c3's shingle construction, but the reference side is DISTINCT
     // keys and the join is LEFT — every train doc gets a row; ppm is
     // exact integer floor division

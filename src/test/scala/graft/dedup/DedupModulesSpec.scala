@@ -135,6 +135,27 @@ class MinHashSpec extends SparkSpec {
     assert(asym.nonEmpty && asym == sym, s"asym=$asym sym=$sym")
   }
 
+  test("source overlap matrix: identical sources agree 16/16, disjoint near 0") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "srcA", "iota kappa lambda mu nu xi omicron pi"),
+      (3L, "srcB", "alpha beta gamma delta epsilon zeta eta theta"), // = srcA doc 1
+      (4L, "srcB", "iota kappa lambda mu nu xi omicron pi"),        // = srcA doc 2
+      (5L, "srcC", "totally unrelated corpus about catalyst plans and shuffles"))
+      .toDF("doc_id", "source", "text")
+    val out = MinHash.groupOverlapMatrix(docs, "source", "text", n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(("srcA", "srcB")) == ((16L, 1000000L)),
+      s"identical sources must agree on every component: $out")
+    val (agreeC, _) = out(("srcA", "srcC"))
+    assert(agreeC <= 2, s"disjoint sources agreeing $agreeC/16")
+    // matrix covers each unordered pair exactly once
+    assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+  }
+
   test("winnowing collisions: identical content collides, disjoint content cannot") {
     val sp = spark; import sp.implicits._
     import graft.text.TextAnalysis
