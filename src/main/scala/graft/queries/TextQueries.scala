@@ -243,6 +243,20 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T27: quantile data card from a bottom-k hash sample — the
+    //      sketch that completes the mergeable family (KMV=cardinality,
+    //      Bloom=membership, MG=frequency): min-k of salted id hashes is
+    //      a function of the SET, so the sample — and hence every
+    //      estimate — is deterministic and merge-order independent at
+    //      64 KB of state for any corpus size. Executed as
+    //      TakeOrderedAndProject (per-partition k-heaps), no shuffle.
+    "t27_quantile_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          t => t =!= "")).cast("long").as("n_toks"))
+      graft.ops.BottomK.quantileEstimates(docs, "doc_id", "n_toks", k = 1024)
+    }),
+
     // ---- T26: source-pair overlap matrix — one minhash signature per
     //      SOURCE (128 B of state regardless of corpus size), pairwise
     //      estimated Jaccard from component agreement in integer ppm:
@@ -1048,6 +1062,22 @@ object TextQueries extends QueryPack {
         |JOIN keep k ON tr.shash = k.shash
         |WHERE tr.bucket < 80 AND te.bucket >= 90
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // t27: same salted-md5 ordering, LIMIT k, quantile_cont (the a16
+    // parity) over the sample
+    "t27_quantile_sketch" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':graft-bottomk-v1')), 1, 15)) AS BIGINT) AS bk
+        |  FROM documents),
+        |s AS (SELECT n_toks FROM h ORDER BY bk LIMIT 1024)
+        |SELECT count(*) AS n_sample,
+        |  ROUND(quantile_cont(n_toks, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_toks, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(n_toks, 0.99), 4) AS p99,
+        |  min(n_toks) AS vmin, max(n_toks) AS vmax
+        |FROM s""".stripMargin,
     // t26: d3's minhash arithmetic grouped by source instead of doc;
     // agreement counted per component pair, ppm = n_agree * 62500 exact
     "t26_source_overlap" ->
