@@ -108,17 +108,26 @@ object Multimodal {
     } catch { case _: Throwable => None }
   }
 
-  /** PCM16 mono samples from a canonical WAV (first channel when stereo). */
+  /** PCM16 mono samples from a canonical WAV (first channel when stereo).
+    * Malformed payloads (wrong magic, truncated header, negative or
+    * non-advancing chunk sizes) yield empty — never a crash or a hang —
+    * matching [[Avi]]'s adversarial-input contract. */
   private[multimodal] def wavSamples(bytes: Array[Byte]): Array[Short] = {
     def le32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
       ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
     def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return Array.emptyShortArray
     val channels = math.max(1, le16(22))
     var o = 36
-    while (o + 8 <= bytes.length && tag(o) != "data") o += 8 + le32(o + 4) + (le32(o + 4) & 1)
+    while (o + 8 <= bytes.length && tag(o) != "data") {
+      val step = 8 + le32(o + 4) + (le32(o + 4) & 1)
+      if (step <= 0) return Array.emptyShortArray // adversarial chunk size
+      o += step
+    }
     if (o + 8 > bytes.length) return Array.emptyShortArray
-    val sz = math.min(le32(o + 4), bytes.length - o - 8)
+    val sz = math.max(0, math.min(le32(o + 4), bytes.length - o - 8))
     val out = new Array[Short](sz / (2 * channels))
     var i = 0
     while (i < out.length) {
@@ -297,6 +306,23 @@ object Multimodal {
         conv(substring(md5(concat_ws(",", col("lumas").cast("array<string>"))),
           1, 15), 16, 10).cast("long").as("fp"))
   }
+
+  /** Perceptual AUDIO fingerprint: the [[audioFeatures]] RMS segments
+    * inverted back to integer amplitude units (the m2 float→int recovery
+    * — exact for the PCM16 path) and hashed like [[imageFingerprints]],
+    * so re-encodes and duration changes of the same signal envelope
+    * collide on purpose. Silent and undecodable rows are DROPPED (both
+    * yield the zero vector, and neither should cluster as "duplicates"
+    * of each other). */
+  def audioFingerprints(ds: Dataset[MediaRow], dim: Int = 8): DataFrame =
+    audioFeatures(ds, dim).toDF()
+      .filter(exists(col("feature"), f => f =!= 0.0f))
+      .select(col("media_id"),
+        conv(substring(md5(concat_ws(",",
+          transform(col("feature"), f =>
+            round((exp(f.cast("double")) - 1.0d) * 32768.0d / 100.0d)
+              .cast("int").cast("string")))), 1, 15), 16, 10)
+          .cast("long").as("fp"))
 
   /** Fingerprint-equality dedup decision over [[imageFingerprints]] rows:
     * the member with the smallest id represents each visual-duplicate

@@ -124,6 +124,24 @@ object MultimodalQueries extends QueryPack {
       }
       Multimodal.dedupByFingerprint(Multimodal.imageFingerprints(images))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- M5: audio dedup decision — m4's shape on the WAV path: clips
+    //      planted in 10 amplitude groups with per-key durations and
+    //      sample rates, so fp equality is envelope invariance (same RMS
+    //      profile), not byte equality. The RMS→amplitude recovery is
+    //      integer-exact for PCM16 (the m2 identity), so the oracle
+    //      replays the fingerprint codec-free.
+    "m5_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Tables.supplier(s, dir).select(col("s_suppkey").as("k")).as[Long]
+      val clips = keys.map { k =>
+        Multimodal.MediaRow(k, "audio",
+          MediaSynth.constWav(8000 + (k % 5).toInt * 1000,
+            400 + (k % 7).toInt * 100, 600 + (k % 10).toInt * 700))
+      }
+      Multimodal.dedupByFingerprint(Multimodal.audioFingerprints(clips))
+        .orderBy(col("media_id"))
     }))
 
   override def oracle: Map[String, String] = Map(
@@ -169,6 +187,17 @@ object MultimodalQueries extends QueryPack {
         |      [CAST(l AS VARCHAR) for i in range(64)], ',')), 1, 15)) AS BIGINT)
         |      AS fp
         |  FROM lum),
+        |rep AS (SELECT fp, min(media_id) AS rep_id FROM f GROUP BY fp)
+        |SELECT media_id, fp, rep_id, media_id <> rep_id AS is_dup
+        |FROM f JOIN rep USING (fp) ORDER BY media_id""".stripMargin,
+
+    "m5_audio_dedup" ->
+      """WITH k AS (SELECT s_suppkey AS k FROM supplier),
+        |f AS (SELECT k AS media_id,
+        |    CAST(concat('0x', substr(md5(array_to_string(
+        |      [CAST(600 + (k % 10) * 700 AS VARCHAR) for i in range(8)], ',')),
+        |      1, 15)) AS BIGINT) AS fp
+        |  FROM k),
         |rep AS (SELECT fp, min(media_id) AS rep_id FROM f GROUP BY fp)
         |SELECT media_id, fp, rep_id, media_id <> rep_id AS is_dup
         |FROM f JOIN rep USING (fp) ORDER BY media_id""".stripMargin,

@@ -213,14 +213,20 @@ object SimilarityQueries extends QueryPack {
     "r3_fusion_eval" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
+      // both ranked lists feed THREE consumers (fusion, survival count,
+      // MRR) — persist the |queries|·k-row tops so the BM25/cosine
+      // chains run once, not three times
       val lex = graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
           "doc_id", "text", k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dense = Cosine.topK(emb.filter(col("vec_id") < 10), emb, "vec_id",
           "embedding", k = 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fused = graft.retrieval.Fusion.rrf(Seq(lex, dense), "query_id",
-        "doc_id", "rank", k0 = 60, perSystemK = 20, topK = 10)
+          "doc_id", "rank", k0 = 60, perSystemK = 20, topK = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def kept(sys: org.apache.spark.sql.DataFrame, out: String) = sys
         .filter(col("rank") <= 5)
         .join(fused.select(col("query_id"), col("doc_id")),

@@ -239,6 +239,21 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(1L) != fps(3L), "different colors collided")
   }
 
+  test("audio fingerprint: envelope-invariant, amplitude-separating, drops silence") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", MediaSynth.constWav(8000, 500, 2000)),
+      Multimodal.MediaRow(2L, "audio", MediaSynth.constWav(16000, 900, 2000)), // same amp, other rate/len
+      Multimodal.MediaRow(3L, "audio", MediaSynth.constWav(8000, 500, 3000)), // different amp
+      Multimodal.MediaRow(4L, "audio", MediaSynth.constWav(8000, 500, 0)),    // silence
+      Multimodal.MediaRow(5L, "audio", "not-a-wav".getBytes)).toDS()
+    val fps = Multimodal.audioFingerprints(rows)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L), s"silence/undecodable not dropped: $fps")
+    assert(fps(1L) == fps(2L), "same envelope at another rate/duration changed the fp")
+    assert(fps(1L) != fps(3L), "different amplitudes collided")
+  }
+
   test("fingerprint dedup keeps the min-id representative per visual group") {
     val sp = spark; import sp.implicits._
     val rows = Seq(
