@@ -172,4 +172,50 @@ class PlanShapeSpec extends SparkSpec {
       plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("t27 bottom-k sample plans as TakeOrderedAndProject - no sort, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+    val plan = physical(graft.ops.BottomK.sample(docs, "doc_id", 64))
+    assert(plan.contains("TakeOrderedAndProject"), s"not a k-heap plan:\n$plan")
+    // the table loader's round-robin spread is fine; a rangepartition
+    // (global sort) or hashpartition (shuffle) would mean the k-heap
+    // shape was lost
+    assert(!plan.contains("rangepartitioning") && !plan.contains("hashpartitioning"),
+      s"bottom-k sorted/shuffled:\n$plan")
+  }
+
+  test("x17 whitening stats arrive as a broadcast, corpus side never re-shuffles") {
+    val plan = physical(SparkEntry.queries("x17_whiten")(spark, dir))
+    // the one-row (means, sds) frame must be broadcast into the corpus
+    // map side; the only Exchange allowed upstream of the final orderBy
+    // is the stats aggregation itself
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x16 projection planes are plan literals: map-side only, zero joins") {
+    val plan = physical(graft.similarity.Cosine.randomProject(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 16, 64))
+    assert(!plan.contains("Join"), s"projection introduced a join:\n$plan")
+    assert(!plan.contains("rangepartitioning") && !plan.contains("hashpartitioning"),
+      s"projection sorted/shuffled:\n$plan")
+  }
+
+  test("r2 fusion layer: contributions union into one aggregate keyed (query, doc)") {
+    val plan = physical(SparkEntry.queries("r2_hybrid_rrf")(spark, dir))
+    assert(plan.contains("Union"), s"fusion lost the union shape:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t26 per-source signatures combine map-side before their shuffle") {
+    val plan = physical(SparkEntry.queries("t26_source_overlap")(spark, dir))
+    // the 16-min aggregate must run partially before the Exchange (the
+    // whole point: per-source state is 128 B no matter the corpus)
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"no map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
