@@ -103,8 +103,37 @@ object Pipeline {
     streamingStage(spark)
     multimodalStage(spark)
     curationTailStage(spark)
+    retrievalStage(spark)
     println("[pipeline] OK")
     spark.stop()
+  }
+
+  /** Retrieval stage (round-8 continuation): the serving-side story —
+    * hybrid BM25 + dense RRF fusion over the same corpus the curation
+    * tail produced, plus the novelty gate a pipeline applies before
+    * admitting a batch near an eval set. */
+  private def retrievalStage(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val lex = graft.text.Bm25.topK(docs.filter(col("doc_id") < 5), docs,
+        "doc_id", "text", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = graft.similarity.Cosine.topK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = graft.retrieval.Fusion.rrf(Seq(lex, dense), "query_id",
+      "doc_id", "rank", topK = 5)
+    val nFused = fused.count()
+    assert(nFused == 25, s"fusion emitted $nFused rows, expected 5 queries × 5")
+    val bucket = graft.text.TextAnalysis.splitBucket(col("doc_id"))
+    val novel = graft.text.Decontaminate.noveltyScores(docs, "doc_id", "text", 8,
+        trainPred = bucket < 80, testPred = bucket >= 90)
+      .filter(col("overlap_ppm") < 500000).count()
+    assert(novel > 0, "novelty gate rejected the whole corpus")
+    println(s"[pipeline] retrieval: hybrid fused top-5 for 5 queries " +
+      s"($nFused rows), novelty gate kept $novel train docs")
   }
 
   /** Curation tail (round 8): paragraph dedup against a persisted block
