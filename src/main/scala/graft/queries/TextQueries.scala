@@ -243,6 +243,41 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T28: the composite one-row CORPUS REPORT CARD — what a
+    //      pipeline prints per snapshot before training: counts, token
+    //      totals, KMV vocabulary estimate, bottom-k length quantiles,
+    //      dominant source share, and exact-dup rate. Every piece is a
+    //      bounded-state aggregate (sketches, min-k, count-distinct of
+    //      60-bit fingerprints); the 1-row sides compose via scalar
+    //      broadcasts, never a corpus join.
+    "t28_corpus_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), col("source"), col("text"),
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          t => t =!= "")).cast("long").as("n_toks"))
+      val base = toks.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long")).as("n_distinct"))
+      val vocab = docs
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .select(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(round(graft.plans.KmvSketchAgg.kmvDistinct(col("h"), 256), 6)
+          .as("vocab_est"))
+      val quant = graft.ops.BottomK.sample(toks, "doc_id", 1024).agg(
+        round(expr("percentile(n_toks, 0.5)"), 4).as("p50_tok"),
+        round(expr("percentile(n_toks, 0.9)"), 4).as("p90_tok"))
+      val top = toks.groupBy(col("source")).agg(count(lit(1)).as("top_n"))
+        .orderBy(col("top_n").desc, col("source").asc).limit(1)
+        .select(col("source").as("top_source"), col("top_n"))
+      base.crossJoin(vocab).crossJoin(quant).crossJoin(top)
+        .select(col("n_docs"), col("n_tokens"), col("vocab_est"),
+          col("p50_tok"), col("p90_tok"), col("top_source"),
+          expr("top_n * 1000000 div n_docs").as("top_source_ppm"),
+          expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_ppm"))
+    }),
+
     // ---- T27: quantile data card from a bottom-k hash sample — the
     //      sketch that completes the mergeable family (KMV=cardinality,
     //      Bloom=membership, MG=frequency): min-k of salted id hashes is
@@ -1062,6 +1097,42 @@ object TextQueries extends QueryPack {
         |JOIN keep k ON tr.shash = k.shash
         |WHERE tr.bucket < 80 AND te.bucket >= 90
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // t28: each card column replays its gated sibling's arithmetic —
+    // t13's KMV estimator (over words), t27's bottom-k order, t23's
+    // fingerprint convention, exact integer ppm divisions
+    "t28_corpus_card" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |base AS (SELECT count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |      AS n_distinct
+        |  FROM t),
+        |wh AS (SELECT DISTINCT CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS w FROM documents)),
+        |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd
+        |  FROM wh),
+        |vocab AS (SELECT ROUND(CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 /
+        |      CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE) END, 6) AS vocab_est
+        |  FROM r),
+        |bk AS (SELECT n_toks FROM (SELECT n_toks,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':graft-bottomk-v1')), 1, 15)) AS BIGINT) AS bk
+        |  FROM t) ORDER BY bk LIMIT 1024),
+        |quant AS (SELECT ROUND(quantile_cont(n_toks, 0.5), 4) AS p50_tok,
+        |    ROUND(quantile_cont(n_toks, 0.9), 4) AS p90_tok FROM bk),
+        |top AS (SELECT source AS top_source, top_n FROM (
+        |  SELECT source, count(*) AS top_n,
+        |    row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rk
+        |  FROM t GROUP BY source) WHERE rk = 1)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens, vocab_est,
+        |  p50_tok, p90_tok, top_source,
+        |  CAST(top_n * 1000000 // n_docs AS BIGINT) AS top_source_ppm,
+        |  CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm
+        |FROM base, vocab, quant, top""".stripMargin,
     // t27: same salted-md5 ordering, LIMIT k, quantile_cont (the a16
     // parity) over the sample
     "t27_quantile_sketch" ->
