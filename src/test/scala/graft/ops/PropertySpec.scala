@@ -76,4 +76,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bottom-k sample equals the union of per-split samples, any split") {
+    // the mergeability law the streaming twin and shard-merge rely on:
+    // minK(A ∪ B) == minK(minK(A) ∪ minK(B))
+    val sp = spark; import sp.implicits._
+    val idsGen = Gen.listOfN(300, Gen.choose(0L, 100000L)).map(_.distinct)
+    forAll(idsGen, n = 5) { ids =>
+      if (ids.size > 20) {
+        val (a, b) = ids.splitAt(ids.size / 3)
+        val k = 16
+        def sampleIds(xs: Seq[Long]) =
+          BottomK.sample(xs.toDF("id"), "id", k).collect().map(_.getLong(0)).toSeq
+        val direct = sampleIds(ids)
+        val merged = sampleIds(sampleIds(a) ++ sampleIds(b))
+        assert(direct.toSet == merged.toSet, s"minK not mergeable: $direct vs $merged")
+      }
+    }
+  }
+
+  test("RRF fusion is rank-monotone: improving a doc's rank cannot lower it") {
+    val sp = spark; import sp.implicits._
+    val ranksGen = Gen.listOfN(8, Gen.choose(1, 20)).map(_.distinct)
+    forAll(ranksGen, n = 5) { ranks =>
+      if (ranks.size >= 3) {
+        val docs = ranks.sorted.zipWithIndex.map { case (r, i) => (1L, 100L + i, r) }
+        val sys = docs.toDF("query_id", "doc_id", "rank")
+        val fusedRank = graft.retrieval.Fusion
+          .rrf(Seq(sys), "query_id", "doc_id", "rank", topK = docs.size)
+          .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+        // single-system fusion must preserve the input rank ORDER exactly
+        val ordered = docs.sortBy(_._3).map(_._2)
+        assert(ordered.zipWithIndex.forall { case (d, i) => fusedRank(d) == i + 1 },
+          s"fusion permuted a single ranked list: $fusedRank")
+      }
+    }
+  }
 }
