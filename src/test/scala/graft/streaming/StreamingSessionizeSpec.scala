@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSessionizeSpec extends SparkSpec {
+
+  private val Gap = 1800L * 1000000L
+
+  /** Batch truth: the w2 window construction on the same rows. */
+  private def batchSessions(evs: Seq[StreamingSessionize.Ev]) = {
+    val sp = spark; import sp.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    evs.toDF("user_id", "event_id", "ts_us")
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > Gap, 1).otherwise(0))
+      .withColumn("session_id", sum(col("ns")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+  }
+
+  test("streamed sessions == batch w2 sessions, session split across micro-batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    def m(minutes: Long) = minutes * 60L * 1000000L
+    // user 1: events at 0,10,20 | gap | 80,90 — second session SPLIT
+    // across the two triggers; user 2: one long session spanning both
+    val b1 = Seq((1L, 1L, m(0)), (1L, 2L, m(10)), (1L, 3L, m(20)), (1L, 4L, m(80)),
+      (2L, 5L, m(5)), (2L, 6L, m(25)))
+      .map((StreamingSessionize.Ev.apply _).tupled)
+    val b2 = Seq((1L, 7L, m(90)), (2L, 8L, m(50)), (2L, 9L, m(70)))
+      .map((StreamingSessionize.Ev.apply _).tupled)
+    val mem = MemoryStream[StreamingSessionize.Ev]
+    val q = StreamingSessionize.sessions(mem.toDS(), Gap)
+      .writeStream.format("memory").queryName("ssz_out").outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // latest row per (user, session) — Update mode re-emits refreshed rows
+    val streamed = sp.sql(
+      """SELECT user_id, session_id,
+        |  max_by(n_events, struct(end_us, n_events)) AS n_events,
+        |  max_by(start_us, struct(end_us, n_events)) AS start_us,
+        |  max(end_us) AS end_us
+        |FROM ssz_out GROUP BY user_id, session_id""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val batch = batchSessions(b1 ++ b2)
+    assert(streamed == batch,
+      s"streaming/batch sessions diverged:\n  streamed=$streamed\n  batch=$batch")
+    // and the cross-batch split really happened: user 1 session 2 spans
+    // both triggers (event 80' in b1, 90' in b2)
+    assert(batch((1L, 2L))._1 == 2L)
+    assert(batch((2L, 1L))._1 == 4L)
+  }
+
+  test("per-user state is four longs: deep histories do not grow state") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val mem = MemoryStream[StreamingSessionize.Ev]
+    val q = StreamingSessionize.sessions(mem.toDS(), Gap)
+      .writeStream.format("memory").queryName("ssz_state").outputMode("update").start()
+    // 500 sessions for one user (every event past the gap)
+    mem.addData((0 until 500).map(i =>
+      StreamingSessionize.Ev(1L, i.toLong, i.toLong * (Gap + 1))): _*)
+    q.processAllAvailable()
+    val last = sp.table("ssz_state").agg(max(col("session_id"))).collect().head.getLong(0)
+    q.stop()
+    assert(last == 500L, s"expected 500 sessions, got $last")
+  }
+}
