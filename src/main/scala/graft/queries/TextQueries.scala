@@ -698,6 +698,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C11: curation PROVENANCE — c7's decision per doc with the
+    //      REASON bits instead of a filtered keep set, plus the t25
+    //      novelty gate: the audit trail a pipeline stores so "why was
+    //      doc X dropped" is a lookup, not a re-run. Same gates, same
+    //      thresholds — kept == c7 membership ∧ novelty (spec-free by
+    //      construction: both derive from the shared CTE chain).
+    "c11_curation_provenance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      val mix = TextAnalysis.mixtureWeights(docs, "doc_id", "text", "source")
+      val thr = lp.agg(expr("percentile(xent, 0.9)").as("thr"))
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val dupOfOld = MinHash.nearDuplicatesAgainst(
+          docs.filter(bucket >= 80), docs.filter(bucket < 80),
+          "doc_id", "text", n = 2, threshold = 0.7)
+        .select(col("id_new").as("doc_id")).distinct()
+        .withColumn("__dup", lit(1))
+      val novelty = graft.text.Decontaminate.noveltyScores(docs, "doc_id",
+          "text", 8, trainPred = bucket < 80, testPred = bucket >= 90)
+        .select(col("doc_id"), col("overlap_ppm"))
+      mix.join(lp.select(col("doc_id"), col("xent")), "doc_id")
+        .join(dupOfOld, Seq("doc_id"), "left")
+        .join(novelty, Seq("doc_id"), "left")
+        .crossJoin(broadcast(thr))
+        .select(col("doc_id"),
+          col("__dup").isNotNull.as("is_dup"),
+          (col("xent") > col("thr")).as("hi_xent"),
+          (col("multiplicity") < 1).as("zero_mult"),
+          (coalesce(col("overlap_ppm"), lit(0L)) >= 500000L).as("high_overlap"))
+        .withColumn("kept", !col("is_dup") && !col("hi_xent") &&
+          !col("zero_mult") && !col("high_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- C8: paragraph-level exact dedup (CCNet/Dolma's step between
     //      whole-doc dedup and span cutting): non-overlapping 20-token
     //      blocks stand in for paragraphs (this corpus has no newline
@@ -846,6 +880,86 @@ object TextQueries extends QueryPack {
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY score_micro DESC, did ASC) AS rank
        |  FROM agg)""".stripMargin
+
+  /** The curation-gate CTE chain shared VERBATIM by c7 (filtered keep
+    * set) and c11 (per-doc provenance): minhash cross-snapshot dup flag
+    * (`flagged`), unigram cross-entropy + 90th-percentile threshold
+    * (`xe`, `thr`), and mixture multiplicity (`mult`). One source of
+    * truth, so the two replays cannot drift. */
+  private def curationCtes: String =
+    s"""$shinglesCte,
+         |bk AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
+         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+         |    AS band_hash
+         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_old
+         |  FROM bands l JOIN bk bl ON bl.doc_id = l.doc_id
+         |  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |  JOIN bk br ON br.doc_id = r.doc_id
+         |  WHERE bl.bucket >= 80 AND br.bucket < 80),
+         |inter AS (
+         |  SELECT c.id_new, c.id_old, count(*) AS inter
+         |  FROM cand c JOIN shh a ON a.doc_id = c.id_new
+         |  JOIN shh b ON b.doc_id = c.id_old AND b.shash = a.shash
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |flagged AS (SELECT DISTINCT id_new AS doc_id
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_new
+         |  JOIN sizes sb ON sb.doc_id = id_old
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         |vocab AS (SELECT token, sum(tf) AS cnt FROM tf
+         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
+         |  GROUP BY token),
+         |vtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |  CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |scored AS (SELECT tf.doc_id, tf.tf, vocab.cnt,
+         |    CAST(ROUND(ln(CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
+         |      / (vtot.tot + vtot.v + 1)) * 1000000, 0) AS BIGINT) AS logp_micro
+         |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN vtot),
+         |xe AS (SELECT doc_id,
+         |    CAST((2 * (-CAST(sum(logp_micro * tf) AS BIGINT))
+         |        + CAST(sum(tf) AS BIGINT))
+         |      // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent
+         |  FROM scored GROUP BY doc_id),
+         |thr AS (SELECT quantile_cont(xent, 0.9) AS thr FROM xe),
+         |perdoc AS (SELECT doc_id, source,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |persrc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM perdoc GROUP BY source),
+         |mtot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_sort(list(sqrt(CAST(src_tokens AS DOUBLE))))),
+         |      (a, b) -> a + b) AS wsum
+         |  FROM persrc),
+         |f AS (SELECT source,
+         |    ROUND((sqrt(CAST(src_tokens AS DOUBLE)) / wsum) /
+         |          (CAST(src_tokens AS DOUBLE) / total_tokens), 6) AS factor
+         |  FROM persrc CROSS JOIN mtot),
+         |mult AS (SELECT p.doc_id, p.source,
+         |    CAST(p.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(CAST(floor(f.factor) AS BIGINT) +
+         |    (CASE WHEN CAST(concat('0x', substr(md5(concat(
+         |        CAST(p.doc_id AS VARCHAR), ':graft-mix-v1')), 1, 15)) AS BIGINT)
+         |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
+         |  FROM perdoc p JOIN f USING (source))""".stripMargin
 
   /** Word-2gram distinct shingles per doc (count parity with
     * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
@@ -1678,84 +1792,44 @@ object TextQueries extends QueryPack {
     // confirm join, no fn exist), so it shares c9's oracle verbatim
     "c10_paragraph_bloom" -> incrementalParagraphSql,
     "c7_curation_v2" ->
-      s"""WITH $shinglesCte,
-         |bk AS (SELECT doc_id,
-         |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
-         |  FROM documents),
-         |consts(i, a, b) AS (VALUES $constsValues),
-         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
-         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
-         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
-         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
-         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
-         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
-         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
-         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
-         |    AS band_hash
-         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_old
-         |  FROM bands l JOIN bk bl ON bl.doc_id = l.doc_id
-         |  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-         |  JOIN bk br ON br.doc_id = r.doc_id
-         |  WHERE bl.bucket >= 80 AND br.bucket < 80),
-         |inter AS (
-         |  SELECT c.id_new, c.id_old, count(*) AS inter
-         |  FROM cand c JOIN shh a ON a.doc_id = c.id_new
-         |  JOIN shh b ON b.doc_id = c.id_old AND b.shash = a.shash
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-         |flagged AS (SELECT DISTINCT id_new AS doc_id
-         |  FROM inter JOIN sizes sa ON sa.doc_id = id_new
-         |  JOIN sizes sb ON sb.doc_id = id_old
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
-         |toks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
-         |  FROM documents),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
-         |vocab AS (SELECT token, sum(tf) AS cnt FROM tf
-         |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 < 80
-         |  GROUP BY token),
-         |vtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
-         |  CAST(count(*) AS BIGINT) AS v FROM vocab),
-         |scored AS (SELECT tf.doc_id, tf.tf, vocab.cnt,
-         |    CAST(ROUND(ln(CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
-         |      / (vtot.tot + vtot.v + 1)) * 1000000, 0) AS BIGINT) AS logp_micro
-         |  FROM tf LEFT JOIN vocab USING (token) CROSS JOIN vtot),
-         |xe AS (SELECT doc_id,
-         |    CAST((2 * (-CAST(sum(logp_micro * tf) AS BIGINT))
-         |        + CAST(sum(tf) AS BIGINT))
-         |      // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent
-         |  FROM scored GROUP BY doc_id),
-         |thr AS (SELECT quantile_cont(xent, 0.9) AS thr FROM xe),
-         |perdoc AS (SELECT doc_id, source,
-         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-         |  FROM documents),
-         |persrc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
-         |  FROM perdoc GROUP BY source),
-         |mtot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_sort(list(sqrt(CAST(src_tokens AS DOUBLE))))),
-         |      (a, b) -> a + b) AS wsum
-         |  FROM persrc),
-         |f AS (SELECT source,
-         |    ROUND((sqrt(CAST(src_tokens AS DOUBLE)) / wsum) /
-         |          (CAST(src_tokens AS DOUBLE) / total_tokens), 6) AS factor
-         |  FROM persrc CROSS JOIN mtot),
-         |mult AS (SELECT p.doc_id, p.source,
-         |    CAST(p.n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(CAST(floor(f.factor) AS BIGINT) +
-         |    (CASE WHEN CAST(concat('0x', substr(md5(concat(
-         |        CAST(p.doc_id AS VARCHAR), ':graft-mix-v1')), 1, 15)) AS BIGINT)
-         |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
-         |  FROM perdoc p JOIN f USING (source))
+      s"""WITH $curationCtes
          |SELECT m.doc_id, m.source, m.n_tokens, x.xent, m.multiplicity
          |FROM mult m JOIN xe x USING (doc_id)
          |CROSS JOIN thr
          |LEFT JOIN flagged fl ON fl.doc_id = m.doc_id
          |WHERE fl.doc_id IS NULL AND x.xent <= thr.thr AND m.multiplicity >= 1
+         |ORDER BY m.doc_id""".stripMargin,
+    // c11: the SAME curationCtes, un-filtered, joined with t25's novelty
+    // construction — reason booleans instead of a keep set
+    "c11_curation_provenance" ->
+      s"""WITH $curationCtes,
+         |w8 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+         |  FROM documents),
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |  [concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3], l[i+4], l[i+5], l[i+6], l[i+7])
+         |   for i in range(1, greatest(len(l) - 7, 1) + 1)])) AS shingle
+         |  FROM w8),
+         |shh8 AS (SELECT s.doc_id, b.bucket,
+         |  CAST(concat('0x', substr(md5(s.shingle), 1, 15)) AS BIGINT) AS shash
+         |  FROM sh8 s JOIN bk b ON b.doc_id = s.doc_id
+         |  WHERE b.bucket < 80 OR b.bucket >= 90),
+         |ref8 AS (SELECT DISTINCT shash FROM shh8 WHERE bucket >= 90),
+         |nov AS (SELECT tr.doc_id,
+         |    CAST(count(ref8.shash) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
+         |  FROM (SELECT doc_id, shash FROM shh8 WHERE bucket < 80) tr
+         |  LEFT JOIN ref8 ON tr.shash = ref8.shash
+         |  GROUP BY tr.doc_id)
+         |SELECT m.doc_id,
+         |  fl.doc_id IS NOT NULL AS is_dup,
+         |  x.xent > thr.thr AS hi_xent,
+         |  m.multiplicity < 1 AS zero_mult,
+         |  coalesce(nov.overlap_ppm, 0) >= 500000 AS high_overlap,
+         |  (fl.doc_id IS NULL AND x.xent <= thr.thr AND m.multiplicity >= 1
+         |   AND coalesce(nov.overlap_ppm, 0) < 500000) AS kept
+         |FROM mult m JOIN xe x USING (doc_id)
+         |CROSS JOIN thr
+         |LEFT JOIN flagged fl ON fl.doc_id = m.doc_id
+         |LEFT JOIN nov ON nov.doc_id = m.doc_id
          |ORDER BY m.doc_id""".stripMargin,
     "c6_mixture_weights" ->
       """WITH perdoc AS (SELECT doc_id, source,
