@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,12 +23,21 @@ import org.apache.spark.sql.functions._
   * index. `minIdfMicro` is the WAND-flavored pruning knob: terms whose
   * idf falls at/below it (the near-stopwords whose postings dominate
   * join fan-out but contribute least) are dropped from BOTH sides;
-  * 0 (default, gate configuration) prunes nothing. */
+  * 0 (default, gate configuration) prunes nothing. Measured on the 10×
+  * stress corpus: 0.2-nat pruning cuts the pass 37% with top-1 stable
+  * (SCALE.md, `Bm25PruneBench`).
+  *
+  * The index (postings + doclen + 1-row stats) is a first-class value:
+  * [[buildIndex]]/[[writeIndex]]/[[readIndex]] persist it to parquet so
+  * serving queries probe the STORED index without re-tokenizing the
+  * corpus — the lexical twin of the persisted IVF path (IvfIndexSpec). */
 object Bm25 {
 
-  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
-           textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-           minIdfMicro: Long = 0L): DataFrame = {
+  /** The inverted index: postings (did, term, tf), doclen (did, dl),
+    * stats (one row: n_docs, total_len). */
+  case class Index(postings: DataFrame, doclen: DataFrame, stats: DataFrame)
+
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String): Index = {
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
     val postings = corpus
       .select(col(idCol).as("did"), explode(toks).as("term"))
@@ -37,12 +46,34 @@ object Bm25 {
     val doclen = postings.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Index(postings, doclen, stats)
+  }
+
+  /** Materialize the index (postings bucket-friendly on term, doclen,
+    * stats) — what a serving tier loads instead of the corpus. */
+  def writeIndex(idx: Index, dir: String): Unit = {
+    idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    idx.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  def readIndex(spark: SparkSession, dir: String): Index = Index(
+    spark.read.parquet(s"$dir/postings"),
+    spark.read.parquet(s"$dir/doclen"),
+    spark.read.parquet(s"$dir/stats"))
+
+  /** Top-k search over a (possibly stored) index. Query docs may overlap
+    * the corpus: self-hits (`qid == did`) are excluded. */
+  def searchIndex(queries: DataFrame, idx: Index, idCol: String,
+                  textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+                  minIdfMicro: Long = 0L): DataFrame = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val dfreq = idx.postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf in micro-nats: ln(1 + (N - df + 0.5)/(df + 0.5)), > 0 always
     val idfMicro = round(
       log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5d)
         / (col("df") + 0.5d)) * 1000000, 0).cast("long")
-    val terms = dfreq.crossJoin(broadcast(stats))
+    val terms = dfreq.crossJoin(broadcast(idx.stats))
       .select(col("term"), idfMicro.as("idf_micro"),
         col("n_docs"), col("total_len"))
       .filter(col("idf_micro") > minIdfMicro)
@@ -56,9 +87,9 @@ object Bm25 {
       * 1000000, 0).cast("long")
     val scored = qterms
       .join(terms, "term")
-      .join(postings, "term")
+      .join(idx.postings, "term")
       .filter(col("qid") =!= col("did"))
-      .join(doclen, "did")
+      .join(idx.doclen, "did")
       .withColumn("c_micro", contrib)
       .groupBy(col("qid"), col("did"))
       .agg(sum(col("c_micro")).as("score_micro"))
@@ -68,4 +99,10 @@ object Bm25 {
       .select(col("qid").as("query_id"), col("rank"),
         col("did").as("doc_id"), col("score_micro"))
   }
+
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+           textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+           minIdfMicro: Long = 0L): DataFrame =
+    searchIndex(queries, buildIndex(corpus, idCol, textCol), idCol, textCol,
+      k, k1, b, minIdfMicro)
 }

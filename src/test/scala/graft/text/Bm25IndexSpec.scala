@@ -1,0 +1,49 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The lexical serving path: search decisions from a parquet-stored
+  * index must be IDENTICAL to the direct corpus pipeline (the
+  * IvfIndexSpec contract for BM25). */
+class Bm25IndexSpec extends SparkSpec {
+
+  private def corpus = {
+    val sp = spark; import sp.implicits._
+    Seq(
+      (1L, "quick brown fox jumps over lazy dog"),
+      (10L, "quick brown fox jumps over sleepy dog"),
+      (11L, "spark shuffles partition data across executors"),
+      (12L, "entirely unrelated cooking recipe with butter and flour"),
+      (13L, "the fox appears once here among other words"),
+      (14L, "dog dog dog dog dog dog dog dog"))
+      .toDF("doc_id", "text")
+  }
+
+  test("search from a parquet round-tripped index == direct topK, scores included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Bm25.writeIndex(Bm25.buildIndex(corpus, "doc_id", "text"), dir)
+    val stored = Bm25.searchIndex(corpus.filter(col("doc_id") === 1),
+        Bm25.readIndex(spark, dir), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = Bm25.topK(corpus.filter(col("doc_id") === 1), corpus,
+        "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored == direct, s"stored-index search diverged:\n$stored\nvs\n$direct")
+    assert(stored.nonEmpty)
+  }
+
+  test("queries unseen at index time search the stored index") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx2").toString
+    Bm25.writeIndex(Bm25.buildIndex(corpus, "doc_id", "text"), dir)
+    val fresh = Seq((99L, "fox dog")).toDF("doc_id", "text")
+    val out = Bm25.searchIndex(fresh, Bm25.readIndex(spark, dir),
+        "doc_id", "text", k = 3)
+      .orderBy(col("rank")).collect()
+    assert(out.nonEmpty, "unseen query found nothing")
+    // only fox/dog docs can match at all
+    assert(out.map(_.getLong(2)).toSet.subsetOf(Set(1L, 10L, 13L, 14L)),
+      out.toSeq.toString)
+  }
+}
