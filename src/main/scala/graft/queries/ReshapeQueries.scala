@@ -114,6 +114,31 @@ object ReshapeQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- W6: interval coalescing (gaps-and-islands over RANGES — the
+    //      general form of the d9 span merge and the time twin of w2):
+    //      per supplier, overlapping [shipdate, receiptdate] intervals
+    //      merge into maximal shipping-activity windows. One key-
+    //      partitioned window pass + one aggregate, no self-join.
+    "w6_interval_union" -> ((s, dir) => {
+      // interval = [ship date, ship + 1..7 transit days] (deterministic
+      // in l_linenumber; the synthetic lineitem has no receipt column)
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("d0"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_linenumber") % 7 + 1).cast("int")).as("d1"))
+      // total order (see Intervals.coalesce): identical intervals repeat
+      // across orders, and a cross-engine gate needs tie-free frames
+      val spans = graft.ops.Intervals.coalesce(li, Seq("l_suppkey"), "d0", "d1",
+        tieBreakCols = Seq("l_orderkey", "l_linenumber"))
+      spans.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(datediff(col("span_end"), col("span_start")) + 1).as("busy_days"),
+          max(datediff(col("span_end"), col("span_start")) + 1).as("max_window_days"),
+          max(col("n_merged")).as("max_merged"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- W2: gap-based sessionization (30-min inactivity gap): lag diff
     //      flags session starts, running sum numbers them — two windows,
     //      both partitioned by user, no global sort
@@ -268,6 +293,34 @@ object ReshapeQueries extends QueryPack {
         |    + CASE WHEN op = 'wr' THEN 100 ELSE 0 END AS DOUBLE) AS score
         |FROM supplier, (SELECT unnest(['rd', 'wr']) AS op)
         |ORDER BY server_id, operation""".stripMargin,
+    "w6_interval_union" ->
+      """WITH iv AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(l_shipdate AS DATE) AS d0,
+        |    CAST(l_shipdate AS DATE) + CAST(l_linenumber % 7 + 1 AS INTEGER) AS d1
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, d0, d1,
+        |    CASE WHEN max(d1) OVER (PARTITION BY l_suppkey
+        |        ORDER BY d0, d1, l_orderkey, l_linenumber
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR d0 > max(d1) OVER (PARTITION BY l_suppkey
+        |        ORDER BY d0, d1, l_orderkey, l_linenumber
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ng
+        |  FROM iv),
+        |i AS (SELECT l_suppkey, d0, d1,
+        |    SUM(ng) OVER (PARTITION BY l_suppkey
+        |      ORDER BY d0, d1, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g),
+        |s AS (SELECT l_suppkey, grp, MIN(d0) AS span_start,
+        |    MAX(d1) AS span_end, COUNT(*) AS n_merged
+        |  FROM i GROUP BY l_suppkey, grp)
+        |SELECT l_suppkey, COUNT(*) AS n_windows,
+        |  CAST(SUM(span_end - span_start + 1) AS BIGINT) AS busy_days,
+        |  CAST(MAX(span_end - span_start + 1) AS BIGINT) AS max_window_days,
+        |  CAST(MAX(n_merged) AS BIGINT) AS max_merged
+        |FROM s GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "w2_sessionize" ->
       """SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events FROM (
         |  SELECT user_id, session_id, COUNT(*) AS n_events FROM (
