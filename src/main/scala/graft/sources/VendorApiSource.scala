@@ -71,10 +71,26 @@ class VendorApiTable(props: Map[String, String]) extends Table with SupportsRead
 }
 
 class VendorScanBuilder(regionsCsv: String, rowsPerRegion: Int)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
   private var regions: Seq[String] = regionsCsv.split(",").map(_.trim).toSeq
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var required: StructType = VendorApiSource.schema
+
+  /** LIMIT pushdown (API page-size clamp): each region fetches at most
+    * `limit` rows instead of its full page set. PARTIALLY pushed — with
+    * several regions the union can still exceed the limit, so Spark
+    * keeps its global limit; the win is per-partition fetch volume. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
+  /** Column pruning (API field selection): the reader materializes only
+    * the requested fields — a real SDK would put them in the request's
+    * field mask. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -93,35 +109,48 @@ class VendorScanBuilder(regionsCsv: String, rowsPerRegion: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new VendorScan(regions, rowsPerRegion)
+  override def build(): Scan =
+    new VendorScan(regions, limit.fold(rowsPerRegion)(math.min(_, rowsPerRegion)),
+      required)
 }
 
-class VendorScan(regions: Seq[String], rowsPerRegion: Int) extends Scan with Batch {
-  override def readSchema(): StructType = VendorApiSource.schema
+class VendorScan(regions: Seq[String], rowsPerRegion: Int,
+                 required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-vendor-api [regions=${regions.mkString(",")}]"
+    s"graft-vendor-api [regions=${regions.mkString(",")} rows=$rowsPerRegion " +
+      s"cols=${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     regions.map(r => RegionPartition(r, rowsPerRegion): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val rp = p.asInstanceOf[RegionPartition]
-        new RegionReader(rp.region, rp.rows)
-      }
-    }
+    RegionReaderFactory(required)
+}
+
+/** Top-level (serializable) factory — must not capture the Scan. */
+case class RegionReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RegionPartition]
+    new RegionReader(rp.region, rp.rows, required)
+  }
 }
 
 case class RegionPartition(region: String, rows: Int) extends InputPartition
 
-class RegionReader(region: String, rows: Int) extends PartitionReader[InternalRow] {
+class RegionReader(region: String, rows: Int,
+                   required: StructType) extends PartitionReader[InternalRow] {
   private val it = VendorApiSource.fetchRegion(region, rows)
   private var current: (String, String, Double) = _
+  // resolve the projection once per reader, not per row
+  private val proj: Array[((String, String, Double)) => Any] =
+    required.fieldNames.map {
+      case "region" => (t: (String, String, Double)) => UTF8String.fromString(t._1)
+      case "instance_type" => (t: (String, String, Double)) => UTF8String.fromString(t._2)
+      case "price" => (t: (String, String, Double)) => t._3
+    }
   override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
-  override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(current._1),
-      UTF8String.fromString(current._2), current._3)
+  override def get(): InternalRow = InternalRow(proj.map(_(current)): _*)
   override def close(): Unit = ()
 }

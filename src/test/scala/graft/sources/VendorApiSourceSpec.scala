@@ -32,4 +32,19 @@ class VendorApiSourceSpec extends SparkSpec {
     // price predicate still applied (rejected from pushdown, evaluated by Spark)
     assert(df.filter(col("price") <= 0.5).count() == 0)
   }
+
+  test("LIMIT pushes into each region's fetch; global limit still exact") {
+    val df = read("r1,r2,r3").limit(7)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the scan description carries the clamped per-region row count
+    assert(plan.contains("rows=7"), s"limit not pushed into the scan:\n$plan")
+    assert(df.count() == 7) // Spark's global limit still applies (partial push)
+  }
+
+  test("column pruning reaches the reader: scan schema holds only requested fields") {
+    val df = read("r1,r2").select("instance_type")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("cols=instance_type"), s"columns not pruned at the scan:\n$plan")
+    assert(df.distinct().count() == 4) // families still read correctly
+  }
 }
