@@ -76,9 +76,12 @@ object MinHash {
     * The estimate is integer ppm (n_agree·62500), engine-exact. */
   def groupOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
                          n: Int): DataFrame = {
+    // persist: the |groups|-row signature frame feeds BOTH self-join
+    // sides — without it the corpus-sized shingle pass runs twice
     val sig = signatures(
       hashedShingleRows(shingleRows(docs, groupCol, textCol, n), groupCol),
       groupCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(groupCol).as("source_a") +:
       (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
     val b = sig.select(col(groupCol).as("source_b") +:
