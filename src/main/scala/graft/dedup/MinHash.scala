@@ -75,12 +75,18 @@ object MinHash {
     * pass, then a |groups|² self-join of a control-plane-sized frame.
     * The estimate is integer ppm (n_agree·62500), engine-exact. */
   def groupOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
-                         n: Int): DataFrame = {
+                         n: Int, xxhashKeys: Boolean = false): DataFrame = {
     // persist: the |groups|-row signature frame feeds BOTH self-join
-    // sides — without it the corpus-sized shingle pass runs twice
-    val sig = signatures(
-      hashedShingleRows(shingleRows(docs, groupCol, textCol, n), groupCol),
-      groupCol)
+    // sides — without it the corpus-sized shingle pass runs twice.
+    // xxhashKeys = the d9 production swap: the shingle key only has to
+    // be a stable hash, and xxhash64 is codegen'd while per-shingle md5
+    // dominates the scan at corpus scale; the md5 default stays the
+    // oracle-replayable gate configuration.
+    val sh = shingleRows(docs, groupCol, textCol, n)
+    val hashed =
+      if (xxhashKeys) sh.select(col(groupCol), xxhash64(col("shingle")).as("shash"))
+      else hashedShingleRows(sh, groupCol)
+    val sig = signatures(hashed, groupCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(groupCol).as("source_a") +:
       (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)

@@ -252,9 +252,12 @@ object TextQueries extends QueryPack {
     //      broadcasts, never a corpus join.
     "t28_corpus_card" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // one tokenize pass shared by the counts, the sample, and the
+      // source rollup (three consumers)
       val toks = docs.select(col("doc_id"), col("source"), col("text"),
         size(filter(graft.text.TextAnalysis.tokens(col("text")),
           t => t =!= "")).cast("long").as("n_toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = toks.agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         countDistinct(conv(substring(md5(col("text")), 1, 15), 16, 10)

@@ -154,6 +154,13 @@ class MinHashSpec extends SparkSpec {
     assert(agreeC <= 2, s"disjoint sources agreeing $agreeC/16")
     // matrix covers each unordered pair exactly once
     assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    // the xxhash64 production keying preserves the structure: identical
+    // sources still agree 16/16, disjoint ones still near 0
+    val xx = MinHash.groupOverlapMatrix(docs, "source", "text", n = 2,
+        xxhashKeys = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(xx(("srcA", "srcB")) == 16L)
+    assert(xx(("srcA", "srcC")) <= 2L)
   }
 
   test("winnowing collisions: identical content collides, disjoint content cannot") {
