@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** PER-GROUP bottom-k hash sample as a native Catalyst aggregate: keeps
+  * the `k` (hash, value) pairs with the smallest hashes seen in the
+  * group — [[graft.ops.BottomK]]'s deterministic uniform sample, but per
+  * GROUP, which the declarative alternatives get wrong at 100 TB:
+  *  - `Window.partitionBy(g).orderBy(h)` + `row_number <= k` SORTS every
+  *    group's full row set (a corpus-wide sort for a k-row answer);
+  *  - `sort_array(collect_list(...))` holds unbounded per-group state.
+  * This aggregate's state is ≤ k (hash, value) pairs — 16k bytes —
+  * map-side combined and MERGEABLE (min-k of a set is a function of the
+  * set), so the per-group sample is identical under any partitioning.
+  *
+  * Output: the sampled VALUES ordered by hash ascending (array<bigint>) —
+  * feed them to `percentile`/histograms for per-group data cards.
+  * Duplicate hashes (same sample key seen twice) keep one entry, matching
+  * the row-deduplicated semantics of the global sampler. */
+case class BottomKAgg(hash: Expression, value: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+    with BinaryLike[Expression] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def left: Expression = hash
+  override def right: Expression = value
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+  private def add(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                  h: Long, v: Long): Unit =
+    if (buffer.size < k || h < buffer.lastKey()) {
+      buffer.putIfAbsent(h, v)
+      if (buffer.size > k) buffer.pollLastEntry()
+    }
+
+  override def update(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val h = hash.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null)
+      add(buffer, h.asInstanceOf[Long], v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                     other: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(buffer, e.getKey, e.getValue)
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+    val out = new Array[Any](buffer.size)
+    val it = buffer.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.size * 16)
+    val it = buffer.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val out = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) out.put(bb.getLong, bb.getLong)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_values"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (hash.dataType, value.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (bigint hash, bigint value), got $other")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BottomKAgg =
+    copy(hash = newLeft, value = newRight)
+}
+
+object BottomKAgg {
+  import org.apache.spark.sql.Column
+
+  /** Column API: per-group sampled values ordered by hash. */
+  def bottomKValues(hash: Column, value: Column, k: Int): Column =
+    Exprs.toColumn(BottomKAgg(Exprs.toExpression(hash),
+      Exprs.toExpression(value), k).toAggregateExpression())
+}

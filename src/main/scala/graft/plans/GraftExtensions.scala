@@ -63,6 +63,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "kmv_distinct(hash, k) takes exactly 2 arguments")
       }),
+    (FunctionIdentifier("bottom_k_values"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "bottom_k_values"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, v, k) => BottomKAgg(h, v, litInt(k, "bottom_k_values k"))
+        case _ => throw new IllegalArgumentException(
+          "bottom_k_values(hash, value, k) takes exactly 3 arguments")
+      }),
     (FunctionIdentifier("kmv_state"),
       new ExpressionInfo(classOf[KmvStateAgg].getName, "kmv_state"),
       (children: Seq[Expression]) => children match {

@@ -243,6 +243,29 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- T29: PER-GROUP quantile cards via the native bottom-k
+    //      aggregate — the grouped form of t27 without its declarative
+    //      failure modes (a per-group window sorts the whole corpus;
+    //      collect_list holds unbounded state): ≤ k (hash, value) pairs
+    //      of mergeable state per language, map-side combined.
+    "t29_grouped_quantiles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("lang"),
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(graft.ops.BottomK.Salt))), 1, 15), 16, 10).cast("long").as("bk"),
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          t => t =!= "")).cast("long").as("n_toks"))
+      docs.groupBy(col("lang"))
+        .agg(graft.plans.BottomKAgg.bottomKValues(col("bk"), col("n_toks"), 256)
+          .as("vs"))
+        .select(col("lang"), explode(col("vs")).as("v"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(v, 0.5)"), 4).as("p50"),
+          round(expr("percentile(v, 0.9)"), 4).as("p90"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- T28: the composite one-row CORPUS REPORT CARD — what a
     //      pipeline prints per snapshot before training: counts, token
     //      totals, KMV vocabulary estimate, bottom-k length quantiles,
@@ -1214,6 +1237,23 @@ object TextQueries extends QueryPack {
         |JOIN keep k ON tr.shash = k.shash
         |WHERE tr.bucket < 80 AND te.bucket >= 90
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // t29: the oracle replays the per-group sample via ranked hashes
+    // (row_number <= k) — the declarative equivalent of the native agg
+    "t29_grouped_quantiles" ->
+      """WITH h AS (SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':graft-bottomk-v1')), 1, 15)) AS BIGINT) AS bk
+        |  FROM documents),
+        |r AS (SELECT lang, n_toks,
+        |    row_number() OVER (PARTITION BY lang ORDER BY bk) AS rn
+        |  FROM h)
+        |SELECT lang, count(*) AS n_sample,
+        |  ROUND(quantile_cont(n_toks, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_toks, 0.9), 4) AS p90,
+        |  min(n_toks) AS vmin, max(n_toks) AS vmax
+        |FROM r WHERE rn <= 256 GROUP BY lang ORDER BY lang""".stripMargin,
     // t28: each card column replays its gated sibling's arithmetic —
     // t13's KMV estimator (over words), t27's bottom-k order, t23's
     // fingerprint convention, exact integer ppm divisions
