@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -108,6 +108,84 @@ case class BottomKAgg(hash: Expression, value: Expression, k: Int,
     copy(hash = newLeft, value = newRight)
 }
 
+/** The sample STATE as a storable value (binary (hash, value) pairs) —
+  * store one per day/shard/source, merge later with [[BottomKMergeAgg]]:
+  * incremental per-group quantile maintenance without re-reading old
+  * data (the [[KmvStateAgg]]/[[KmvMergeAgg]] pattern for quantiles). */
+case class BottomKStateAgg(hash: Expression, value: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+    with BinaryLike[Expression] {
+  private val inner = BottomKAgg(hash, value, k)
+  override def left: Expression = hash
+  override def right: Expression = value
+  override def createAggregationBuffer() = inner.createAggregationBuffer()
+  override def update(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                      in: InternalRow) = inner.update(b, in)
+  override def merge(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                     o: java.util.TreeMap[java.lang.Long, java.lang.Long]) =
+    inner.merge(b, o)
+  override def eval(b: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any =
+    serialize(b)
+  override def serialize(b: java.util.TreeMap[java.lang.Long, java.lang.Long]) =
+    inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]) = inner.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_state"
+  override def checkInputDataTypes() = inner.checkInputDataTypes()
+  override def withNewMutableAggBufferOffset(o: Int): BottomKStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BottomKStateAgg =
+    copy(hash = l, value = r)
+}
+
+/** Union of STORED samples: min-k of a union is exact (the k smallest
+  * of A ∪ B are among the per-part k smallest), so
+  * merge(sample(A), sample(B)) ≡ sample(A ∪ B) — the merged quantile
+  * card equals the direct one bit-for-bit. */
+case class BottomKMergeAgg(child: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+    with UnaryLike[Expression] {
+  private val inner = BottomKAgg(child, child, k) // only (de)serialize/merge used
+  override def createAggregationBuffer() = inner.createAggregationBuffer()
+  override def update(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                      in: InternalRow) = child.eval(in) match {
+    case null => b
+    case bytes: Array[Byte] => inner.merge(b, inner.deserialize(bytes))
+  }
+  override def merge(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                     o: java.util.TreeMap[java.lang.Long, java.lang.Long]) =
+    inner.merge(b, o)
+  override def eval(b: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any =
+    inner.eval(b)
+  override def serialize(b: java.util.TreeMap[java.lang.Long, java.lang.Long]) =
+    inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]) = inner.deserialize(bytes)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_merge"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires binary sample state, got ${other.simpleString}")
+    }
+  override def withNewMutableAggBufferOffset(o: Int): BottomKMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BottomKMergeAgg =
+    copy(child = c)
+}
+
 object BottomKAgg {
   import org.apache.spark.sql.Column
 
@@ -115,4 +193,14 @@ object BottomKAgg {
   def bottomKValues(hash: Column, value: Column, k: Int): Column =
     Exprs.toColumn(BottomKAgg(Exprs.toExpression(hash),
       Exprs.toExpression(value), k).toAggregateExpression())
+
+  /** Storable sample state (binary). */
+  def bottomKState(hash: Column, value: Column, k: Int): Column =
+    Exprs.toColumn(BottomKStateAgg(Exprs.toExpression(hash),
+      Exprs.toExpression(value), k).toAggregateExpression())
+
+  /** Sampled values over a union of stored states. */
+  def bottomKMerge(state: Column, k: Int): Column =
+    Exprs.toColumn(BottomKMergeAgg(Exprs.toExpression(state), k)
+      .toAggregateExpression())
 }

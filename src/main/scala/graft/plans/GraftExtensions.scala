@@ -70,6 +70,20 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "bottom_k_values(hash, value, k) takes exactly 3 arguments")
       }),
+    (FunctionIdentifier("bottom_k_state"),
+      new ExpressionInfo(classOf[BottomKStateAgg].getName, "bottom_k_state"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, v, k) => BottomKStateAgg(h, v, litInt(k, "bottom_k_state k"))
+        case _ => throw new IllegalArgumentException(
+          "bottom_k_state(hash, value, k) takes exactly 3 arguments")
+      }),
+    (FunctionIdentifier("bottom_k_merge"),
+      new ExpressionInfo(classOf[BottomKMergeAgg].getName, "bottom_k_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, k) => BottomKMergeAgg(s, litInt(k, "bottom_k_merge k"))
+        case _ => throw new IllegalArgumentException(
+          "bottom_k_merge(state, k) takes exactly 2 arguments")
+      }),
     (FunctionIdentifier("kmv_state"),
       new ExpressionInfo(classOf[KmvStateAgg].getName, "kmv_state"),
       (children: Seq[Expression]) => children match {

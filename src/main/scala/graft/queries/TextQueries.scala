@@ -266,6 +266,31 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // ---- T30: incremental quantile cards — per-(lang, source) sample
+    //      STATES merged per lang (the t16 shape for quantiles): min-k
+    //      union is exact, so the merged card equals t29's direct one
+    //      bit-for-bit and gates against the SAME oracle — stored
+    //      per-shard states union without re-reading old data.
+    "t30_sample_union" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("lang"), col("source"),
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(graft.ops.BottomK.Salt))), 1, 15), 16, 10).cast("long").as("bk"),
+        size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          t => t =!= "")).cast("long").as("n_toks"))
+      docs.groupBy(col("lang"), col("source"))
+        .agg(graft.plans.BottomKAgg.bottomKState(col("bk"), col("n_toks"), 256)
+          .as("st"))
+        .groupBy(col("lang"))
+        .agg(graft.plans.BottomKAgg.bottomKMerge(col("st"), 256).as("vs"))
+        .select(col("lang"), explode(col("vs")).as("v"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(v, 0.5)"), 4).as("p50"),
+          round(expr("percentile(v, 0.9)"), 4).as("p90"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- T28: the composite one-row CORPUS REPORT CARD — what a
     //      pipeline prints per snapshot before training: counts, token
     //      totals, KMV vocabulary estimate, bottom-k length quantiles,
@@ -907,6 +932,24 @@ object TextQueries extends QueryPack {
        |      ORDER BY score_micro DESC, did ASC) AS rank
        |  FROM agg)""".stripMargin
 
+  /** t29/t30 shared oracle: per-group sample via ranked hashes —
+    * the merge path is answer-transparent (min-k union is exact). */
+  private val groupedQuantileSql =
+    """WITH h AS (SELECT lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':graft-bottomk-v1')), 1, 15)) AS BIGINT) AS bk
+        |  FROM documents),
+        |r AS (SELECT lang, n_toks,
+        |    row_number() OVER (PARTITION BY lang ORDER BY bk) AS rn
+        |  FROM h)
+        |SELECT lang, count(*) AS n_sample,
+        |  ROUND(quantile_cont(n_toks, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_toks, 0.9), 4) AS p90,
+        |  min(n_toks) AS vmin, max(n_toks) AS vmax
+        |FROM r WHERE rn <= 256 GROUP BY lang ORDER BY lang""".stripMargin
+
   /** The curation-gate CTE chain shared VERBATIM by c7 (filtered keep
     * set) and c11 (per-doc provenance): minhash cross-snapshot dup flag
     * (`flagged`), unigram cross-entropy + 90th-percentile threshold
@@ -1238,22 +1281,12 @@ object TextQueries extends QueryPack {
         |WHERE tr.bucket < 80 AND te.bucket >= 90
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     // t29: the oracle replays the per-group sample via ranked hashes
-    // (row_number <= k) — the declarative equivalent of the native agg
-    "t29_grouped_quantiles" ->
-      """WITH h AS (SELECT lang,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x <> '')) AS BIGINT) AS n_toks,
-        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-        |      ':graft-bottomk-v1')), 1, 15)) AS BIGINT) AS bk
-        |  FROM documents),
-        |r AS (SELECT lang, n_toks,
-        |    row_number() OVER (PARTITION BY lang ORDER BY bk) AS rn
-        |  FROM h)
-        |SELECT lang, count(*) AS n_sample,
-        |  ROUND(quantile_cont(n_toks, 0.5), 4) AS p50,
-        |  ROUND(quantile_cont(n_toks, 0.9), 4) AS p90,
-        |  min(n_toks) AS vmin, max(n_toks) AS vmax
-        |FROM r WHERE rn <= 256 GROUP BY lang ORDER BY lang""".stripMargin,
+    // (row_number <= k) — the declarative equivalent of the native agg.
+    // t30 gates against the SAME statement: min-k union is exact, so the
+    // merged-states path is answer-transparent (the c10/c9 pattern).
+    "t29_grouped_quantiles" -> groupedQuantileSql,
+    "t30_sample_union" -> groupedQuantileSql,
+
     // t28: each card column replays its gated sibling's arithmetic —
     // t13's KMV estimator (over words), t27's bottom-k order, t23's
     // fingerprint convention, exact integer ppm divisions

@@ -44,6 +44,23 @@ class BottomKAggSpec extends SparkSpec {
     }
   }
 
+  test("state/merge round trip: merged shard samples == the direct sample") {
+    val sp = spark; import sp.implicits._
+    val df = frame(3000, 5).withColumn("shard", col("v") % 4)
+    val direct = df.groupBy(col("g"))
+      .agg(BottomKAgg.bottomKValues(col("h"), col("v"), 16).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // states per (g, shard) THROUGH A PARQUET ROUND TRIP, then merged
+    val dir = java.nio.file.Files.createTempDirectory("graft_bk_states").toString
+    df.groupBy(col("g"), col("shard"))
+      .agg(BottomKAgg.bottomKState(col("h"), col("v"), 16).as("st"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = sp.read.parquet(dir).groupBy(col("g"))
+      .agg(BottomKAgg.bottomKMerge(col("st"), 16).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == direct, s"merge path diverged:\n$merged\nvs\n$direct")
+  }
+
   test("SQL registration: bottom_k_values callable from spark.sql") {
     val sp = spark
     GraftExtensions.register(sp)
