@@ -442,4 +442,33 @@ object MinHash {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Exact CONTAINMENT pairs: score = |A∩B| / min(|A|, |B|) — the subset
+    * detector Jaccard structurally misses (a short doc fully embedded in
+    * a long one has containment 1 but Jaccard ≈ |short|/|long|): quote
+    * farms, truncated mirrors, doc-in-doc boilerplate (Broder 1997
+    * defines both resemblance AND containment for exactly this reason).
+    * Same inverted-index shape and df guard as [[exactJaccardPairs]];
+    * at 100 TB the candidate stage swaps in the LSH bands as usual. */
+  def exactContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double, maxDf: Int = 20): DataFrame = {
+    val sh0 = hashedShingleRows(shingleRows(docs, idCol, textCol, n), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shash"))
+    val sh = sh0.join(dfc, "shash")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shash"))
+    val b = sh.select(col(idCol).as("id_b"), col("shash"))
+    val inter = a.join(b, "shash").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
 }

@@ -491,6 +491,17 @@ object TextQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- D13: CONTAINMENT pairs — |A∩B| / min(|A|,|B|), the subset
+    //      detector Jaccard structurally misses (a short doc embedded in
+    //      a long one: containment 1, Jaccard ≈ |short|/|long|) — quote
+    //      farms, truncated mirrors (Broder 1997 defines both scores).
+    //      Same inverted-index shape and df guard as d2.
+    "d13_containment_pairs" -> ((s, dir) => {
+      MinHash.exactContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 2, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- D9: duplicate-SPAN detection (exact substring dedup, Lee et al.
     //      2021): 5-token windows occurring >1× anywhere in the corpus
     //      mark spans, overlapping/adjacent spans merge per doc — finds
@@ -1622,6 +1633,24 @@ object TextQueries extends QueryPack {
          |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |${jaccardTail("shp", "0.8")}""".stripMargin,
+    // d13: d2's CTEs with the containment tail (inter / least size)
+    "d13_containment_pairs" ->
+      s"""WITH $shinglesCte,
+         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+         |        WHERE df <= 20),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
     "d5_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
          |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),

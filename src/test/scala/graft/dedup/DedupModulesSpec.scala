@@ -163,6 +163,20 @@ class MinHashSpec extends SparkSpec {
     assert(xx(("srcA", "srcC")) <= 2L)
   }
 
+  test("containment catches the embedded-subset pair that Jaccard misses") {
+    val sp = spark; import sp.implicits._
+    val long = ((1 to 40).map(i => s"w$i")).mkString(" ")
+    val short = ((1 to 8).map(i => s"w$i")).mkString(" ") // prefix of long
+    val docs = Seq((1L, long), (2L, short),
+      (3L, "an unrelated doc with its own words entirely")).toDF("doc_id", "text")
+    val cont = MinHash.exactContainmentPairs(docs, "doc_id", "text", 2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.get((1L, 2L)).contains(1.0), s"embedded prefix not detected: $cont")
+    val jac = MinHash.exactJaccardPairs(docs, "doc_id", "text", 2, 0.9)
+      .collect()
+    assert(jac.isEmpty, s"jaccard should miss the subset at 0.9: ${jac.toSeq}")
+  }
+
   test("winnowing collisions: identical content collides, disjoint content cannot") {
     val sp = spark; import sp.implicits._
     import graft.text.TextAnalysis
