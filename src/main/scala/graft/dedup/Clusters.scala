@@ -231,4 +231,27 @@ object Clusters {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
+
+  /** QUALITY-aware keep rule: within each near-dup cluster the member
+    * with the highest `scoreCol` survives (ties → smallest id) — what a
+    * production pipeline actually wants from dedup: drop the duplicates,
+    * keep the best-written copy, not the one with the smallest id. The
+    * representative choice is ONE combine-enabled max(struct) per
+    * cluster (no window over the corpus); everything else is
+    * [[dedupPlan]]'s shape. */
+  def dedupPlanByQuality(docs: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val comps = connectedComponentsAdaptive(pairs)
+    val withC = docs.select(col(idCol), col(scoreCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    // max(struct(quality, -id)): highest quality, then lowest id — one
+    // deterministic aggregate, partition-order free
+    val reps = withC.groupBy(col("cluster_id"))
+      .agg(max(struct(col(scoreCol).as("q"), (-col(idCol)).as("nid"))).as("s"))
+      .select(col("cluster_id"), (-col("s.nid")).as("rep_id"))
+    withC.join(reps, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("keep"))
+  }
 }

@@ -491,6 +491,21 @@ object TextQueries extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- D14: quality-aware dedup decisions — d6's clusters with the
+    //      keep rule a production pipeline wants: the member with the
+    //      highest t3 quality score survives (ties → smallest id), not
+    //      the smallest id. Representative choice is ONE max(struct)
+    //      aggregate per cluster, no corpus window.
+    "d14_quality_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val pairs = MinHash.exactJaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.8)
+      graft.dedup.Clusters.dedupPlanByQuality(scored, "doc_id", "quality", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- D13: CONTAINMENT pairs — |A∩B| / min(|A|,|B|), the subset
     //      detector Jaccard structurally misses (a short doc embedded in
     //      a long one: containment 1, Jaccard ≈ |short|/|long|) — quote
@@ -1633,6 +1648,55 @@ object TextQueries extends QueryPack {
          |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |${jaccardTail("shp", "0.8")}""".stripMargin,
+    // d14: d5's recursive CC + t3's quality arithmetic; the rep is the
+    // rank-1 row under (quality DESC, doc_id ASC) — the same total order
+    // Spark's max(struct(quality, -id)) aggregate encodes
+    "d14_quality_keep" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+         |        WHERE df <= 20),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |  ROUND(((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+'))
+         |      BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text,
+         |        '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+         |        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) > 0
+         |      THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |  FROM documents),
+         |cl AS (SELECT d.doc_id, COALESCE(comps.comp, d.doc_id) AS cluster_id,
+         |    q.quality
+         |  FROM documents d LEFT JOIN comps ON comps.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id),
+         |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id ASC) AS rk
+         |  FROM cl) WHERE rk = 1)
+         |SELECT cl.doc_id, cl.cluster_id, rep.rep_id,
+         |  cl.doc_id = rep.rep_id AS keep
+         |FROM cl JOIN rep ON rep.cluster_id = cl.cluster_id
+         |ORDER BY cl.doc_id""".stripMargin,
     // d13: d2's CTEs with the containment tail (inter / least size)
     "d13_containment_pairs" ->
       s"""WITH $shinglesCte,

@@ -80,4 +80,17 @@ class ClustersSpec extends SparkSpec {
     // dedup rate: 6 docs -> 4 kept
     assert(out.count(_._3) == 4)
   }
+
+  test("quality keep rule survives the BEST copy, not the smallest id") {
+    val sp = spark; import sp.implicits._
+    // cluster {1,2,3}: doc 2 has the highest quality — min-id would keep 1
+    val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (4L, 0.5))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Clusters.dedupPlanByQuality(docs, "doc_id", "quality", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(2L) == ((2L, true)), s"best copy not kept: $out")
+    assert(out(1L) == ((2L, false)) && out(3L) == ((2L, false))) // tie → min id among 0.9s
+    assert(out(4L) == ((4L, true))) // singleton keeps itself
+  }
 }
