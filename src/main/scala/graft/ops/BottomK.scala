@@ -23,7 +23,10 @@ object BottomK {
 
   val Salt = ":graft-bottomk-v1"
 
-  /** The deterministic k-row uniform sample of `df` keyed on `idCol`. */
+  /** The deterministic k-row uniform sample of `df` keyed on `idCol`.
+    * `idCol` must be UNIQUE per row: duplicate ids hash identically, so
+    * which of their rows survives the tie is plan-dependent (every
+    * in-repo caller keys on a primary id). */
   def sample(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.withColumn("__bk",
         conv(substring(md5(concat(col(idCol).cast("string"), lit(Salt))),

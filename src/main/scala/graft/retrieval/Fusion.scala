@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
 object Fusion {
 
   /** Fuse ranked lists. Each input must carry (queryCol, docCol, rankCol)
-    * with rank starting at 1; rows beyond `perSystemK` are ignored so
-    * callers can pass deeper lists than they fused last time without
+    * with rank starting at 1 and AT MOST ONE ROW per (query, doc) — a
+    * list that repeats a doc would double-count its contribution and
+    * inflate n_systems (top-k producers like Bm25.topK / Cosine.topK
+    * satisfy this by construction). Rows beyond `perSystemK` are ignored
+    * so callers can pass deeper lists than they fused last time without
     * changing decisions. Output: query_id, rank, doc_id, rrf_nano,
     * n_systems (how many lists surfaced the doc — the agreement signal). */
   def rrf(systems: Seq[DataFrame], queryCol: String, docCol: String,
