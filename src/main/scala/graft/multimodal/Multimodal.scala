@@ -120,18 +120,20 @@ object Multimodal {
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
       return Array.emptyShortArray
     val channels = math.max(1, le16(22))
-    var o = 36
-    while (o + 8 <= bytes.length && tag(o) != "data") {
-      val step = 8 + le32(o + 4) + (le32(o + 4) & 1)
-      if (step <= 0) return Array.emptyShortArray // adversarial chunk size
-      o += step
+    // offset walked in Long: a crafted chunk size near Int.MaxValue would
+    // overflow an Int offset back into range and index out of bounds
+    var o = 36L
+    while (o + 8 <= bytes.length && tag(o.toInt) != "data") {
+      val sz = le32(o.toInt + 4)
+      if (sz < 0) return Array.emptyShortArray // adversarial chunk size
+      o += 8L + sz + (sz & 1)
     }
     if (o + 8 > bytes.length) return Array.emptyShortArray
-    val sz = math.max(0, math.min(le32(o + 4), bytes.length - o - 8))
+    val sz = math.max(0, math.min(le32(o.toInt + 4), bytes.length - o.toInt - 8))
     val out = new Array[Short](sz / (2 * channels))
     var i = 0
     while (i < out.length) {
-      val off = o + 8 + i * 2 * channels
+      val off = o.toInt + 8 + i * 2 * channels
       out(i) = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
       i += 1
     }
@@ -176,6 +178,27 @@ object Multimodal {
           col("sample_rate"), col("duration_ms"), col("n_frames")).as("metadata"))
   }
 
+  /** Shared bilinear grid-luma kernel: resize to `grid`×`grid` and read
+    * each cell's integer luminance (0..255). ONE implementation on
+    * purpose — imageFeatures, videoFrameFeatures, and imageFingerprints
+    * must stay bit-identical (the m2/m4 oracles replay this exact
+    * arithmetic). */
+  private[multimodal] def lumaGrid(img: java.awt.image.BufferedImage,
+                                   grid: Int): Array[Int] = {
+    val thumb = new java.awt.image.BufferedImage(grid, grid,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = thumb.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, grid, grid, null)
+    g.dispose()
+    Array.tabulate(grid * grid) { i =>
+      val rgb = thumb.getRGB(i % grid, i / grid)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    }
+  }
+
   /** REAL image features: decode, resize to a `grid`×`grid` grayscale
     * thumbnail (Graphics2D bilinear), luminance per cell centered to
     * [-0.5, 0.5] — a classic perceptual embedding whose cosine similarity
@@ -187,20 +210,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val vec = decodeImage(m.content) match {
-          case Some(img) =>
-            val thumb = new java.awt.image.BufferedImage(grid, grid,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = thumb.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, grid, grid, null)
-            g.dispose()
-            Array.tabulate(grid * grid) { i =>
-              val rgb = thumb.getRGB(i % grid, i / grid)
-              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-              (lum / 255.0f) - 0.5f
-            }
+          case Some(img) => lumaGrid(img, grid).map(l => (l / 255.0f) - 0.5f)
           case None => new Array[Float](grid * grid)
         }
         Feature(m.media_id, m.kind, vec)
@@ -246,20 +256,8 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { m =>
         Avi.sampledFrames(m.content, everyN).map { case (idx, img) =>
-          val thumb = new java.awt.image.BufferedImage(grid, grid,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = thumb.createGraphics()
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, grid, grid, null)
-          g.dispose()
-          val vec = Array.tabulate(grid * grid) { i =>
-            val rgb = thumb.getRGB(i % grid, i / grid)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            (lum / 255.0f) - 0.5f
-          }
-          FrameFeature(m.media_id, idx, vec)
+          FrameFeature(m.media_id, idx,
+            lumaGrid(img, grid).map(l => (l / 255.0f) - 0.5f))
         }
       }
     }
@@ -286,20 +284,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { m =>
-        decodeImage(m.content).map { img =>
-          val thumb = new java.awt.image.BufferedImage(grid, grid,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = thumb.createGraphics()
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, grid, grid, null)
-          g.dispose()
-          LumaGrid(m.media_id, Array.tabulate(grid * grid) { i =>
-            val rgb = thumb.getRGB(i % grid, i / grid)
-            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-          })
-        }
+        decodeImage(m.content).map(img => LumaGrid(m.media_id, lumaGrid(img, grid)))
       }
     }.toDF()
       .select(col("media_id"),

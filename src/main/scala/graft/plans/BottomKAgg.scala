@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   *
   * Output: the sampled VALUES ordered by hash ascending (array<bigint>) —
   * feed them to `percentile`/histograms for per-group data cards.
-  * Duplicate hashes (same sample key seen twice) keep one entry, matching
-  * the row-deduplicated semantics of the global sampler. */
+  * Duplicate hashes keep ONE entry, resolved to the smallest value — a
+  * deterministic policy, so even colliding inputs stay a function of the
+  * set (unreachable with the unique-id md5 keys the in-repo callers
+  * use). */
 case class BottomKAgg(hash: Expression, value: Expression, k: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
@@ -39,7 +41,13 @@ case class BottomKAgg(hash: Expression, value: Expression, k: Int,
   private def add(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
                   h: Long, v: Long): Unit =
     if (buffer.size < k || h < buffer.lastKey()) {
-      buffer.putIfAbsent(h, v)
+      // hash collision with a DIFFERENT value: keep the smaller value —
+      // a deterministic merge policy, so the sample stays a function of
+      // the input SET under any partition/merge order (first-write-wins
+      // would be order-dependent). Unreachable with the md5-of-unique-id
+      // keys the in-repo callers use; matters for arbitrary SQL inputs.
+      val prev = buffer.get(h)
+      if (prev == null || v < prev) buffer.put(h, v)
       if (buffer.size > k) buffer.pollLastEntry()
     }
 

@@ -34,8 +34,11 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** The inverted index: postings (did, term, tf), doclen (did, dl),
-    * stats (one row: n_docs, total_len). */
-  case class Index(postings: DataFrame, doclen: DataFrame, stats: DataFrame)
+    * dfreq (term, df), stats (one row: n_docs, total_len). df is part of
+    * the INDEX, not the search: recomputing it per query batch would pay
+    * a postings-sized aggregate at serving time. */
+  case class Index(postings: DataFrame, doclen: DataFrame, dfreq: DataFrame,
+                   stats: DataFrame)
 
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String): Index = {
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
@@ -44,9 +47,10 @@ object Bm25 {
       .groupBy(col("did"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val doclen = postings.groupBy(col("did")).agg(sum(col("tf")).as("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = doclen.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
-    Index(postings, doclen, stats)
+    Index(postings, doclen, dfreq, stats)
   }
 
   /** Materialize the index (postings bucket-friendly on term, doclen,
@@ -54,12 +58,14 @@ object Bm25 {
   def writeIndex(idx: Index, dir: String): Unit = {
     idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
     idx.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    idx.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   def readIndex(spark: SparkSession, dir: String): Index = Index(
     spark.read.parquet(s"$dir/postings"),
     spark.read.parquet(s"$dir/doclen"),
+    spark.read.parquet(s"$dir/dfreq"),
     spark.read.parquet(s"$dir/stats"))
 
   /** Top-k search over a (possibly stored) index. Query docs may overlap
@@ -68,12 +74,11 @@ object Bm25 {
                   textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
                   minIdfMicro: Long = 0L): DataFrame = {
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
-    val dfreq = idx.postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // idf in micro-nats: ln(1 + (N - df + 0.5)/(df + 0.5)), > 0 always
     val idfMicro = round(
       log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5d)
         / (col("df") + 0.5d)) * 1000000, 0).cast("long")
-    val terms = dfreq.crossJoin(broadcast(idx.stats))
+    val terms = idx.dfreq.crossJoin(broadcast(idx.stats))
       .select(col("term"), idfMicro.as("idf_micro"),
         col("n_docs"), col("total_len"))
       .filter(col("idf_micro") > minIdfMicro)

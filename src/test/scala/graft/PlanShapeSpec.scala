@@ -214,8 +214,8 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(SparkEntry.queries("t26_source_overlap")(spark, dir))
     // the 16-min aggregate must run partially before the Exchange (the
     // whole point: per-source state is 128 B no matter the corpus)
-    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
-      s"no map-side combine:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"no map-side partial min before the shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 }
