@@ -239,6 +239,20 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(1L) != fps(3L), "different colors collided")
   }
 
+  test("adversarial WAV with a near-Int.MaxValue chunk size yields empty, not a crash") {
+    // RIFF/WAVE magic valid, first chunk size 0x7FFFFFF0: 8 + sz used to
+    // overflow an Int offset back into range and index out of bounds
+    val b = new Array[Byte](44)
+    System.arraycopy("RIFF".getBytes("US-ASCII"), 0, b, 0, 4)
+    System.arraycopy("WAVE".getBytes("US-ASCII"), 0, b, 8, 4)
+    System.arraycopy("junk".getBytes("US-ASCII"), 0, b, 36, 4)
+    b(40) = 0xF0.toByte; b(41) = 0xFF.toByte; b(42) = 0xFF.toByte; b(43) = 0x7F.toByte
+    assert(Multimodal.wavSamples(b).isEmpty)
+    // and a negative chunk size
+    b(43) = 0xFF.toByte
+    assert(Multimodal.wavSamples(b).isEmpty)
+  }
+
   test("audio fingerprint: envelope-invariant, amplitude-separating, drops silence") {
     val sp = spark; import sp.implicits._
     val rows = Seq(
