@@ -238,7 +238,12 @@ object Clusters {
     * keep the best-written copy, not the one with the smallest id. The
     * representative choice is ONE combine-enabled max(struct) per
     * cluster (no window over the corpus); everything else is
-    * [[dedupPlan]]'s shape. */
+    * [[dedupPlan]]'s shape.
+    *
+    * Precondition: `idCol` must be NUMERIC — the tiebreak is encoded as
+    * `max(struct(score, -id))`, and the negation fails analysis for
+    * string ids (unlike [[dedupPlan]], which accepts any orderable id).
+    * Hash string ids to a numeric key first (the t7/xxhash64 pattern). */
   def dedupPlanByQuality(docs: DataFrame, idCol: String, scoreCol: String,
                          pairs: DataFrame): DataFrame = {
     val comps = connectedComponentsAdaptive(pairs)

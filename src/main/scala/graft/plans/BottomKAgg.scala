@@ -40,7 +40,7 @@ case class BottomKAgg(hash: Expression, value: Expression, k: Int,
 
   private def add(buffer: java.util.TreeMap[java.lang.Long, java.lang.Long],
                   h: Long, v: Long): Unit =
-    if (buffer.size < k || h < buffer.lastKey()) {
+    if (buffer.size < k || h <= buffer.lastKey()) {
       // hash collision with a DIFFERENT value: keep the smaller value —
       // a deterministic merge policy, so the sample stays a function of
       // the input SET under any partition/merge order (first-write-wins
