@@ -135,6 +135,31 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X18: INCREMENTAL IVF maintenance — the daily-batch serving
+    //      workflow for the dense index (r4's lexical twin): centroids
+    //      train on the t7 <80 snapshot ONLY, the ≥80 batch is appended
+    //      by a map-side assignment against those STORED centroids
+    //      (`ivfAppendCells` — no retraining, no old-corpus re-read),
+    //      and queries search the explicit appended index
+    //      (`ivfSearchIndex`, nProbe=2). Assignment is per-row, so
+    //      assign(old) ∪ assign(batch) ≡ assign(all) under the same
+    //      centroids — the oracle replays exactly that one-pass form.
+    "x18_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bucket = graft.text.TextAnalysis.splitBucket(col("vec_id"))
+      val old = emb.filter(bucket < 80)
+      val cents = Cosine.cellCentroidsSorted(old, "label", "embedding")
+      val stored = Cosine.assignToCentroids(old, "vec_id", "embedding",
+          cents, "label")
+        .select(col("vec_id"), col("assigned_cell").as("label"))
+      val cells = Cosine.ivfAppendCells(emb.filter(bucket >= 80), "vec_id",
+        "embedding", cents, stored, "label")
+      Cosine.ivfSearchIndex(emb.filter(col("vec_id") < 10),
+          emb.select(col("vec_id"), col("embedding")), cells, cents,
+          "vec_id", "embedding", "label", k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- X13: iterative Lloyd k-means — the full trainer whose single
     //      step x5/x6 expose: 2 rounds of (centroids → reassign) from the
     //      label initialization. Gate runs the sorted-fold centroid path.
@@ -343,7 +368,8 @@ object SimilarityQueries extends QueryPack {
     // the same floor'd nano contributions), then measures per-system
     // survival into the fused top-10 and the dense-top-1 MRR
     "r3_fusion_eval" ->
-      s"""WITH ${TextQueries.bm25Ctes(maxQid = 10)},
+      s"""WITH ${TextQueries.bm25Ctes(maxQid = 10,
+             minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)},
          |$vCte,
          |sims AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -403,7 +429,8 @@ object SimilarityQueries extends QueryPack {
     // the dense side is x1's sims CTE ranked to depth 20; fusion is
     // floor'd integer nanos summed per (query, doc).
     "r2_hybrid_rrf" ->
-      s"""WITH ${TextQueries.bm25Ctes(maxQid = 10)},
+      s"""WITH ${TextQueries.bm25Ctes(maxQid = 10,
+             minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)},
          |$vCte,
          |sims AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -496,6 +523,59 @@ object SimilarityQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn
         |  FROM d)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // x18: centroids from the <80 slice only (x5's sorted-fold CTEs with
+    // the bucket filter), then ONE assignment pass over all vectors —
+    // exactly what the engine's stored ∪ appended cells equal — probe
+    // selection reusing the same distance rows (x15's prn pattern),
+    // rank ≤ 5 within the probed cells
+    "x18_ivf_append" ->
+      s"""WITH $vCte,
+         |bk AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+         |      ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM embeddings),
+         |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+         |      FROM v JOIN bk USING (vec_id),
+         |           (SELECT unnest(range(1, 65)) AS i) t
+         |      WHERE bk.bucket < 80),
+         |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+         |      FROM e GROUP BY label, dim),
+         |c AS (SELECT label, dim,
+         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+         |      (a, b) -> a + b) / cnt, 6) AS centroid
+         |  FROM g),
+         |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+         |d AS (SELECT q.vec_id, cv.label,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> (q.emb[i] - cv.cvec[i]) * (q.emb[i] - cv.cvec[i]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM v q CROSS JOIN cv),
+         |a AS (SELECT vec_id, label AS cell FROM (
+         |    SELECT vec_id, label, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn
+         |    FROM d)
+         |  WHERE rn = 1),
+         |pr AS (SELECT vec_id AS query_id, label FROM (
+         |    SELECT vec_id, label,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS prn
+         |    FROM d WHERE vec_id < 10)
+         |  WHERE prn <= 2),
+         |sims AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, cand.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM pr
+         |  JOIN a ON a.cell = pr.label
+         |  JOIN v q ON q.vec_id = pr.query_id
+         |  JOIN v cand ON cand.vec_id = a.vec_id
+         |  JOIN n qn ON qn.vec_id = pr.query_id
+         |  JOIN n cn ON cn.vec_id = a.vec_id
+         |  WHERE a.vec_id <> pr.query_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // x15: x6's sorted-fold centroid CTEs -> top-3 probe cells per query
     // by (d2 asc, label asc) -> x4's top-k shape over the probed cells
     "x15_ivf_multiprobe" ->

@@ -583,7 +583,12 @@ object TextQueries extends QueryPack {
       // panel (not a fixed rate) is the scale knob: truth cost grows with
       // DUPLICATION DENSITY only, never corpus × density — the 10×-dup
       // stress measured a rate-based panel at 100× intermediate fan-out
-      // (SCALE.md round 8)
+      // (SCALE.md round 8).
+      // INVARIANT: the exact-truth side deliberately has NO df guard (dup
+      // groups share exactly the hot shingles — pruning them would
+      // falsify truth), so this fixed panel is the ONLY thing standing
+      // between this query and the d2 quadratic hazard. Do not widen the
+      // panel proportionally to the corpus.
       val probeIds = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(500)
       val sharr = MinHash.hashedShingleArray(docs, "doc_id", "text", n = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -754,17 +759,27 @@ object TextQueries extends QueryPack {
     //      tokenization: kept docs with their sampling weights.
     "c7_curation_v2" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      val mix = TextAnalysis.mixtureWeights(docs, "doc_id", "text", "source")
+      // ONE tokenize pass (the t28 lesson): id, source, token array —
+      // persisted, feeding the LM, mixture, and dup gates, so the corpus
+      // is scanned and split once instead of once per sub-chain
+      val toksed = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lp = TextAnalysis.unigramLogProbFromTokens(toksed, "doc_id", "toks")
+      val mix = TextAnalysis.mixtureWeightsFromCounts(
+        toksed.select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens")), "doc_id", "source")
       // exact in-plan percentile over the rounded scores: both engines
       // interpolate between the same order statistics, and a keep set
       // {xent <= thr} cannot straddle consecutive order stats, so ulp
       // drift in the interpolation cannot flip a row
       val thr = lp.agg(expr("percentile(xent, 0.9)").as("thr"))
       val bucket = TextAnalysis.splitBucket(col("doc_id"))
-      val dupOfOld = MinHash.nearDuplicatesAgainst(
-          docs.filter(bucket >= 80), docs.filter(bucket < 80),
-          "doc_id", "text", n = 2, threshold = 0.7)
+      val sh2 = MinHash.hashedShingleArrayFromTokens(toksed, "doc_id", "toks", 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupOfOld = MinHash.nearDuplicatesAgainstArrays(
+          sh2.filter(bucket >= 80), sh2.filter(bucket < 80), "doc_id",
+          threshold = 0.7)
         .select(col("id_new").as("doc_id")).distinct()
       mix.join(lp.select(col("doc_id"), col("xent")), "doc_id")
         .join(dupOfOld, Seq("doc_id"), "left_anti")
@@ -783,17 +798,28 @@ object TextQueries extends QueryPack {
     //      construction: both derive from the shared CTE chain).
     "c11_curation_provenance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      val mix = TextAnalysis.mixtureWeights(docs, "doc_id", "text", "source")
+      // ONE tokenize pass (the t28 lesson, r8 wrong #1): the corpus's
+      // heaviest query scanned/split documents once per sub-chain — the
+      // persisted token frame now feeds all FOUR gates (LM, mixture,
+      // 2-gram dup, 8-gram novelty) with hashes unchanged
+      val toksed = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lp = TextAnalysis.unigramLogProbFromTokens(toksed, "doc_id", "toks")
+      val mix = TextAnalysis.mixtureWeightsFromCounts(
+        toksed.select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens")), "doc_id", "source")
       val thr = lp.agg(expr("percentile(xent, 0.9)").as("thr"))
       val bucket = TextAnalysis.splitBucket(col("doc_id"))
-      val dupOfOld = MinHash.nearDuplicatesAgainst(
-          docs.filter(bucket >= 80), docs.filter(bucket < 80),
-          "doc_id", "text", n = 2, threshold = 0.7)
+      val sh2 = MinHash.hashedShingleArrayFromTokens(toksed, "doc_id", "toks", 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupOfOld = MinHash.nearDuplicatesAgainstArrays(
+          sh2.filter(bucket >= 80), sh2.filter(bucket < 80), "doc_id",
+          threshold = 0.7)
         .select(col("id_new").as("doc_id")).distinct()
         .withColumn("__dup", lit(1))
-      val novelty = graft.text.Decontaminate.noveltyScores(docs, "doc_id",
-          "text", 8, trainPred = bucket < 80, testPred = bucket >= 90)
+      val novelty = graft.text.Decontaminate.noveltyScoresFromTokens(toksed,
+          "doc_id", "toks", 8, trainPred = bucket < 80, testPred = bucket >= 90)
         .select(col("doc_id"), col("overlap_ppm"))
       mix.join(lp.select(col("doc_id"), col("xent")), "doc_id")
         .join(dupOfOld, Seq("doc_id"), "left")
@@ -869,7 +895,41 @@ object TextQueries extends QueryPack {
     "r1_bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+          "doc_id", "text", k = 5, minIdfMicro = 0L)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- R1b: BM25 under the PRODUCTION pruning config — the same
+    //      search as r1 with the measured `DefaultMinIdfMicro` cutoff
+    //      active (near-stopwords dropped from both join sides). This is
+    //      the configuration whose postings fan-out stays bounded as
+    //      duplication density grows (SCALE.md: −37% on the 10× stress
+    //      corpus, hot-term postings 4.5× without it) — gated here so the
+    //      engine's main retrieval scale claim is hash-verified every
+    //      round, not measured once: the integer cutoff is emitted into
+    //      the oracle, which prunes identically.
+    "r1b_bm25_pruned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
           "doc_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- R4: INCREMENTAL index maintenance — the t7 <80 bucket plays
+    //      the indexed snapshot, ≥80 the daily batch folded in via
+    //      `appendToIndex` (associative merges: postings/doclen union,
+    //      per-term df sum, stats sum). The oracle is the FULL-REBUILD
+    //      scoring over the whole corpus, so the gate is the exact
+    //      identity append(batch, index(old)) ≡ index(old ∪ batch) —
+    //      score_micro included, under the production pruning config.
+    "r4_bm25_increment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val idx = graft.text.Bm25.appendToIndex(docs.filter(bucket >= 80),
+        graft.text.Bm25.buildIndex(docs.filter(bucket < 80), "doc_id", "text"),
+        "doc_id", "text")
+      graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10), idx,
+          "doc_id", "text", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -923,8 +983,12 @@ object TextQueries extends QueryPack {
     * so the two replays cannot drift: same postings/df/idf/saturation
     * arithmetic, parenthesized IDENTICALLY to [[graft.text.Bm25.topK]]'s
     * Column tree so every per-term double op is the same IEEE operation;
-    * the per-pair sum is over integer micro units. */
-  private[queries] def bm25Ctes(maxQid: Int): String =
+    * the per-pair sum is over integer micro units. `minIdfMicro` is the
+    * engine's pruning knob replayed verbatim (idf_micro is an integer,
+    * so the cutoff comparison is engine-exact): 0 = the unpruned
+    * reference scoring (r1); [[graft.text.Bm25.DefaultMinIdfMicro]] =
+    * the production configuration (r1b/r2/r3/r4). */
+  private[queries] def bm25Ctes(maxQid: Int, minIdfMicro: Long = 0L): String =
     s"""p AS (SELECT doc_id AS did,
        |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
        |      x -> x <> '')) AS term
@@ -950,7 +1014,7 @@ object TextQueries extends QueryPack {
        |      * 1000000, 0) AS BIGINT) AS c
        |  FROM qt JOIN t USING (term) JOIN post USING (term)
        |  JOIN dl ON dl.did = post.did, st
-       |  WHERE qt.qid <> post.did AND t.idf_micro > 0),
+       |  WHERE qt.qid <> post.did AND t.idf_micro > $minIdfMicro),
        |agg AS (SELECT qid, did, CAST(sum(c) AS BIGINT) AS score_micro
        |  FROM sc GROUP BY qid, did),
        |lexr AS (SELECT qid, did, score_micro,
@@ -1943,6 +2007,19 @@ object TextQueries extends QueryPack {
       s"""WITH ${bm25Ctes(maxQid = 10)}
         |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // r1b: identical chain with the production integer idf cutoff active
+    "r1b_bm25_pruned" ->
+      s"""WITH ${bm25Ctes(maxQid = 10,
+             minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)}
+        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // r4: the oracle REBUILDS from the full corpus — gating the append
+    // path against the exact full-rebuild identity (c9-vs-c8 pattern)
+    "r4_bm25_increment" ->
+      s"""WITH ${bm25Ctes(maxQid = 10,
+             minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)}
+        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "t23_shard_manifest" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * query terms against the postings keyed on the TERM — the inverted
   * index. `minIdfMicro` is the WAND-flavored pruning knob: terms whose
   * idf falls at/below it (the near-stopwords whose postings dominate
-  * join fan-out but contribute least) are dropped from BOTH sides;
-  * 0 (default, gate configuration) prunes nothing. Measured on the 10×
-  * stress corpus: 0.2-nat pruning cuts the pass 37% with top-1 stable
-  * (SCALE.md, `Bm25PruneBench`).
+  * join fan-out but contribute least) are dropped from BOTH sides.
+  * The PRODUCTION DEFAULT is [[DefaultMinIdfMicro]] (0.2 nats — the
+  * cutoff Bm25PruneBench measured at −37% on the 10× stress corpus with
+  * top-1 stable), oracle-gated by r1b/r2/r3; pass 0 for the unpruned
+  * reference scoring (r1's gate configuration). Pruning matters because
+  * the unpruned hot-term postings grow linearly with duplication density
+  * (measured 4.5× on stress) — the knob bounds the r-family's join
+  * fan-out at scale.
   *
   * The index (postings + doclen + 1-row stats) is a first-class value:
   * [[buildIndex]]/[[writeIndex]]/[[readIndex]] persist it to parquet so
@@ -33,10 +37,22 @@ import org.apache.spark.sql.functions._
   * corpus — the lexical twin of the persisted IVF path (IvfIndexSpec). */
 object Bm25 {
 
+  /** Production idf-pruning cutoff in micro-nats: drop terms appearing
+    * in ≳45% of documents (idf ≤ 0.2 nats). Measured (Bm25PruneBench,
+    * SCALE.md): −37% search wall-clock on the 10×-duplication stress
+    * corpus, top-1 hits unchanged. */
+  val DefaultMinIdfMicro: Long = 200000L
+
   /** The inverted index: postings (did, term, tf), doclen (did, dl),
     * dfreq (term, df), stats (one row: n_docs, total_len). df is part of
     * the INDEX, not the search: recomputing it per query batch would pay
-    * a postings-sized aggregate at serving time. */
+    * a postings-sized aggregate at serving time.
+    *
+    * CALLER-OWNED CACHE (the MinHash convention): [[buildIndex]] persists
+    * `postings` (MEMORY_AND_DISK) because doclen/dfreq/stats all derive
+    * from it; nothing unpersists it. Long-lived sessions doing repeated
+    * one-shot [[topK]] calls should build once via [[buildIndex]], search
+    * via [[searchIndex]], and `idx.postings.unpersist()` when done. */
   case class Index(postings: DataFrame, doclen: DataFrame, dfreq: DataFrame,
                    stats: DataFrame)
 
@@ -72,7 +88,7 @@ object Bm25 {
     * the corpus: self-hits (`qid == did`) are excluded. */
   def searchIndex(queries: DataFrame, idx: Index, idCol: String,
                   textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-                  minIdfMicro: Long = 0L): DataFrame = {
+                  minIdfMicro: Long = DefaultMinIdfMicro): DataFrame = {
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
     // idf in micro-nats: ln(1 + (N - df + 0.5)/(df + 0.5)), > 0 always
     val idfMicro = round(
@@ -107,7 +123,35 @@ object Bm25 {
 
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
            textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-           minIdfMicro: Long = 0L): DataFrame =
+           minIdfMicro: Long = DefaultMinIdfMicro): DataFrame =
     searchIndex(queries, buildIndex(corpus, idCol, textCol), idCol, textCol,
       k, k1, b, minIdfMicro)
+
+  /** INCREMENTAL index maintenance: fold a new document batch into a
+    * (possibly parquet-stored) index without re-reading the indexed
+    * corpus — the daily-batch serving workflow (the c9/t30 pattern
+    * applied to retrieval). Every index component is an associative
+    * aggregate, so the merge is exact, not approximate:
+    * postings/doclen rows are per-document (batch ids must be DISJOINT
+    * from indexed ids — the d10/c9 batch contract; re-indexing a doc
+    * means delete + append), dfreq merges by per-term df sum, stats by
+    * component sum. Therefore
+    * `appendToIndex(batch, buildIndex(old)) ≡ buildIndex(old ∪ batch)`
+    * bit-for-bit — r4_bm25_increment hash-gates exactly that identity
+    * against the full-rebuild DuckDB oracle, and Bm25IndexSpec pins it
+    * through a parquet round trip. Cost: one batch-sized tokenize pass
+    * plus a dfreq merge keyed on the BATCH's terms; nothing old-corpus-
+    * sized is read. */
+  def appendToIndex(batch: DataFrame, idx: Index, idCol: String,
+                    textCol: String): Index = {
+    val b = buildIndex(batch, idCol, textCol)
+    Index(
+      idx.postings.unionByName(b.postings),
+      idx.doclen.unionByName(b.doclen),
+      idx.dfreq.unionByName(b.dfreq)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      idx.stats.unionByName(b.stats)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_len")).as("total_len")))
+  }
 }

@@ -33,6 +33,27 @@ class Bm25IndexSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("appendToIndex on a parquet-stored index == full rebuild, scores included") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    // index the first half, store it, fold the second half in from the
+    // stored form — the daily-batch workflow r4 gates
+    Bm25.writeIndex(Bm25.buildIndex(corpus.filter(col("doc_id") <= 10),
+      "doc_id", "text"), dir)
+    val appended = Bm25.appendToIndex(corpus.filter(col("doc_id") > 10),
+      Bm25.readIndex(spark, dir), "doc_id", "text")
+    val probes = corpus.filter(col("doc_id") === 1)
+    for (cutoff <- Seq(0L, Bm25.DefaultMinIdfMicro)) {
+      val inc = Bm25.searchIndex(probes, appended, "doc_id", "text", k = 5,
+          minIdfMicro = cutoff)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val full = Bm25.topK(probes, corpus, "doc_id", "text", k = 5,
+          minIdfMicro = cutoff)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(inc == full, s"append != rebuild at cutoff $cutoff:\n$inc\nvs\n$full")
+      assert(inc.nonEmpty)
+    }
+  }
+
   test("queries unseen at index time search the stored index") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx2").toString
