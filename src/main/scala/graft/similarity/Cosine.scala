@@ -218,10 +218,29 @@ object Cosine {
   def ivfTopKMultiprobe(queries: DataFrame, corpus: DataFrame, idCol: String,
                         vecCol: String, cellCol: String, k: Int, nProbe: Int,
                         centroidFn: (DataFrame, String, String) => DataFrame =
-                          cellCentroids): DataFrame = {
+                          cellCentroids): DataFrame =
+    ivfSearchIndex(queries,
+      corpus.select(col(idCol), col(vecCol)),
+      corpus.select(col(idCol), col(cellCol)),
+      centroidFn(corpus.select(col(cellCol), toDouble(col(vecCol)).as("v")),
+        cellCol, "v"),
+      idCol, vecCol, cellCol, k, nProbe)
+
+  /** Multiprobe search over an EXPLICIT serving index — the stored form
+    * ([[ivfTopKMultiprobe]] is this with the index derived in-plan): a
+    * centroid table (cell, dim, centroid) and a cell-assignment frame
+    * (id, cell), both typically read back from parquet (IvfIndexSpec),
+    * plus the vectors. This is the entry point incremental maintenance
+    * needs: [[ivfAppendCells]] grows `cells` batch-by-batch while
+    * `centroids` stays the stored trained table. Same plan shape as
+    * [[ivfTopKMultiprobe]]: broadcast k·dim centroids → map-side probe
+    * selection → cell-key equi-join; the extra id-keyed vectors⋈cells
+    * join replaces the cell column the corpus frame no longer carries. */
+  def ivfSearchIndex(queries: DataFrame, corpus: DataFrame, cells: DataFrame,
+                     centroids: DataFrame, idCol: String, vecCol: String,
+                     cellCol: String, k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1, "need at least one probed cell")
-    val cvec = centroidFn(corpus.select(col(cellCol), toDouble(col(vecCol)).as("v")),
-        cellCol, "v")
+    val cvec = centroids
       .groupBy(col(cellCol))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("cv"))
@@ -236,8 +255,9 @@ object Cosine {
         .orderBy(col("d2").asc, col(cellCol).asc)))
       .filter(col("prn") <= nProbe)
       .select(col(cellCol), col("query_id"), col("qv"), col("qn"))
-    val c = corpus.select(col(cellCol), col(idCol).as("neighbor_id"),
-        toDouble(col(vecCol)).as("nv"))
+    val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("nv"))
+      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
+      .select(col(cellCol), col(idCol).as("neighbor_id"), col("nv"))
       .withColumn("nn", normSq(col("nv")))
     val sims = probes.join(c, Seq(cellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -248,6 +268,24 @@ object Cosine {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** INCREMENTAL IVF maintenance: assign a new vector batch against the
+    * STORED centroid table (no retraining — the standard serving-time
+    * append; centroids only retrain when drift warrants a rebuild) and
+    * union it into the stored cell assignment. Because assignment is a
+    * per-row map over a broadcast centroid table, the append is EXACT:
+    * `assign(old) ∪ assign(batch) ≡ assign(old ∪ batch)` under the same
+    * centroids — x18_ivf_append hash-gates searches over the appended
+    * index against a DuckDB replay that assigns the full corpus in one
+    * pass. Cost: one batch-sized map-side pass; nothing old-corpus-sized
+    * is read (batch ids must be disjoint from stored ids — the d10/c9
+    * batch contract). */
+  def ivfAppendCells(batch: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, storedCells: DataFrame,
+                     cellCol: String): DataFrame =
+    storedCells.select(col(idCol), col(cellCol))
+      .unionByName(assignToCentroids(batch, idCol, vecCol, centroids, cellCol)
+        .select(col(idCol), col("assigned_cell").as(cellCol)))
 
   /** IVF TRAINING step: per-cell elementwise centroid — the DEFAULT path.
     * Plain `avg` keyed by (cell, dim): a combine-enabled HashAggregate

@@ -42,4 +42,46 @@ class IvfIndexSpec extends SparkSpec {
       && liveassign.exceptAll(reassign).isEmpty)
     assert(live.count() > 0)
   }
+
+  test("ivfAppendCells from a stored index == one-pass assignment of the union") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    val cents = Cosine.cellCentroids(old.select(col("label"),
+      Cosine.toDouble(col("embedding")).as("v")), "label", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    Cosine.assignToCentroids(old, "vec_id", "embedding", cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    val storedCents = spark.read.parquet(s"$dir/centroids")
+    // append the batch against the STORED centroids/cells — no old re-read
+    val appended = Cosine.ivfAppendCells(batch, "vec_id", "embedding",
+      storedCents, spark.read.parquet(s"$dir/cells"), "label")
+    // assignment is per-row: the appended cells must equal assigning the
+    // whole corpus in one pass under the same centroid table
+    val onePass = Cosine.assignToCentroids(emb, "vec_id", "embedding",
+        storedCents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    assert(appended.exceptAll(onePass).isEmpty && onePass.exceptAll(appended).isEmpty)
+    // and searching the appended index returns full ranked rows
+    val out = Cosine.ivfSearchIndex(emb.filter(col("vec_id") < 5),
+      emb.select(col("vec_id"), col("embedding")), appended, storedCents,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    assert(out.count() == 15)
+  }
+
+  test("ivfSearchIndex over the in-plan index == ivfTopKMultiprobe (refactor guard)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaIndex = Cosine.ivfSearchIndex(queries,
+      emb.select(col("vec_id"), col("embedding")),
+      emb.select(col("vec_id"), col("label")),
+      Cosine.cellCentroids(emb.select(col("label"),
+        Cosine.toDouble(col("embedding")).as("v")), "label", "v"),
+      "vec_id", "embedding", "label", k = 5, nProbe = 3)
+    val direct = Cosine.ivfTopKMultiprobe(queries, emb, "vec_id", "embedding",
+      "label", k = 5, nProbe = 3)
+    assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+  }
 }
