@@ -161,6 +161,15 @@ object MinHash {
       transform(TextAnalysis.shingles(col(textCol), n),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sharr"))
 
+  /** [[hashedShingleArray]] over an already-tokenized array column — the
+    * shared-tokenize-pass entry point (identical values: shingling from
+    * the same token array the text would split into). */
+  def hashedShingleArrayFromTokens(toksDf: DataFrame, idCol: String,
+                                   toksCol: String, n: Int): DataFrame =
+    toksDf.select(col(idCol),
+      transform(TextAnalysis.shinglesFromTokens(col(toksCol), n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sharr"))
+
   /** Signature columns h0..h{k-1} computed map-side from the shingle array:
     * h_i = min over shingles of (a_i·(shash mod ShingleMod) + b_i) mod P.
     * Identical values to the explode+groupBy form ([[signatures]]) with
@@ -341,9 +350,28 @@ object MinHash {
     * batch is shingled/signed here; the index side is used as-is. */
   def nearDuplicatesAgainstIndex(newDocs: DataFrame, oldIndex: DataFrame,
                                  idCol: String, textCol: String,
-                                 n: Int = 2, threshold: Double = 0.7): DataFrame = {
-    val shNew = hashedShingleArray(newDocs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                                 n: Int = 2, threshold: Double = 0.7): DataFrame =
+    nearDuplicatesArraysAgainstIndex(
+      hashedShingleArray(newDocs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      oldIndex, idCol, threshold)
+
+  /** [[nearDuplicatesAgainst]] from PREBUILT shingle-array frames for
+    * both sides — the shared-tokenize-pass entry point: c7/c11 derive
+    * one 2-gram array frame from their persisted token frame and split
+    * it into batch/snapshot slices, paying the per-shingle md5 once. */
+  def nearDuplicatesAgainstArrays(shNew: DataFrame, shOld: DataFrame,
+                                  idCol: String,
+                                  threshold: Double = 0.7): DataFrame =
+    nearDuplicatesArraysAgainstIndex(shNew, snapshotIndex(shOld, idCol),
+      idCol, threshold)
+
+  /** [[nearDuplicatesAgainstIndex]] with the batch side already in
+    * shingle-array form (callers should persist `shNew` — its band rows
+    * and the verification join both consume it). */
+  def nearDuplicatesArraysAgainstIndex(shNew: DataFrame, oldIndex: DataFrame,
+                                       idCol: String,
+                                       threshold: Double = 0.7): DataFrame = {
     val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
     val bOld = oldIndex.select(col(idCol).as("id_old"), col("band"), col("band_hash"))

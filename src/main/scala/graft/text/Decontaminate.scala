@@ -65,8 +65,21 @@ object Decontaminate {
     * At 100 TB the reference key set rides the same persisted-index /
     * bloom-prefilter path as [[overlapsBloom]]. */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String, n: Int,
-                    trainPred: Column, testPred: Column): DataFrame = {
-    val shh = shingleHashes(docs, idCol, textCol, n, trainPred, testPred)
+                    trainPred: Column, testPred: Column): DataFrame =
+    noveltyCore(shingleHashes(docs, idCol, textCol, n, trainPred, testPred),
+      idCol)
+
+  /** [[noveltyScores]] over an already-tokenized array column — the
+    * shared-tokenize-pass entry point (c11 feeds its one persisted token
+    * frame to this 8-gram gate and the 2-gram dup gate). */
+  def noveltyScoresFromTokens(toksDf: DataFrame, idCol: String,
+                              toksCol: String, n: Int, trainPred: Column,
+                              testPred: Column): DataFrame =
+    noveltyCore(shingleHashesFrom(toksDf, idCol,
+      TextAnalysis.shinglesFromTokens(col(toksCol), n), trainPred, testPred),
+      idCol)
+
+  private def noveltyCore(shh: DataFrame, idCol: String): DataFrame = {
     val ref = shh.filter(col("__is_test")).select(col("shash")).distinct()
       .withColumn("__seen", lit(1))
     shh.filter(col("__is_train")).select(col(idCol), col("shash"))
@@ -83,9 +96,15 @@ object Decontaminate {
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, trainPred: Column,
                             testPred: Column): DataFrame =
+    shingleHashesFrom(docs, idCol, TextAnalysis.shingles(col(textCol), n),
+      trainPred, testPred)
+
+  private def shingleHashesFrom(docs: DataFrame, idCol: String,
+                                shinglesExpr: Column, trainPred: Column,
+                                testPred: Column): DataFrame =
     docs
       .select(col(idCol), trainPred.as("__is_train"), testPred.as("__is_test"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+        explode(shinglesExpr).as("shingle"))
       .filter(col("__is_train") || col("__is_test"))
       .select(col(idCol), col("__is_train"), col("__is_test"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))

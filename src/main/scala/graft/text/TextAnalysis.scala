@@ -193,14 +193,19 @@ object TextAnalysis {
   }
 
   /** Distinct word n-gram shingles. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over an ALREADY-TOKENIZED array — the entry point for
+    * callers sharing one tokenize pass across several shingle consumers
+    * (the c7/c11 curation chains persist one token frame feeding the
+    * 2-gram dup gate and the 8-gram novelty gate). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     // try_element_at: ANSI mode (Spark 4 default) makes element_at throw
     // past the end; short docs (< n tokens) yield one partial shingle
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", (0 until n).map(k => try_element_at(toks, i + k + 1)): _*)))
-  }
 
   /** The dataset-split bucket in [0, 100): salted md5 of the id,
     * RNG-free. ONE definition shared by the split query (t7), curation
@@ -514,9 +519,17 @@ object TextAnalysis {
     * bit-reproducible on any topology or engine. */
   def mixtureWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, sourceCol: String,
-                     alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val perDoc = docs.select(col(idCol), col(sourceCol),
-      tokenCount(col(textCol)).as("n_tokens"))
+                     alpha: Double = 0.5): org.apache.spark.sql.DataFrame =
+    mixtureWeightsFromCounts(docs.select(col(idCol), col(sourceCol),
+      tokenCount(col(textCol)).as("n_tokens")), idCol, sourceCol, alpha)
+
+  /** [[mixtureWeights]] from a precomputed per-doc frame
+    * `(idCol, sourceCol, n_tokens)` — the shared-tokenize-pass entry
+    * point (c7/c11 derive n_tokens as `size(toks)` from their one
+    * persisted token frame; identical to `tokenCount(text)`). */
+  def mixtureWeightsFromCounts(perDoc: org.apache.spark.sql.DataFrame,
+                               idCol: String, sourceCol: String,
+                               alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
     val perSrc = perDoc.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
     // sqrt for the default alpha: IEEE-exact on every engine, unlike pow
@@ -572,9 +585,26 @@ object TextAnalysis {
     * flips at sf1). */
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String,
-                     trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+                     trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame =
+    unigramLogProbCore(docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("token")),
+      idCol, trainBucketBelow)
+
+  /** [[unigramLogProb]] from an already-tokenized array column — the
+    * shared-tokenize-pass entry point. Lowercasing per token here equals
+    * `tokens(lower(text))`: no uppercase character lowercases to (or
+    * consumes) whitespace, so the split is unaffected by case order. */
+  def unigramLogProbFromTokens(toksDf: org.apache.spark.sql.DataFrame,
+                               idCol: String, toksCol: String,
+                               trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame =
+    unigramLogProbCore(toksDf.select(col(idCol),
+        explode(transform(col(toksCol), t => lower(t))).as("token")),
+      idCol, trainBucketBelow)
+
+  private def unigramLogProbCore(tokRows: org.apache.spark.sql.DataFrame,
+                                 idCol: String,
+                                 trainBucketBelow: Int): org.apache.spark.sql.DataFrame = {
+    val tf = tokRows
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // the LM: token counts over the train split of the SAME t7 hash split
     // the rest of the pipeline uses (splitBucket is the shared definition)
