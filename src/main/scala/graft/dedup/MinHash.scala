@@ -108,10 +108,25 @@ object MinHash {
   val MixMul = 1009L
 
   /** (id, band, band_hash) rows from a signature frame: band hash is a
-    * mod-reduced polynomial fold of the band's minhashes. */
-  def bandRows(sig: DataFrame, idCol: String): DataFrame = {
-    val bands = (0 until numBands).map { b =>
-      val mix = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+    * mod-reduced polynomial fold of the band's minhashes.
+    *
+    * `rowsPerBand` is the LSH RECALL KNOB (the x15-nProbe analogue for
+    * text): a pair with Jaccard s collides with probability
+    * 1−(1−s^r)^(16/r), so narrower bands (smaller r) raise recall at the
+    * cost of more candidates to verify — the dial a pipeline turns as
+    * duplication density grows. Because in-order bands of width 2r are
+    * unions of adjacent width-r bands, candidate sets are NESTED:
+    * cand(r=8) ⊆ cand(r=4) ⊆ cand(r=2) ⊆ cand(r=1) — recall is monotone
+    * in the knob BY CONSTRUCTION, not just in expectation
+    * (LshBandKnobSpec pins it; verification stays exact either way, so
+    * precision is 1 at every setting). */
+  def bandRows(sig: DataFrame, idCol: String,
+               rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(rowsPerBand >= 1 && NumHashes % rowsPerBand == 0,
+      s"rowsPerBand must divide NumHashes=$NumHashes, got $rowsPerBand")
+    val nb = NumHashes / rowsPerBand
+    val bands = (0 until nb).map { b =>
+      val mix = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
         .reduce((acc, h) => (acc * lit(MixMul) + h) % lit(MixMod))
       struct(lit(b).as("band"), mix.as("band_hash"))
     }
@@ -209,11 +224,12 @@ object MinHash {
     * candidate-driven verification joins, both proportional to candidate
     * count, not corpus size. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 2, threshold: Double = 0.7): DataFrame =
+                     n: Int = 2, threshold: Double = 0.7,
+                     rowsPerBand: Int = RowsPerBand): DataFrame =
     nearDuplicatesFromArray(
       hashedShingleArray(docs, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      idCol, threshold)
+      idCol, threshold, rowsPerBand)
 
   /** [[nearDuplicates]] over a PREBUILT (ideally persisted)
     * [[hashedShingleArray]] frame — lets a caller pay the per-shingle md5
@@ -221,9 +237,10 @@ object MinHash {
     * (d12's recall harness derives its exact ground truth from the same
     * arrays). */
   def nearDuplicatesFromArray(sharr: DataFrame, idCol: String,
-                              threshold: Double = 0.7): DataFrame = {
+                              threshold: Double = 0.7,
+                              rowsPerBand: Int = RowsPerBand): DataFrame = {
     val pairs = {
-      val bands = bandRows(signaturesFromArray(sharr, idCol), idCol)
+      val bands = bandRows(signaturesFromArray(sharr, idCol), idCol, rowsPerBand)
       val l = bands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
       val r = bands.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
       l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
