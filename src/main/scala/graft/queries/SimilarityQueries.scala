@@ -91,9 +91,15 @@ object SimilarityQueries extends QueryPack {
     //      the occupancy blowup SCALE.md measured: within-bucket pairs
     //      grow quadratically with occupancy) with multi-table
     //      OR-amplification holding recall; the derived config is stashed
-    //      so the oracle replays the exact same tables.
+    //      so the oracle replays the exact same tables. The sizing count
+    //      runs on the PERSISTED projection, so config derivation shares
+    //      the single corpus scan with the pair/centroid stages instead
+    //      of paying a second 100 TB pass for one scalar (r8 wrong #2;
+    //      PlanShapeSpec pins the cached-scan shape).
     "x8_semdedup_srp" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPlanes = Cosine.autoPlanes(emb.count())
       val nTables = Cosine.autoTables(nPlanes)
       lastX8Config = (nPlanes, nTables)

@@ -218,4 +218,33 @@ class PlanShapeSpec extends SparkSpec {
       s"no map-side partial min before the shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("x8 sizing count + pair stage share ONE corpus scan (cached projection)") {
+    import org.apache.spark.sql.functions._
+    // the x8 shape: the sizing count() materializes the persisted
+    // projection, so config derivation and the pair stage both read the
+    // cache — a second parquet pass over 100 TB for one scalar is the
+    // r8 plan-audit finding this pins closed
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPlanes = graft.similarity.Cosine.autoPlanes(emb.count())
+      val pairs = graft.similarity.Cosine.srpPairsMulti(emb, "vec_id",
+        "embedding", threshold = 0.4, nPlanes = nPlanes, dim = 64,
+        nTables = graft.similarity.Cosine.autoTables(nPlanes))
+      // walk the tree (collect does NOT descend into InMemoryRelation's
+      // cached build recipe — exactly right: that scan ran once, at the
+      // sizing count): every leaf must be a cache read, zero file scans
+      val exec = pairs.queryExecution.sparkPlan
+      val fileScans = exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val cacheScans = exec.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(cacheScans.nonEmpty,
+        s"pair stage not reading the cached projection:\n$exec")
+      assert(fileScans.isEmpty,
+        s"pair stage re-scans parquet despite the cache:\n$exec")
+    } finally emb.unpersist()
+  }
 }
