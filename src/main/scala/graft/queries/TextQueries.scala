@@ -451,6 +451,27 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // ---- T14b: the SHARDED sequence-pack form t14's comment promises at
+    //      scale, now hash-verified instead of comment-ware (r8 #7): pack
+    //      boundaries per (lang, shard) composing t23's salted-md5 shard
+    //      hash — the widest window partition is one shard of one
+    //      language, so no single-task window exists at any corpus size
+    //      and boundaries stay reproducible across any partitioning.
+    "t14b_sharded_pack" -> ((s, dir) => {
+      val ctx = 2048L
+      val nTokens = TextAnalysis.tokenCount(col("text")).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), graft.ops.Sharding.shardCol(col("doc_id"), 8).as("shard"),
+          col("doc_id"), nTokens.as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+        .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+          floor(col("cum_before") / ctx).as("pack_id"))
+        .orderBy(col("lang"), col("shard"), col("doc_id"))
+    }),
+
     // ---- C2: token-budget selection — rank documents by quality (then
     //      id for determinism) and keep the prefix whose cumulative token
     //      count fits a budget: the data-mix step that fills a pretraining
@@ -1484,6 +1505,20 @@ object TextQueries extends QueryPack {
         |SELECT lang, doc_id, n_tokens,
         |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    // t14b: t14's running sum re-keyed on (lang, t23-shard)
+    "t14b_sharded_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |    ':graft-shard-v1')), 1, 15)) AS BIGINT) % 8 AS shard,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT lang, shard, doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM t)
+        |SELECT lang, shard, doc_id, n_tokens,
+        |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY lang, shard, doc_id""".stripMargin,
     "t16_sketch_union" ->
       """WITH w AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS l
         |  FROM documents),
