@@ -12,12 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch; the latest row per (user, session) is the final answer, so a
   * consumer reduces with keepLast exactly as with the other twins.
   *
-  * Contract: events must arrive time-ordered PER USER across triggers
-  * (within a trigger they are sorted here). Out-of-order arrival across
-  * a session boundary would need watermark-delayed session closing —
-  * the [[PriceStream]] watermark pattern — at the cost of emitting
-  * sessions only after the watermark passes; the eager form matches the
-  * batch operator exactly under the in-order contract (spec-pinned). */
+  * Contract: [[sessions]] (the eager form) requires events to arrive
+  * time-ordered PER USER across triggers (within a trigger they are
+  * sorted here) and matches the batch operator exactly under that
+  * contract (spec-pinned). The in-order contract is OPT-IN: for
+  * late/out-of-order streams use [[sessionsEventTime]], which buffers
+  * under a watermark and emits FINAL rows once no earlier event can
+  * arrive — exact for lateness ≤ the delay, at the standard event-time
+  * cost of emitting sessions only after the watermark passes. */
 object StreamingSessionize {
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
@@ -46,6 +48,75 @@ object StreamingSessionize {
           state.update((closed, lastTs, openN, openStart))
           if (openN > 0L)
             touched += SessionRow(uid, closed + 1L, openN, openStart, lastTs)
+          touched.iterator
+      }
+  }
+
+  /** `Ev` with the event-time column the watermark rides on. */
+  case class EvW(user_id: Long, event_id: Long, ts_us: Long,
+                 ts: java.sql.Timestamp)
+
+  /** (closed, lastTs, openN, openStart, popped-frontier µs, pending) —
+    * pending = events newer than the watermark, buffered until it
+    * passes them; bounded by each user's event volume within one
+    * watermark delay, by construction. */
+  private type StW = (Long, Long, Long, Long, Long, List[(Long, Long)])
+
+  /** EVENT-TIME variant of [[sessions]]: tolerates late/out-of-order
+    * arrival up to `delay` — the watermark contract replaces the eager
+    * twin's in-order contract (which is now opt-in, not load-bearing).
+    *
+    * Mechanism: arrivals buffer in state; each trigger pops the prefix
+    * with `ts <= watermark` in (ts, event_id) order and runs the exact
+    * in-order kernel over it — nothing is emitted for an event until
+    * the watermark guarantees no earlier event can still arrive, so the
+    * emitted rows are FINAL per pop (an event-time timeout re-wakes the
+    * group when the watermark passes its oldest pending event, so quiet
+    * users still flush without new data). Consequences, spec-pinned:
+    *  - lateness ≤ delay: latest row per (user, session) == batch
+    *    sessionization of the same events, exactly;
+    *  - lateness > delay: the event is dropped (Spark's watermark
+    *    filter; a `frontier` guard in state makes the kernel exact even
+    *    if one slips through) — the documented divergence;
+    *  - a session is emitted only once the watermark passes its events:
+    *    at stream end, events inside the final watermark window are
+    *    still pending (send a heartbeat/flush to close out — standard
+    *    event-time semantics, same as windowed aggregation). */
+  def sessionsEventTime(ds: Dataset[Ev], gapUs: Long = 1800L * 1000000L,
+                        delay: String = "30 minutes"): Dataset[SessionRow] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    ds.withColumn("ts", timestamp_micros(col("ts_us"))).as[EvW]
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StW, SessionRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvW], state: GroupState[StW]) =>
+          var (closed, lastTs, openN, openStart, frontier, pending) =
+            state.getOption.getOrElse(
+              (0L, Long.MinValue, 0L, 0L, Long.MinValue, List.empty[(Long, Long)]))
+          val wUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = it.map(e => (e.ts_us, e.event_id)).filter(_._1 > frontier)
+          val (ready, still) = (pending ++ incoming).sorted.partition(_._1 <= wUs)
+          val touched = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          ready.foreach { case (tsUs, _) =>
+            if (openN == 0L) { openN = 1L; openStart = tsUs }
+            else if (tsUs - lastTs > gapUs) {
+              touched += SessionRow(uid, closed + 1L, openN, openStart, lastTs)
+              closed += 1L; openN = 1L; openStart = tsUs
+            } else openN += 1L
+            lastTs = tsUs
+          }
+          if (ready.nonEmpty && openN > 0L)
+            touched += SessionRow(uid, closed + 1L, openN, openStart, lastTs)
+          state.update((closed, lastTs, openN, openStart,
+            math.max(frontier, wUs), still))
+          // re-wake when the watermark passes the oldest pending event
+          // (+1 ms: the timeout timestamp must exceed the current
+          // watermark, and the µs→ms floor could otherwise tie it)
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(still.head._1 / 1000L + 1L)
           touched.iterator
       }
   }

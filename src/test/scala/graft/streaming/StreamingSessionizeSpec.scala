@@ -62,6 +62,80 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(batch((2L, 1L))._1 == 4L)
   }
 
+  test("event-time twin: SHUFFLED / cross-batch out-of-order input == batch, lateness ≤ watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    // base offset: the initial watermark is epoch 0, so an event AT
+    // epoch 0 is born late — keep the test clock a day away from it
+    def m(minutes: Long) = (1440L + minutes) * 60L * 1000000L
+    // deliberately disordered: within-batch shuffle (10' before 0') and
+    // cross-batch lateness (2' arrives a batch after 10'/20') — all
+    // within the 30' watermark delay
+    val b1 = Seq((1L, 2L, m(10)), (1L, 1L, m(0)), (2L, 5L, m(5)))
+    val b2 = Seq((1L, 10L, m(2)), (1L, 3L, m(20)), (2L, 6L, m(25)))
+    val b3 = Seq((1L, 4L, m(80)), (2L, 8L, m(50)))
+    val b4 = Seq((1L, 7L, m(90)))
+    // heartbeats push the final watermark past every real event so the
+    // last sessions flush (standard event-time close-out)
+    val f1 = Seq((999L, 100L, m(200)))
+    val f2 = Seq((999L, 101L, m(201)))
+    val mem = MemoryStream[StreamingSessionize.Ev]
+    val q = StreamingSessionize.sessionsEventTime(mem.toDS(), Gap, "30 minutes")
+      .writeStream.format("memory").queryName("sszw_out").outputMode("update").start()
+    for (b <- Seq(b1, b2, b3, b4, f1, f2)) {
+      mem.addData(b.map((StreamingSessionize.Ev.apply _).tupled): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.sql(
+      """SELECT user_id, session_id,
+        |  max_by(n_events, struct(end_us, n_events)) AS n_events,
+        |  max_by(start_us, struct(end_us, n_events)) AS start_us,
+        |  max(end_us) AS end_us
+        |FROM sszw_out WHERE user_id < 999 GROUP BY user_id, session_id""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val batch = batchSessions((b1 ++ b2 ++ b3 ++ b4)
+      .map((StreamingSessionize.Ev.apply _).tupled))
+    assert(streamed == batch,
+      s"event-time/batch sessions diverged:\n  streamed=$streamed\n  batch=$batch")
+    // the late 2' event really landed inside session 1 (4 events, not 3)
+    assert(batch((1L, 1L))._1 == 4L)
+  }
+
+  test("event-time twin: an event later than the watermark delay is dropped (documented divergence)") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    def m(minutes: Long) = (1440L + minutes) * 60L * 1000000L
+    val mem = MemoryStream[StreamingSessionize.Ev]
+    val q = StreamingSessionize.sessionsEventTime(mem.toDS(), Gap, "30 minutes")
+      .writeStream.format("memory").queryName("sszw_late").outputMode("update").start()
+    mem.addData(StreamingSessionize.Ev(1L, 1L, m(0)),
+      StreamingSessionize.Ev(1L, 2L, m(10)))
+    q.processAllAvailable()
+    // heartbeat advances the watermark to 170'
+    mem.addData(StreamingSessionize.Ev(999L, 100L, m(200)))
+    q.processAllAvailable()
+    mem.addData(StreamingSessionize.Ev(999L, 101L, m(201)))
+    q.processAllAvailable()
+    // 60' is now 110' older than the watermark: beyond the contract
+    mem.addData(StreamingSessionize.Ev(1L, 3L, m(60)))
+    q.processAllAvailable()
+    mem.addData(StreamingSessionize.Ev(999L, 102L, m(202)))
+    q.processAllAvailable()
+    q.stop()
+    val s1 = sp.sql(
+      """SELECT max(session_id), sum(n_events) FROM (
+        |  SELECT session_id, max(n_events) AS n_events
+        |  FROM sszw_late WHERE user_id = 1 GROUP BY session_id)""".stripMargin)
+      .collect().head
+    q.stop()
+    // the too-late event opened no session and joined none: one session
+    // of exactly the two in-time events
+    assert(s1.getLong(0) == 1L && s1.getLong(1) == 2L, s1.toString)
+  }
+
   test("per-user state is four longs: deep histories do not grow state") {
     val sp = spark; import sp.implicits._
     implicit val sc = sp.sqlContext
