@@ -698,14 +698,29 @@ object TextQueries extends QueryPack {
       val pairs = MinHash.nearDuplicatesAgainst(
         docs.filter(bucket >= 80), docs.filter(bucket < 80),
         "doc_id", "text", n = 2, threshold = 0.7)
-      val part = org.apache.spark.sql.expressions.Window.partitionBy(col("id_new"))
-      val w = part.orderBy(col("jaccard").desc, col("id_old").asc)
-      pairs.withColumn("rn", row_number().over(w))
-        .withColumn("n_dups", count(lit(1)).over(part))
-        .filter(col("rn") === 1)
-        .select(col("id_new").as("doc_id"), col("id_old").as("best_old_id"),
-          col("jaccard").as("best_jaccard"), col("n_dups"))
-        .orderBy(col("doc_id"))
+      crossSnapshotBest(pairs)
+    }),
+
+    // ---- D15: INCREMENTAL snapshot-index maintenance — the LSH member
+    //      of the append trio (r4 = BM25, x18 = IVF): the stored index
+    //      covers buckets <60, the 60-79 slice is a finalized batch
+    //      folded in via `appendToSnapshotIndex` (per-doc rows, disjoint
+    //      ids ⟹ append ≡ rebuild row-for-row), and today's ≥80 batch
+    //      then dedups against the APPENDED index. The oracle is d10's
+    //      fresh-full-index replay VERBATIM — a green row proves the
+    //      append introduced and lost nothing.
+    "d15_index_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      def sharrOf(pred: org.apache.spark.sql.Column) =
+        MinHash.hashedShingleArray(docs.filter(pred), "doc_id", "text", 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val appended = MinHash.appendToSnapshotIndex(
+        sharrOf(bucket >= 60 && bucket < 80),
+        MinHash.snapshotIndex(sharrOf(bucket < 60), "doc_id"), "doc_id")
+      crossSnapshotBest(MinHash.nearDuplicatesAgainstIndex(
+        docs.filter(bucket >= 80), appended, "doc_id", "text",
+        n = 2, threshold = 0.7))
     }),
 
     // ---- T19: overlapping token-window chunking — the RAG/embedding
@@ -921,14 +936,16 @@ object TextQueries extends QueryPack {
     }),
 
     // ---- R1b: BM25 under the PRODUCTION pruning config — the same
-    //      search as r1 with the measured `DefaultMinIdfMicro` cutoff
-    //      active (near-stopwords dropped from both join sides). This is
+    //      search as r1 with the `DefaultMinIdfMicro` cutoff active
+    //      (terms in ≳82% of docs dropped from both join sides). This is
     //      the configuration whose postings fan-out stays bounded as
-    //      duplication density grows (SCALE.md: −37% on the 10× stress
-    //      corpus, hot-term postings 4.5× without it) — gated here so the
-    //      engine's main retrieval scale claim is hash-verified every
-    //      round, not measured once: the integer cutoff is emitted into
-    //      the oracle, which prunes identically.
+    //      stopword/duplication density grows (SCALE.md round 9: −36.4%
+    //      scored join rows on the stopword-planted stress corpus,
+    //      top-1 stable). The integer cutoff is emitted into the oracle,
+    //      which prunes identically — note the sf testdata vocabulary
+    //      tops out at df 80.4%, so at sf0.01 this gate pins the
+    //      production CONFIG (value-identical to r1 there); the pruning
+    //      MECHANISM is gated by Bm25PruneSpec's planted stopword.
     "r1b_bm25_pruned" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
@@ -1140,6 +1157,63 @@ object TextQueries extends QueryPack {
          |        % 1000000 < ROUND((f.factor - floor(f.factor)) * 1000000, 0)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS multiplicity
          |  FROM perdoc p JOIN f USING (source))""".stripMargin
+
+  /** d10/d15 shared query tail: per new doc, its best snapshot match
+    * and near-dup count (one window partitioned by the new doc id). */
+  private def crossSnapshotBest(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("id_new"))
+    val w = part.orderBy(col("jaccard").desc, col("id_old").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(part))
+      .filter(col("rn") === 1)
+      .select(col("id_new").as("doc_id"), col("id_old").as("best_old_id"),
+        col("jaccard").as("best_jaccard"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d10/d15 shared oracle: fresh full-index cross-snapshot dedup —
+    * d15's appended index must reproduce it row-for-row. */
+  private def crossSnapshotSql: String =
+    s"""WITH $shinglesCte,
+         |bk AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents),
+         |consts(i, a, b) AS (VALUES $constsValues),
+         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
+         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+         |    AS band_hash
+         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_old
+         |  FROM bands l JOIN bk bl ON bl.doc_id = l.doc_id
+         |  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+         |  JOIN bk br ON br.doc_id = r.doc_id
+         |  WHERE bl.bucket >= 80 AND br.bucket < 80),
+         |inter AS (
+         |  SELECT c.id_new, c.id_old, count(*) AS inter
+         |  FROM cand c JOIN shh a ON a.doc_id = c.id_new
+         |  JOIN shh b ON b.doc_id = c.id_old AND b.shash = a.shash
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |pairs AS (SELECT id_new, id_old,
+         |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_new
+         |  JOIN sizes sb ON sb.doc_id = id_old
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+         |rk AS (SELECT id_new, id_old, jaccard,
+         |    row_number() OVER (PARTITION BY id_new
+         |      ORDER BY jaccard DESC, id_old ASC) AS rn,
+         |    count(*) OVER (PARTITION BY id_new) AS n_dups
+         |  FROM pairs)
+         |SELECT id_new AS doc_id, id_old AS best_old_id, jaccard AS best_jaccard,
+         |  CAST(n_dups AS BIGINT) AS n_dups
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Word-2gram distinct shingles per doc (count parity with
     * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
@@ -1959,47 +2033,11 @@ object TextQueries extends QueryPack {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
-    "d10_cross_snapshot_dedup" ->
-      s"""WITH $shinglesCte,
-         |bk AS (SELECT doc_id,
-         |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
-         |  FROM documents),
-         |consts(i, a, b) AS (VALUES $constsValues),
-         |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
-         |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
-         |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
-         |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
-         |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
-         |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
-         |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
-         |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
-         |    AS band_hash
-         |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_old
-         |  FROM bands l JOIN bk bl ON bl.doc_id = l.doc_id
-         |  JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-         |  JOIN bk br ON br.doc_id = r.doc_id
-         |  WHERE bl.bucket >= 80 AND br.bucket < 80),
-         |inter AS (
-         |  SELECT c.id_new, c.id_old, count(*) AS inter
-         |  FROM cand c JOIN shh a ON a.doc_id = c.id_new
-         |  JOIN shh b ON b.doc_id = c.id_old AND b.shash = a.shash
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-         |pairs AS (SELECT id_new, id_old,
-         |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-         |  FROM inter JOIN sizes sa ON sa.doc_id = id_new
-         |  JOIN sizes sb ON sb.doc_id = id_old
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
-         |rk AS (SELECT id_new, id_old, jaccard,
-         |    row_number() OVER (PARTITION BY id_new
-         |      ORDER BY jaccard DESC, id_old ASC) AS rn,
-         |    count(*) OVER (PARTITION BY id_new) AS n_dups
-         |  FROM pairs)
-         |SELECT id_new AS doc_id, id_old AS best_old_id, jaccard AS best_jaccard,
-         |  CAST(n_dups AS BIGINT) AS n_dups
-         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d10_cross_snapshot_dedup" -> crossSnapshotSql,
+    // d15: the APPENDED index must behave exactly like a fresh full
+    // index, so the oracle is d10's fresh-index replay verbatim (the
+    // c9/c10 sharing pattern)
+    "d15_index_append" -> crossSnapshotSql,
     "t19_chunk_windows" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
         |  FROM documents),

@@ -23,13 +23,16 @@ import org.apache.spark.sql.functions._
   * index. `minIdfMicro` is the WAND-flavored pruning knob: terms whose
   * idf falls at/below it (the near-stopwords whose postings dominate
   * join fan-out but contribute least) are dropped from BOTH sides.
-  * The PRODUCTION DEFAULT is [[DefaultMinIdfMicro]] (0.2 nats — the
-  * cutoff Bm25PruneBench measured at −37% on the 10× stress corpus with
-  * top-1 stable), oracle-gated by r1b/r2/r3; pass 0 for the unpruned
-  * reference scoring (r1's gate configuration). Pruning matters because
-  * the unpruned hot-term postings grow linearly with duplication density
-  * (measured 4.5× on stress) — the knob bounds the r-family's join
-  * fan-out at scale.
+  * The PRODUCTION DEFAULT is [[DefaultMinIdfMicro]] (0.2 nats),
+  * oracle-gated by r1b/r2/r3; pass 0 for the unpruned reference scoring
+  * (r1's gate configuration). What the knob controls is the JOIN
+  * FAN-OUT, which grows with corpus × stopword/duplication density:
+  * on the stopword-planted stress corpus Bm25PruneBench counts the
+  * scored (query-term, posting) rows cut 36.4% (13.8M → 8.8M for 10
+  * probes over 50k docs) with top-1 unchanged; on corpora whose
+  * hottest term sits below the cutoff the filter is a structural no-op
+  * (the measurement is the deterministic row count — wall-clock at
+  * this scale is host-drift-bound, the round-9 measurement lesson).
   *
   * The index (postings + doclen + 1-row stats) is a first-class value:
   * [[buildIndex]]/[[writeIndex]]/[[readIndex]] persist it to parquet so
@@ -37,10 +40,15 @@ import org.apache.spark.sql.functions._
   * corpus — the lexical twin of the persisted IVF path (IvfIndexSpec). */
 object Bm25 {
 
-  /** Production idf-pruning cutoff in micro-nats: drop terms appearing
-    * in ≳45% of documents (idf ≤ 0.2 nats). Measured (Bm25PruneBench,
-    * SCALE.md): −37% search wall-clock on the 10×-duplication stress
-    * corpus, top-1 hits unchanged. */
+  /** Production idf-pruning cutoff in micro-nats: 0.2 nats, which under
+    * the Lucene +1 idf form drops terms appearing in ≳82% of documents
+    * — true stopwords, whose postings fan the candidate join out to
+    * ~|corpus| rows per query. Measured (Bm25PruneBench, SCALE.md):
+    * −36.4% scored join rows on the stopword-planted stress corpus,
+    * top-1 hits unchanged; a no-op where no term crosses the cutoff
+    * (the sf testdata vocabulary tops out at df 80.4%, so the r1b gate
+    * is value-identical to r1 at sf0.01 — the pruning MECHANISM is
+    * spec-gated by Bm25PruneSpec's planted stopword instead). */
   val DefaultMinIdfMicro: Long = 200000L
 
   /** The inverted index: postings (did, term, tf), doclen (did, dl),

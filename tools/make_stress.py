@@ -5,16 +5,30 @@ per-copy text tag so fingerprints differ but shingles mostly survive)
 and N copies of the embeddings with a tiny per-copy scale drift (cosine
 ~1 within a copy group). Companion tables are copied as-is.
 
-Usage: python3 tools/make_stress.py [outdir] [copies]   (defaults /tmp/sfbig 10)
+Usage: python3 tools/make_stress.py [outdir] [copies] [--stopwords]
+       (defaults /tmp/sfbig 10)
 Then:  SPARK_GRAFT_SF_DIR=<outdir> SPARK_GRAFT_ONLY=d1_...,d2_... \
          sbt "runMain graft.Bench"
+
+--stopwords additionally appends ten filler words to EVERY document
+(df = 100%), the real-corpus property the synthetic tables lack: the
+sf0.1 vocabulary's hottest term sits at df 78.5% of docs, just below
+the ~82% where the 0.2-nat idf cutoff starts pruning — so on the plain
+stress corpus BM25 pruning is a no-op and any speedup measured there
+is run-order drift (the round-9 measurement lesson). With stopwords
+planted, every query term list contains ten df=100% terms whose
+postings fan the inverted-index join out to |corpus| rows per query —
+the hazard the minIdfMicro knob exists to bound.
 """
 import shutil, sys
 import duckdb
 
 src = "/root/testdata/sf0.1"
-out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
-n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+out = args[0] if len(args) > 0 else "/tmp/sfbig"
+n = int(args[1]) if len(args) > 1 else 10
+stop_suffix = (" the of and to a is in it on as"
+               if "--stopwords" in sys.argv else "")
 
 import os
 os.makedirs(out, exist_ok=True)
@@ -22,9 +36,10 @@ con = duckdb.connect()
 con.execute(f"""
 COPY (
   SELECT doc_id + i * 10000000 AS doc_id,
-         text || ' copytag' || CAST(i AS VARCHAR) AS text,
+         text || ' copytag' || CAST(i AS VARCHAR) || '{stop_suffix}' AS text,
          lang, source,
-         CAST(length(text) + 8 + length(CAST(i AS VARCHAR)) AS BIGINT) AS n_chars
+         CAST(length(text) + 8 + length(CAST(i AS VARCHAR))
+              + {len(stop_suffix)} AS BIGINT) AS n_chars
   FROM read_parquet('{src}/documents.parquet')
   CROSS JOIN (SELECT unnest(range(0, {n})) AS i)
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
