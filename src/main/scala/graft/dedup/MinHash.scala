@@ -361,6 +361,21 @@ object MinHash {
       .join(oldSharr, idCol)
       .select(col(idCol), col("sharr"), col("band"), col("band_hash"))
 
+  /** INCREMENTAL snapshot-index maintenance — the LSH member of the
+    * round-9 append trio (BM25 [[graft.text.Bm25.appendToIndex]], IVF
+    * `Cosine.ivfAppendCells`): fold a finalized batch's rows into a
+    * (possibly parquet-stored) [[snapshotIndex]] without re-reading the
+    * indexed snapshot. Index rows are PER-DOCUMENT pure functions of
+    * each doc's shingle array, so with disjoint batch ids (the d10/c9
+    * batch contract) the append is the exact rebuild:
+    * `append(batch, index(old)) ≡ snapshotIndex(old ∪ batch)` row for
+    * row — d15_index_append gates a search over the appended index
+    * against d10's fresh-index oracle verbatim. Cost: one batch-sized
+    * signature pass; nothing snapshot-sized is read. */
+  def appendToSnapshotIndex(batchSharr: DataFrame, storedIndex: DataFrame,
+                            idCol: String): DataFrame =
+    storedIndex.unionByName(snapshotIndex(batchSharr, idCol))
+
   /** [[nearDuplicatesAgainst]] against a prebuilt [[snapshotIndex]] frame
     * (freshly computed or read back from storage — `IndexRoundTripSpec`
     * pins the parquet round trip decision-identical). Only the incoming

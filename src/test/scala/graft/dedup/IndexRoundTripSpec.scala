@@ -41,6 +41,45 @@ class IndexRoundTripSpec extends SparkSpec {
     }
   }
 
+  test("appendToSnapshotIndex on a parquet-stored index == fresh full index") {
+    val sp = spark; import sp.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "an entirely different sentence about catalyst plans and shuffles here"))
+      .toDF("doc_id", "text")
+    val wave2 = Seq(
+      (3L, "one more unrelated document talking about parquet files and buckets"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank soon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank forever"),
+      (11L, "one more unrelated document talking about parquet files and pails"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    try {
+      MinHash.snapshotIndex(MinHash.hashedShingleArray(old, "doc_id", "text", 2),
+        "doc_id").write.mode("overwrite").parquet(dir)
+      // wave 2 finalizes: fold it into the STORED index, old never re-read
+      val appended = MinHash.appendToSnapshotIndex(
+        MinHash.hashedShingleArray(wave2, "doc_id", "text", 2),
+        spark.read.parquet(dir), "doc_id")
+      val viaAppend = MinHash.nearDuplicatesAgainstIndex(batch, appended,
+        "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy("id_new", "id_old").collect().toSeq
+      val fresh = MinHash.nearDuplicatesAgainst(batch, old.unionByName(wave2),
+        "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy("id_new", "id_old").collect().toSeq
+      assert(viaAppend == fresh, s"append diverged: $viaAppend vs $fresh")
+      // the batch matches docs from BOTH waves — the append really
+      // contributed index rows
+      val olds = viaAppend.map(_.getLong(1)).toSet
+      assert(olds.exists(_ <= 2) && olds.exists(o => o == 3L || o == 4L),
+        s"append not exercised: matched olds $olds")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("bucketed snapshot index joins shuffle-free on the index side") {
     val sp = spark; import sp.implicits._
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
