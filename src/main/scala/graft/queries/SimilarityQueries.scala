@@ -197,6 +197,44 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // ---- R5: graded nDCG@5 of the IVF index against brute-force truth
+    //      — completes the retrieval-eval family (x12 = set recall,
+    //      r3 = fusion survival + MRR, r5 = rank-quality with graded
+    //      relevance, the standard IR acceptance metric). Relevance is
+    //      derived from the exact ranking itself (rel = 6 − exact rank,
+    //      0 outside the exact top-5), so no labels are needed and the
+    //      metric is self-contained. Engine-exact via the t18 recipe:
+    //      each rank term rel·ln2/ln(rank+1) is one chain of scalar
+    //      double ops fixed to integer MICRO units before the per-query
+    //      sum; ndcg is integer ppm. Metric layer = two |queries|·k
+    //      joins — nothing corpus-sized beyond the already-gated x1/x4
+    //      ranking stages.
+    "r5_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("erank"))
+      val approx = Cosine.ivfTopK(queries, emb, "vec_id", "embedding", "label",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+      def term(rel: org.apache.spark.sql.Column, rank: org.apache.spark.sql.Column) =
+        round(rel.cast("double") * log(lit(2.0)) / log(rank.cast("double") + 1.0)
+          * 1000000, 0).cast("long")
+      val dcg = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"),
+          when(col("erank").isNotNull, term(lit(6) - col("erank"), col("arank")))
+            .otherwise(lit(0L)).as("g"))
+        .groupBy(col("query_id")).agg(sum(col("g")).as("dcg_micro"))
+      val idcg = exact
+        .select(col("query_id"), term(lit(6) - col("erank"), col("erank")).as("g"))
+        .groupBy(col("query_id")).agg(sum(col("g")).as("idcg_micro"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+          col("idcg_micro"),
+          expr("coalesce(dcg_micro, 0) * 1000000 div idcg_micro").as("ndcg_ppm"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- X9: product-quantization codes — 8 subspaces × 4 sign bits,
     //      map-side, 256 B float vector → 4 B of codes (serialized csv
     //      for the cross-engine comparator)
@@ -466,6 +504,52 @@ object SimilarityQueries extends QueryPack {
          |      ORDER BY rrf_nano DESC, did ASC) AS rank
          |  FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // r5: exact = x1's sims ranked to 5, approx = x4's cell-pruned rank;
+    // per-rank terms rel·ln2/ln(rank+1) fixed to integer micro before
+    // the per-query sum, ndcg as integer ppm — identical scalar chains
+    "r5_ndcg" ->
+      s"""WITH $vCte,
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |exact AS (SELECT query_id, neighbor_id, rank AS erank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM sims) WHERE rank <= 5),
+         |asims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  JOIN n cn ON c.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10),
+         |approx AS (SELECT query_id, neighbor_id, rank AS arank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM asims) WHERE rank <= 5),
+         |dcg AS (SELECT a.query_id,
+         |    CAST(sum(CASE WHEN e.erank IS NOT NULL
+         |      THEN CAST(round(CAST(6 - e.erank AS DOUBLE) * ln(2.0)
+         |        / ln(CAST(a.arank AS DOUBLE) + 1.0) * 1000000, 0) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM approx a LEFT JOIN exact e
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY a.query_id),
+         |idcg AS (SELECT query_id,
+         |    CAST(sum(CAST(round(CAST(6 - erank AS DOUBLE) * ln(2.0)
+         |      / ln(CAST(erank AS DOUBLE) + 1.0) * 1000000, 0) AS BIGINT))
+         |      AS BIGINT) AS idcg_micro
+         |  FROM exact GROUP BY query_id)
+         |SELECT i.query_id, coalesce(d.dcg_micro, 0) AS dcg_micro, i.idcg_micro,
+         |  coalesce(d.dcg_micro, 0) * 1000000 // i.idcg_micro AS ndcg_ppm
+         |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+         |ORDER BY i.query_id""".stripMargin,
     "x1_cosine_topk" ->
       s"""WITH $vCte,
          |sims AS (
