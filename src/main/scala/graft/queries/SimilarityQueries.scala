@@ -235,6 +235,37 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // ---- R6: MMR diversified re-ranking (Carbonell & Goldstein 1998)
+    //      — the serving-side step between retrieval recall and
+    //      generation: the exact top-10 per query is re-ranked so each
+    //      pick trades relevance against similarity to what's already
+    //      selected (λ=0.7). Integer-exact by construction: sims fix to
+    //      micro units, the score is the integer 7·qsim − 3·maxpair,
+    //      and every argmax is an integer comparison with an id tie —
+    //      the oracle unrolls the same 5 selection steps.
+    "r6_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          Cosine.toDouble(col("embedding")).as("qv"))
+        .withColumn("qn", Cosine.normSq(col("qv")))
+      val c = emb.select(col("vec_id").as("doc_id"),
+          Cosine.toDouble(col("embedding")).as("cv"))
+        .withColumn("cn", Cosine.normSq(col("cv")))
+      val sims = c.join(broadcast(q), col("query_id") =!= col("doc_id"))
+        .withColumn("sim",
+          Cosine.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("doc_id").asc)
+      val cand = sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("sim") * 1000000, 0).cast("long").as("qsim_micro"),
+          col("cv").as("v"))
+      graft.retrieval.Mmr.rerank(cand, k = 5, lambdaTenths = 7)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     // ---- X9: product-quantization codes — 8 subspaces × 4 sign bits,
     //      map-side, 256 B float vector → 4 B of codes (serialized csv
     //      for the cross-engine comparator)
@@ -381,6 +412,57 @@ object SimilarityQueries extends QueryPack {
         s"[${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** r6's oracle: the same 5 MMR selection steps UNROLLED (generated,
+    * so k and λ cannot drift from the engine's loop) — integer scores,
+    * (score desc, id asc) argmax per step. */
+  private def mmrSql(k: Int, lam: Int): String = {
+    val steps = (2 to k).map { i =>
+      s""",
+         |m$i AS (SELECT p.query_id, p.id_a AS doc_id, max(p.psim) AS maxp
+         |  FROM p JOIN acc${i - 1} s
+         |    ON s.query_id = p.query_id AND s.doc_id = p.id_b
+         |  GROUP BY p.query_id, p.id_a),
+         |sc$i AS (SELECT c.query_id, c.doc_id,
+         |    $lam * c.qsim - ${10 - lam} * m$i.maxp AS score
+         |  FROM cand c JOIN m$i
+         |    ON m$i.query_id = c.query_id AND m$i.doc_id = c.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s
+         |    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+         |sel$i AS (SELECT query_id, doc_id, $i AS mmr_rank, score FROM (
+         |    SELECT query_id, doc_id, score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+         |    FROM sc$i) WHERE rn = 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString
+    s"""WITH $vCte,
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+       |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+       |  CROSS JOIN v c
+       |  JOIN n cn ON c.vec_id = cn.vec_id
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |cand AS MATERIALIZED (SELECT query_id, neighbor_id AS doc_id,
+       |    CAST(round(sim * 1000000, 0) AS BIGINT) AS qsim
+       |  FROM (SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |    FROM sims) WHERE rank <= 10),
+       |p AS MATERIALIZED (SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(round(list_dot_product(va.emb, vb.emb)
+       |      / (sqrt(na.nsq) * sqrt(nb.nsq)) * 1000000, 0) AS BIGINT) AS psim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+       |  JOIN v va ON va.vec_id = a.doc_id JOIN v vb ON vb.vec_id = b.doc_id
+       |  JOIN n na ON na.vec_id = a.doc_id JOIN n nb ON nb.vec_id = b.doc_id),
+       |sel1 AS (SELECT query_id, doc_id, 1 AS mmr_rank, $lam * qsim AS score
+       |  FROM (SELECT query_id, doc_id, qsim, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY $lam * qsim DESC, doc_id ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |acc1 AS MATERIALIZED (SELECT * FROM sel1)$steps
+       |SELECT query_id, mmr_rank, doc_id, score
+       |FROM acc$k ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   private val vCte =
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |n AS (SELECT vec_id, list_dot_product(emb, emb) AS nsq FROM v)""".stripMargin
@@ -504,6 +586,8 @@ object SimilarityQueries extends QueryPack {
          |      ORDER BY rrf_nano DESC, did ASC) AS rank
          |  FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // r6: generated unrolled MMR steps — same k/λ as the engine loop
+    "r6_mmr_rerank" -> mmrSql(k = 5, lam = 7),
     // r5: exact = x1's sims ranked to 5, approx = x4's cell-pruned rank;
     // per-rank terms rel·ln2/ln(rank+1) fixed to integer micro before
     // the per-query sum, ndcg as integer ppm — identical scalar chains
