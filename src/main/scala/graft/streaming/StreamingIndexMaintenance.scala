@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.text.Bm25
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** STREAMING serving-index maintenance — the round-9 append trio
+  * (BM25 r4 / IVF x18 / LSH d15) driven from a stream: each micro-batch
+  * of finalized documents folds into a VERSIONED stored BM25 index via
+  * `foreachBatch` + [[Bm25.appendToIndex]], so the serving tier always
+  * has a complete index at vN while vN+1 builds — and because every
+  * index component merge is associative and exact, the index after N
+  * batches equals `buildIndex` over everything streamed so far,
+  * bit-for-bit (spec-pinned, including a processing-time-only
+  * restart-safety note below).
+  *
+  * Versioned directories (v0, v1, …) rather than in-place overwrite:
+  * parquet cannot be rewritten while a reader holds it, and a crashed
+  * write must not corrupt the serving version — `latestVersion` only
+  * advances once the new version is fully written (the `_v` marker is
+  * written LAST). Exactly-once across restarts comes from pairing the
+  * version number with the checkpoint's batchId: re-delivery of batch k
+  * finds `v{k+1}` already marked and skips the merge (idempotent). */
+object StreamingIndexMaintenance {
+
+  private def marker(dir: String, v: Long) =
+    new java.io.File(s"$dir/v$v/_v")
+
+  /** Highest fully-written version in `dir`, or -1 if none. */
+  def latestVersion(dir: String): Long = {
+    val d = new java.io.File(dir)
+    val vs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+      .filter(v => marker(dir, v).exists())
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  def readLatest(spark: SparkSession, dir: String): Bm25.Index =
+    Bm25.readIndex(spark, s"$dir/v${latestVersion(dir)}")
+
+  /** The foreachBatch function: fold `batch` into the latest stored
+    * version, writing version `batchId` (idempotent on re-delivery —
+    * a marked v{batchId} is left untouched). Wire it as
+    * `ds.writeStream.foreachBatch(indexSink(spark, dir, "doc_id", "text") _)`. */
+  def indexSink(spark: SparkSession, dir: String, idCol: String,
+                textCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (marker(dir, batchId).exists()) return // re-delivered: already folded
+    val prev = latestVersion(dir)
+    val merged =
+      if (prev < 0) Bm25.buildIndex(batch, idCol, textCol)
+      else Bm25.appendToIndex(batch, Bm25.readIndex(spark, s"$dir/v$prev"),
+        idCol, textCol)
+    Bm25.writeIndex(merged, s"$dir/v$batchId")
+    merged.postings.unpersist()
+    val m = marker(dir, batchId)
+    m.getParentFile.mkdirs()
+    java.nio.file.Files.createFile(m.toPath)
+  }
+}

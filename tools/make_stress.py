@@ -23,10 +23,12 @@ the hazard the minIdfMicro knob exists to bound.
 import shutil, sys
 import duckdb
 
-src = "/root/testdata/sf0.1"
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 out = args[0] if len(args) > 0 else "/tmp/sfbig"
 n = int(args[1]) if len(args) > 1 else 10
+# optional 3rd arg: source corpus (e.g. /tmp/sf1 for the 512k-doc
+# decade probe — 10 tagged copies of the constant-density sf1 set)
+src = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
 stop_suffix = (" the of and to a is in it on as"
                if "--stopwords" in sys.argv else "")
 
