@@ -137,6 +137,41 @@ object Pipeline {
     assert(novel > 0, "novelty gate rejected the whole corpus")
     println(s"[pipeline] retrieval: hybrid fused top-5 for 5 queries " +
       s"($nFused rows), novelty gate kept $novel train docs")
+
+    // round 9: MMR-diversify the fused list (serving tail) — candidates
+    // are the fused docs with their vectors and dense query-sim
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.similarity.Cosine.toDouble(col("embedding")).as("qv"))
+    val cand = fused.select(col("query_id"), col("doc_id"))
+      .join(emb.select(col("vec_id").as("doc_id"),
+        graft.similarity.Cosine.toDouble(col("embedding")).as("v")), "doc_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("doc_id"), col("v"),
+        round(graft.similarity.Cosine.cosine(col("qv"), col("v"),
+          graft.similarity.Cosine.normSq(col("qv")),
+          graft.similarity.Cosine.normSq(col("v"))) * 1000000, 0)
+          .cast("long").as("qsim_micro"))
+    val reranked = graft.retrieval.Mmr.rerank(cand, k = 3)
+    val nRr = reranked.count()
+    assert(nRr > 0 && nRr <= 15, s"mmr emitted $nRr rows, expected 1..15")
+
+    // round 9: versioned streaming index maintenance — two waves fold
+    // into a stored BM25 index; the served search must see BOTH
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_pipe_idx").toString
+    val sink = graft.streaming.StreamingIndexMaintenance
+      .indexSink(spark, idxDir, "doc_id", "text") _
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    sink(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+    val served = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 3),
+      graft.streaming.StreamingIndexMaintenance.readLatest(spark, idxDir),
+      "doc_id", "text", k = 5)
+    val servedParity = served.select(col("doc_id") % 2).distinct().count()
+    assert(graft.streaming.StreamingIndexMaintenance.latestVersion(idxDir) == 1L)
+    assert(servedParity == 2,
+      s"served index missing a wave: $servedParity parities in results")
+    println(s"[pipeline] serving: MMR reranked $nRr rows; versioned index " +
+      s"v1 serves both waves (${served.count()} hits)")
   }
 
   /** Curation tail (round 8): paragraph dedup against a persisted block

@@ -150,6 +150,8 @@ object SimilarityQueries extends QueryPack {
     //      (`ivfSearchIndex`, nProbe=2). Assignment is per-row, so
     //      assign(old) ∪ assign(batch) ≡ assign(all) under the same
     //      centroids — the oracle replays exactly that one-pass form.
+    //      Non-vacuous at sf0.01: 7 of the 50 result rows are
+    //      appended-batch vectors, so a broken append drops neighbors.
     "x18_ivf_append" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val bucket = graft.text.TextAnalysis.splitBucket(col("vec_id"))

@@ -708,7 +708,9 @@ object TextQueries extends QueryPack {
     //      ids ⟹ append ≡ rebuild row-for-row), and today's ≥80 batch
     //      then dedups against the APPENDED index. The oracle is d10's
     //      fresh-full-index replay VERBATIM — a green row proves the
-    //      append introduced and lost nothing.
+    //      append introduced and lost nothing. Non-vacuous at sf0.01:
+    //      one of the seven matches (374 → 295) lives in the appended
+    //      60-79 wave, so a broken append loses a row.
     "d15_index_append" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bucket = TextAnalysis.splitBucket(col("doc_id"))
