@@ -163,15 +163,19 @@ object Pipeline {
       .indexSink(spark, idxDir, "doc_id", "text") _
     sink(docs.filter(col("doc_id") % 2 === 0), 0L)
     sink(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+    val latest = graft.streaming.StreamingIndexMaintenance.readLatest(spark, idxDir)
     val served = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 3),
-      graft.streaming.StreamingIndexMaintenance.readLatest(spark, idxDir),
-      "doc_id", "text", k = 5)
-    val servedParity = served.select(col("doc_id") % 2).distinct().count()
+      latest, "doc_id", "text", k = 5)
     assert(graft.streaming.StreamingIndexMaintenance.latestVersion(idxDir) == 1L)
-    assert(servedParity == 2,
-      s"served index missing a wave: $servedParity parities in results")
+    // deterministic wave check: the INDEX must contain docs from both
+    // waves (search-result parity would be data-dependent — the same
+    // flakiness class the fusion assert above was relaxed for)
+    val idxParity = latest.doclen.select((col("did") % 2).as("p")).distinct().count()
+    assert(idxParity == 2, s"index missing a wave: $idxParity parities in doclen")
+    val nServed = served.count()
+    assert(nServed > 0, "versioned index served nothing")
     println(s"[pipeline] serving: MMR reranked $nRr rows; versioned index " +
-      s"v1 serves both waves (${served.count()} hits)")
+      s"v1 holds both waves ($nServed hits for 3 probes)")
   }
 
   /** Curation tail (round 8): paragraph dedup against a persisted block

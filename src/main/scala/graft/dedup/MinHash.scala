@@ -343,11 +343,12 @@ object MinHash {
     * arrays by id (AQE broadcasts the candidate side). */
   def nearDuplicatesAgainst(newDocs: DataFrame, oldDocs: DataFrame,
                             idCol: String, textCol: String,
-                            n: Int = 2, threshold: Double = 0.7): DataFrame = {
+                            n: Int = 2, threshold: Double = 0.7,
+                            rowsPerBand: Int = RowsPerBand): DataFrame = {
     val shOld = hashedShingleArray(oldDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nearDuplicatesAgainstIndex(newDocs, snapshotIndex(shOld, idCol),
-      idCol, textCol, n, threshold)
+    nearDuplicatesAgainstIndex(newDocs, snapshotIndex(shOld, idCol, rowsPerBand),
+      idCol, textCol, n, threshold, rowsPerBand)
   }
 
   /** The persisted form of a snapshot's dedup index: one row per document
@@ -356,8 +357,9 @@ object MinHash {
     * (partitioned/bucketed by `band, band_hash` at scale) when a crawl
     * snapshot is finalized; every later batch dedups against the stored
     * index without touching the snapshot's text again. */
-  def snapshotIndex(oldSharr: DataFrame, idCol: String): DataFrame =
-    bandRows(signaturesFromArray(oldSharr, idCol), idCol)
+  def snapshotIndex(oldSharr: DataFrame, idCol: String,
+                    rowsPerBand: Int = RowsPerBand): DataFrame =
+    bandRows(signaturesFromArray(oldSharr, idCol), idCol, rowsPerBand)
       .join(oldSharr, idCol)
       .select(col(idCol), col("sharr"), col("band"), col("band_hash"))
 
@@ -373,8 +375,9 @@ object MinHash {
     * against d10's fresh-index oracle verbatim. Cost: one batch-sized
     * signature pass; nothing snapshot-sized is read. */
   def appendToSnapshotIndex(batchSharr: DataFrame, storedIndex: DataFrame,
-                            idCol: String): DataFrame =
-    storedIndex.unionByName(snapshotIndex(batchSharr, idCol))
+                            idCol: String,
+                            rowsPerBand: Int = RowsPerBand): DataFrame =
+    storedIndex.unionByName(snapshotIndex(batchSharr, idCol, rowsPerBand))
 
   /** [[nearDuplicatesAgainst]] against a prebuilt [[snapshotIndex]] frame
     * (freshly computed or read back from storage — `IndexRoundTripSpec`
@@ -382,11 +385,12 @@ object MinHash {
     * batch is shingled/signed here; the index side is used as-is. */
   def nearDuplicatesAgainstIndex(newDocs: DataFrame, oldIndex: DataFrame,
                                  idCol: String, textCol: String,
-                                 n: Int = 2, threshold: Double = 0.7): DataFrame =
+                                 n: Int = 2, threshold: Double = 0.7,
+                                 rowsPerBand: Int = RowsPerBand): DataFrame =
     nearDuplicatesArraysAgainstIndex(
       hashedShingleArray(newDocs, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      oldIndex, idCol, threshold)
+      oldIndex, idCol, threshold, rowsPerBand)
 
   /** [[nearDuplicatesAgainst]] from PREBUILT shingle-array frames for
     * both sides — the shared-tokenize-pass entry point: c7/c11 derive
@@ -394,17 +398,21 @@ object MinHash {
     * it into batch/snapshot slices, paying the per-shingle md5 once. */
   def nearDuplicatesAgainstArrays(shNew: DataFrame, shOld: DataFrame,
                                   idCol: String,
-                                  threshold: Double = 0.7): DataFrame =
-    nearDuplicatesArraysAgainstIndex(shNew, snapshotIndex(shOld, idCol),
-      idCol, threshold)
+                                  threshold: Double = 0.7,
+                                  rowsPerBand: Int = RowsPerBand): DataFrame =
+    nearDuplicatesArraysAgainstIndex(shNew,
+      snapshotIndex(shOld, idCol, rowsPerBand), idCol, threshold, rowsPerBand)
 
   /** [[nearDuplicatesAgainstIndex]] with the batch side already in
     * shingle-array form (callers should persist `shNew` — its band rows
     * and the verification join both consume it). */
+  /** NOTE: a stored index's band rows are width-specific — search with
+    * the same `rowsPerBand` the index was built (and appended) with. */
   def nearDuplicatesArraysAgainstIndex(shNew: DataFrame, oldIndex: DataFrame,
                                        idCol: String,
-                                       threshold: Double = 0.7): DataFrame = {
-    val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol)
+                                       threshold: Double = 0.7,
+                                       rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
     val bOld = oldIndex.select(col(idCol).as("id_old"), col("band"), col("band_hash"))
     val pairs = bNew.join(bOld, Seq("band", "band_hash"))

@@ -25,11 +25,14 @@ object StreamingIndexMaintenance {
   private def marker(dir: String, v: Long) =
     new java.io.File(s"$dir/v$v/_v")
 
-  /** Highest fully-written version in `dir`, or -1 if none. */
+  /** Highest fully-written version in `dir`, or -1 if none. Only
+    * `v<digits>` entries count — stray directories in the index root
+    * (tooling artifacts, a user "vacuum/" folder) must not brick the
+    * serving scan. */
   def latestVersion(dir: String): Long = {
     val d = new java.io.File(dir)
     val vs = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.drop(1).toLong)
       .filter(v => marker(dir, v).exists())
     if (vs.isEmpty) -1L else vs.max
@@ -46,12 +49,16 @@ object StreamingIndexMaintenance {
                 textCol: String)(batch: DataFrame, batchId: Long): Unit = {
     if (marker(dir, batchId).exists()) return // re-delivered: already folded
     val prev = latestVersion(dir)
+    // keep the handle to the batch index: its postings frame is the one
+    // buildIndex persisted, and a long-running stream must release it
+    // per micro-batch (unpersisting the merged UNION plan would be a
+    // no-op — it was never cached)
+    val bIdx = Bm25.buildIndex(batch, idCol, textCol)
     val merged =
-      if (prev < 0) Bm25.buildIndex(batch, idCol, textCol)
-      else Bm25.appendToIndex(batch, Bm25.readIndex(spark, s"$dir/v$prev"),
-        idCol, textCol)
+      if (prev < 0) bIdx
+      else Bm25.appendIndexes(bIdx, Bm25.readIndex(spark, s"$dir/v$prev"))
     Bm25.writeIndex(merged, s"$dir/v$batchId")
-    merged.postings.unpersist()
+    bIdx.postings.unpersist()
     val m = marker(dir, batchId)
     m.getParentFile.mkdirs()
     java.nio.file.Files.createFile(m.toPath)

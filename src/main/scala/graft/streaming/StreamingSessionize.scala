@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract (spec-pinned). The in-order contract is OPT-IN: for
   * late/out-of-order streams use [[sessionsEventTime]], which buffers
   * under a watermark and emits FINAL rows once no earlier event can
-  * arrive — exact for lateness ≤ the delay, at the standard event-time
-  * cost of emitting sessions only after the watermark passes. */
+  * arrive — exact for lateness strictly below the delay, at the
+  * standard event-time cost of emitting sessions only after the
+  * watermark passes. */
 object StreamingSessionize {
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
@@ -67,17 +68,20 @@ object StreamingSessionize {
     * twin's in-order contract (which is now opt-in, not load-bearing).
     *
     * Mechanism: arrivals buffer in state; each trigger pops the prefix
-    * with `ts <= watermark` in (ts, event_id) order and runs the exact
+    * with `ts < watermark` in (ts, event_id) order and runs the exact
     * in-order kernel over it — nothing is emitted for an event until
     * the watermark guarantees no earlier event can still arrive, so the
     * emitted rows are FINAL per pop (an event-time timeout re-wakes the
     * group when the watermark passes its oldest pending event, so quiet
     * users still flush without new data). Consequences, spec-pinned:
-    *  - lateness ≤ delay: latest row per (user, session) == batch
-    *    sessionization of the same events, exactly;
-    *  - lateness > delay: the event is dropped (Spark's watermark
-    *    filter; a `frontier` guard in state makes the kernel exact even
-    *    if one slips through) — the documented divergence;
+    *  - lateness STRICTLY below the delay: latest row per (user,
+    *    session) == batch sessionization of the same events, exactly;
+    *  - lateness ≥ delay: the event is dropped — Spark's watermark
+    *    filter removes arrivals with ts ≤ watermark (pinned AT the
+    *    boundary: a ts == watermark event one trigger late never
+    *    reaches the operator); a `frontier` guard in state keeps the
+    *    kernel exact even if one slips through — the documented
+    *    divergence;
     *  - a session is emitted only once the watermark passes its events:
     *    at stream end, events inside the final watermark window are
     *    still pending (send a heartbeat/flush to close out — standard
@@ -97,8 +101,17 @@ object StreamingSessionize {
             state.getOption.getOrElse(
               (0L, Long.MinValue, 0L, 0L, Long.MinValue, List.empty[(Long, Long)]))
           val wUs = state.getCurrentWatermarkMs() * 1000L
-          val incoming = it.map(e => (e.ts_us, e.event_id)).filter(_._1 > frontier)
-          val (ready, still) = (pending ++ incoming).sorted.partition(_._1 <= wUs)
+          // pop STRICTLY below the watermark. Spark's late filter drops
+          // arrivals with ts <= watermark (spec-pinned: an event AT the
+          // watermark one trigger late never reaches the operator), so
+          // the exactness contract is lateness STRICTLY below the delay.
+          // The strict pop is the conservative kernel under either
+          // filter convention: it never consumes an instant a late twin
+          // could in principle still be delivered at, at the cost of one
+          // trigger of latency for boundary instants. Arrivals at the
+          // frontier are correspondingly admitted (>=).
+          val incoming = it.map(e => (e.ts_us, e.event_id)).filter(_._1 >= frontier)
+          val (ready, still) = (pending ++ incoming).sorted.partition(_._1 < wUs)
           val touched = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
           ready.foreach { case (tsUs, _) =>
             if (openN == 0L) { openN = 1L; openStart = tsUs }

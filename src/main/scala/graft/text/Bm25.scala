@@ -151,8 +151,14 @@ object Bm25 {
     * plus a dfreq merge keyed on the BATCH's terms; nothing old-corpus-
     * sized is read. */
   def appendToIndex(batch: DataFrame, idx: Index, idCol: String,
-                    textCol: String): Index = {
-    val b = buildIndex(batch, idCol, textCol)
+                    textCol: String): Index =
+    appendIndexes(buildIndex(batch, idCol, textCol), idx)
+
+  /** [[appendToIndex]] with the batch side already indexed — lets a
+    * caller that needs to release the batch's postings cache hold the
+    * handle (`b.postings.unpersist()` once the merged index is
+    * materialized; the maintenance sink does exactly this). */
+  def appendIndexes(b: Index, idx: Index): Index =
     Index(
       idx.postings.unionByName(b.postings),
       idx.doclen.unionByName(b.doclen),
@@ -161,5 +167,4 @@ object Bm25 {
       idx.stats.unionByName(b.stats)
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("total_len")).as("total_len")))
-  }
 }

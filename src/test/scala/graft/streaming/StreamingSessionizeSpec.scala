@@ -136,6 +136,43 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(s1.getLong(0) == 1L && s1.getLong(1) == 2L, s1.toString)
   }
 
+  test("event-time twin: the exactness boundary is STRICT — ts == watermark arriving late is dropped by Spark") {
+    // Empirically pinned semantics (surfaced by a review finding that
+    // assumed Spark's late filter was strict): Spark drops arrivals with
+    // ts <= watermark BEFORE the operator sees them, so an event at
+    // exactly the watermark one trigger late never lands and the
+    // contract is lateness STRICTLY below the delay. The kernel's
+    // strict (<) pop is the conservative match for this filter.
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    def m(minutes: Long) = (1440L + minutes) * 60L * 1000000L
+    val mem = MemoryStream[StreamingSessionize.Ev]
+    val q = StreamingSessionize.sessionsEventTime(mem.toDS(), Gap, "30 minutes")
+      .writeStream.format("memory").queryName("sszw_edge").outputMode("update").start()
+    val batches = Seq(
+      Seq((1L, 1L, m(0)), (1L, 2L, m(10))),
+      Seq((999L, 100L, m(40))), // => watermark m(10): u1 pops m(0), m(10) stays pending
+      Seq((999L, 101L, m(40))), // timeout fires for u1 under watermark m(10)
+      Seq((1L, 5L, m(10))),     // ts == watermark, one trigger late
+      Seq((999L, 102L, m(100))),
+      Seq((999L, 103L, m(101)))) // watermark m(70): everything flushes
+    for (b <- batches) {
+      mem.addData(b.map((StreamingSessionize.Ev.apply _).tupled): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val s1 = sp.sql(
+      """SELECT session_id, max(n_events) AS n, min(start_us), max(end_us)
+        |FROM sszw_edge WHERE user_id = 1 GROUP BY session_id""".stripMargin)
+      .collect()
+    assert(s1.length == 1, s1.toSeq.toString)
+    // the two in-time events; the ts == watermark straggler was filtered
+    // by Spark before the operator — if this ever reads 3, Spark's late
+    // filter became strict and the contract comment can be relaxed
+    assert(s1.head.getLong(1) == 2L,
+      s"boundary semantics changed: session has ${s1.head.getLong(1)} events")
+  }
+
   test("per-user state is four longs: deep histories do not grow state") {
     val sp = spark; import sp.implicits._
     implicit val sc = sp.sqlContext
