@@ -41,6 +41,37 @@ object StreamingIndexMaintenance {
   def readLatest(spark: SparkSession, dir: String): Bm25.Index =
     Bm25.readIndex(spark, s"$dir/v${latestVersion(dir)}")
 
+  /** Retire versions older than the newest `keep` fully-written ones —
+    * the GC a long-running maintenance stream needs (every micro-batch
+    * writes a full index version; without pruning the directory grows
+    * without bound). Serving safety: the newest `keep` versions are
+    * untouched, and an unmarked (partially-written) version is removed
+    * only if a NEWER marked version exists — a writer mid-flight on the
+    * next version is never raced. Run with keep ≥ 2 so a reader that
+    * resolved `latestVersion` just before a new write still has its
+    * version on disk through the swap. */
+  def pruneVersions(dir: String, keep: Int = 2): Unit = {
+    require(keep >= 1)
+    val d = new java.io.File(dir)
+    val all = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toLong).sorted
+    val marked = all.filter(v => marker(dir, v).exists())
+    if (marked.isEmpty) return
+    val keepFrom = marked.takeRight(keep).head
+    all.filter(v => v < keepFrom).foreach { v =>
+      val dv = new java.io.File(s"$dir/v$v")
+      // delete the marker FIRST: a crash mid-delete leaves an unmarked
+      // (= invisible) version, never a marked-but-partial one
+      marker(dir, v).delete()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(dv)
+    }
+  }
+
   /** The foreachBatch function: fold `batch` into the latest stored
     * version, writing version `batchId` (idempotent on re-delivery —
     * a marked v{batchId} is left untouched). Wire it as

@@ -219,6 +219,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("r4 append-index search: map-side partial aggs, no corpus cartesian") {
+    val plan = physical(SparkEntry.queries("r4_bm25_increment")(spark, dir))
+    // the df merge and stats sums must combine map-side before their
+    // exchanges; the only nested-loop is the broadcast 1-row stats stamp
+    assert(plan.contains("partial_sum"), s"df/stats merge not partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x18 appended-index search: centroid table broadcast, no corpus cartesian") {
+    val plan = physical(SparkEntry.queries("x18_ivf_append")(spark, dir))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast into probe selection:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x8 sizing count + pair stage share ONE corpus scan (cached projection)") {
     import org.apache.spark.sql.functions._
     // the x8 shape: the sizing count() materializes the persisted

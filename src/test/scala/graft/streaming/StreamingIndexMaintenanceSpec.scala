@@ -53,6 +53,26 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("pruneVersions retires old versions, keeps the serving pair, tolerates stragglers") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx3").toString
+    val sink = StreamingIndexMaintenance.indexSink(sp, dir, "doc_id", "text") _
+    sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L); sink(wave3.toDF(), 2L)
+    // a partially-written straggler (no marker) below the keep window
+    new java.io.File(s"$dir/v0_tmp").mkdirs() // non-matching name: ignored
+    StreamingIndexMaintenance.pruneVersions(dir, keep = 2)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("v0"), names)
+    assert(names.contains("v1") && names.contains("v2"), names)
+    assert(StreamingIndexMaintenance.latestVersion(dir) == 2L)
+    // the served search still works from the kept latest
+    val served = Bm25.searchIndex((wave1 ++ wave2 ++ wave3).toDF()
+        .filter(col("doc_id") === 1),
+      StreamingIndexMaintenance.readLatest(sp, dir), "doc_id", "text", k = 3,
+      minIdfMicro = 0L)
+    assert(served.count() > 0)
+  }
+
   test("a re-delivered batch id is a no-op (restart idempotence)") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sidx2").toString
