@@ -221,6 +221,54 @@ object Clusters {
     labels
   }
 
+  /** INCREMENTAL cluster-label maintenance — the connected-components
+    * member of the append family (r4 = BM25 postings, x18 = IVF cells,
+    * d15 = LSH band index): fold a new wave of near-dup pairs into STORED
+    * labels without re-reading the old corpus or re-running its pair
+    * detection.
+    *
+    * Why append ≡ rebuild exactly: each stored (id, cluster_id) row is a
+    * STAR EDGE to its component's minimum, so the stored rows preserve old
+    * connectivity as a depth-1 forest. Components of (star edges ∪ new
+    * pairs) are therefore exactly the components of (old pairs ∪ new
+    * pairs), and `cluster_id = component minimum` is history-free — the
+    * minimum of a merged component is the least of its members' ids, all
+    * of which appear in the union graph. No other representative rule
+    * survives appends this way (a "first seen" or quality rule would need
+    * the old scores); minimum-label is chosen for exactly this algebra.
+    *
+    * Scale shape: the fixpoint runs on |stored| + |new pairs| star/pair
+    * edges — the star forest has depth 1, so min-label propagation
+    * converges in ~(new-merge diameter) rounds, independent of how deep
+    * the ORIGINAL pair graph was. Stored rows untouched by the new wave
+    * pass through with an anti join (no recompute, no shuffle of their
+    * components).
+    *
+    * Output: (id, cluster_id) for every stored node plus every node of
+    * `newPairs` — the same frame a full [[connectedComponentsAdaptive]]
+    * over all pairs would produce (gated as d16 against the full-rebuild
+    * oracle verbatim). */
+  def appendLabels(storedLabels: DataFrame, newPairs: DataFrame,
+                   colA: String = "id_a", colB: String = "id_b"): DataFrame = {
+    // roots label themselves (id = cluster_id); their star edge would be a
+    // self-loop, which the LSS fallback drops — filter it out here and
+    // recover untouched nodes (roots included) via the anti join below.
+    // Size-≥2 components keep their root reachable through the members'
+    // star edges, so no connectivity is lost.
+    val starEdges = storedLabels.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(colA), col("cluster_id").as(colB))
+    // no extra persist: the fixpoint's result rides its final eager
+    // localCheckpoint, so both consumers below re-read materialized
+    // blocks, not the pair lineage
+    val fresh = connectedComponentsAdaptive(
+      starEdges.unionByName(newPairs.select(col(colA), col(colB))), colA, colB)
+    // stored nodes not reached by any star or new edge keep their label
+    // verbatim (singletons a dedupPlan-style stored frame may carry)
+    val untouched = storedLabels.select(col("id"), col("cluster_id"))
+      .join(fresh.select(col("id")), Seq("id"), "left_anti")
+    fresh.unionByName(untouched)
+  }
+
   /** Full dedup decision frame: every document with its cluster id (its
     * own id when it has no near-dup) and a keep flag for the cluster
     * representative (minimum id). */

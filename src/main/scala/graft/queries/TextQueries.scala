@@ -725,6 +725,32 @@ object TextQueries extends QueryPack {
         n = 2, threshold = 0.7))
     }),
 
+    // ---- D16: INCREMENTAL cluster-label maintenance — the connected-
+    //      components member of the append family (r4 = BM25, x18 = IVF,
+    //      d15 = LSH band index): labels stored from the old snapshot's
+    //      pair graph (t7 buckets < 80) are folded together with the new
+    //      wave's pairs (any pair touching a ≥80 doc) via
+    //      `Clusters.appendLabels` — stored rows act as star edges, so
+    //      append ≡ full rebuild EXACTLY, and the oracle is d5's
+    //      full-rebuild SQL verbatim. Non-vacuous at sf0.01: 33 of the 85
+    //      pairs cross the snapshot boundary, so a broken append mislabels
+    //      (or loses) real clusters.
+    "d16_cluster_append" -> ((s, dir) => {
+      val pairs = MinHash.exactJaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 2, threshold = 0.8)
+        // the shingle-join lineage is the expensive part and feeds two
+        // filters — persist the (tiny) pair set, not the corpus
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oldSide = (c: org.apache.spark.sql.Column) =>
+        TextAnalysis.splitBucket(c) < 80
+      val stored = Clusters.connectedComponentsAdaptive(
+        pairs.filter(oldSide(col("id_a")) && oldSide(col("id_b"))), "id_a", "id_b")
+      Clusters.appendLabels(stored,
+          pairs.filter(!(oldSide(col("id_a")) && oldSide(col("id_b")))))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T19: overlapping token-window chunking — the RAG/embedding
     //      pipeline primitive (64-token windows every 48 tokens, overlap
     //      16); map-side array fan-out, no shuffle, no UDF
@@ -1227,6 +1253,34 @@ object TextQueries extends QueryPack {
       |  FROM w),
       |shh AS (SELECT doc_id,
       |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh)""".stripMargin
+
+  /** Full-rebuild connected-component labels over the 0.8-Jaccard pair
+    * graph — the oracle for BOTH d5 (direct CC) and d16 (incremental
+    * label append): the two queries must agree with this and therefore
+    * with each other. */
+  private lazy val clusterLabelsSql =
+    s"""WITH RECURSIVE $shinglesCte,
+       |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+       |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+       |        WHERE df <= 20),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   private def jaccardTail(shRel: String, thresh: String) =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM $shRel GROUP BY doc_id)
@@ -1890,29 +1944,11 @@ object TextQueries extends QueryPack {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
-    "d5_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
-         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
-         |        WHERE df <= 20),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
-         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // d16 shares d5's full-rebuild oracle VERBATIM (the d15/d10 pattern):
+    // a green row proves the incremental label fold introduced and lost
+    // nothing vs recomputing components from every pair
+    "d16_cluster_append" -> clusterLabelsSql,
+    "d5_dedup_clusters" -> clusterLabelsSql,
     "d6_dedup_decisions" ->
       s"""WITH RECURSIVE $shinglesCte,
          |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),

@@ -81,6 +81,49 @@ class ClustersSpec extends SparkSpec {
     assert(out.count(_._3) == 4)
   }
 
+  test("appendLabels ≡ full rebuild: cross-wave merges, attachments, untouched singletons") {
+    val sp = spark; import sp.implicits._
+    // old snapshot: components {1,2,3} (root 1), {10,11} (root 10),
+    // {20,21} (root 20), plus a dedupPlan-style singleton row 30 -> 30
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val stored = Clusters.connectedComponentsAdaptive(oldPairs)
+      .unionByName(Seq((30L, 30L)).toDF("id", "cluster_id"))
+    // new wave: 50 attaches to {10,11}; (3,11) MERGES two old components
+    // (the min must re-propagate to 1 across the star boundary); 60-61 is
+    // a brand-new component; 30 stays untouched
+    val newPairs = Seq((50L, 11L), (3L, 11L), (60L, 61L)).toDF("id_a", "id_b")
+    val got = Clusters.appendLabels(stored, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuild = Clusters.connectedComponentsAdaptive(
+        oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rebuild + (30L -> 30L), s"append drifted: $got vs $rebuild")
+    // the merged component's label is the OLD global minimum
+    assert(got(50L) == 1L && got(11L) == 1L && got(10L) == 1L)
+    assert(got(20L) == 20L && got(21L) == 20L) // untouched cluster verbatim
+    assert(got(30L) == 30L)                    // untouched singleton survives
+    assert(got(60L) == 60L && got(61L) == 60L) // new-only component
+  }
+
+  test("appendLabels ≡ full rebuild on random graphs split into waves") {
+    val sp = spark; import sp.implicits._
+    (0 until 2).foreach { seed =>
+      val rnd = new scala.util.Random(700 + seed)
+      val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // wave split by edge hash — both endpoints' history stays mixed, so
+      // merges across the boundary are guaranteed at this density
+      val (oldE, newE) = edges.partition { case (a, b) => (a * 31 + b) % 3 != 0 }
+      val stored = Clusters.connectedComponentsAdaptive(oldE.toDF("id_a", "id_b"))
+      val got = Clusters.appendLabels(stored, newE.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rebuild = Clusters.connectedComponentsAdaptive(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == rebuild, s"seed=$seed")
+    }
+  }
+
   test("quality keep rule survives the BEST copy, not the smallest id") {
     val sp = spark; import sp.implicits._
     // cluster {1,2,3}: doc 2 has the highest quality — min-id would keep 1
