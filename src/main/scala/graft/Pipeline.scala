@@ -156,7 +156,7 @@ object Pipeline {
     val nRr = reranked.count()
     assert(nRr > 0 && nRr <= 15, s"mmr emitted $nRr rows, expected 1..15")
 
-    // round 9: versioned streaming index maintenance — two waves fold
+    // round 10: segmented streaming index maintenance — two waves fold
     // into a stored BM25 index; the served search must see BOTH
     val idxDir = java.nio.file.Files.createTempDirectory("graft_pipe_idx").toString
     val sink = graft.streaming.StreamingIndexMaintenance
@@ -166,7 +166,7 @@ object Pipeline {
     val latest = graft.streaming.StreamingIndexMaintenance.readLatest(spark, idxDir)
     val served = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 3),
       latest, "doc_id", "text", k = 5)
-    assert(graft.streaming.StreamingIndexMaintenance.latestVersion(idxDir) == 1L)
+    assert(graft.streaming.StreamingIndexMaintenance.latestMaxBatch(idxDir) == 1L)
     // deterministic wave check: the INDEX must contain docs from both
     // waves (search-result parity would be data-dependent — the same
     // flakiness class the fusion assert above was relaxed for)

@@ -2,96 +2,154 @@ package graft.streaming
 
 import graft.text.Bm25
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** STREAMING serving-index maintenance — the round-9 append trio
-  * (BM25 r4 / IVF x18 / LSH d15) driven from a stream: each micro-batch
-  * of finalized documents folds into a VERSIONED stored BM25 index via
-  * `foreachBatch` + [[Bm25.appendToIndex]], so the serving tier always
-  * has a complete index at vN while vN+1 builds — and because every
-  * index component merge is associative and exact, the index after N
-  * batches equals `buildIndex` over everything streamed so far,
-  * bit-for-bit (spec-pinned, including a processing-time-only
-  * restart-safety note below).
+/** Manifest-committed SEGMENT directories — the shared storage layout of
+  * the streaming index-maintenance sinks ([[StreamingIndexMaintenance]],
+  * [[StreamingLshMaintenance]], [[StreamingIvfMaintenance]]).
   *
-  * Versioned directories (v0, v1, …) rather than in-place overwrite:
-  * parquet cannot be rewritten while a reader holds it, and a crashed
-  * write must not corrupt the serving version — `latestVersion` only
-  * advances once the new version is fully written (the `_v` marker is
-  * written LAST). Exactly-once across restarts comes from pairing the
-  * version number with the checkpoint's batchId: re-delivery of batch k
-  * finds `v{k+1}` already marked and skips the merge (idempotent). */
-object StreamingIndexMaintenance {
+  * Layout: `dir/seg<batchId>/…` (one immutable directory per folded
+  * micro-batch), `dir/cmp<batchId>/…` (a compaction's merged segment),
+  * and `dir/manifest/m<seq>` — the COMMIT POINT. A manifest file lists
+  * the live segment names plus the highest folded batch id; it is
+  * written to a temp name and renamed into place, so readers only ever
+  * see fully-written manifests, and a crash mid-segment-write leaves an
+  * unreferenced directory that [[prune]] sweeps — never a corrupt
+  * serving index. Re-delivery of a crashed batch is detected from the
+  * manifest's high-water mark (micro-batch ids are monotone), which
+  * survives compaction retiring the batch's segment directory. */
+private[streaming] object Segments {
+  final case class Manifest(seq: Long, maxBatch: Long, segments: Seq[String])
 
-  private def marker(dir: String, v: Long) =
-    new java.io.File(s"$dir/v$v/_v")
+  private def manifestDir(dir: String) = new java.io.File(dir, "manifest")
 
-  /** Highest fully-written version in `dir`, or -1 if none. Only
-    * `v<digits>` entries count — stray directories in the index root
-    * (tooling artifacts, a user "vacuum/" folder) must not brick the
-    * serving scan. */
-  def latestVersion(dir: String): Long = {
-    val d = new java.io.File(dir)
-    val vs = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong)
-      .filter(v => marker(dir, v).exists())
-    if (vs.isEmpty) -1L else vs.max
-  }
-
-  def readLatest(spark: SparkSession, dir: String): Bm25.Index =
-    Bm25.readIndex(spark, s"$dir/v${latestVersion(dir)}")
-
-  /** Retire versions older than the newest `keep` fully-written ones —
-    * the GC a long-running maintenance stream needs (every micro-batch
-    * writes a full index version; without pruning the directory grows
-    * without bound). Serving safety: the newest `keep` versions are
-    * untouched, and an unmarked (partially-written) version is removed
-    * only if a NEWER marked version exists — a writer mid-flight on the
-    * next version is never raced. Run with keep ≥ 2 so a reader that
-    * resolved `latestVersion` just before a new write still has its
-    * version on disk through the swap. */
-  def pruneVersions(dir: String, keep: Int = 2): Unit = {
-    require(keep >= 1)
-    val d = new java.io.File(dir)
-    val all = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => f.getName.drop(1).toLong).sorted
-    val marked = all.filter(v => marker(dir, v).exists())
-    if (marked.isEmpty) return
-    val keepFrom = marked.takeRight(keep).head
-    all.filter(v => v < keepFrom).foreach { v =>
-      val dv = new java.io.File(s"$dir/v$v")
-      // delete the marker FIRST: a crash mid-delete leaves an unmarked
-      // (= invisible) version, never a marked-but-partial one
-      marker(dir, v).delete()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(dv)
+  def latest(dir: String): Option[Manifest] = {
+    val files = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("m\\d+"))
+    if (files.isEmpty) None
+    else {
+      val f = files.maxBy(_.getName.drop(1).toLong)
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      Some(Manifest(f.getName.drop(1).toLong, lines.get(0).toLong,
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          lines.subList(1, lines.size)).asScala.toSeq))
     }
   }
 
-  /** The foreachBatch function: fold `batch` into the latest stored
-    * version, writing version `batchId` (idempotent on re-delivery —
-    * a marked v{batchId} is left untouched). Wire it as
-    * `ds.writeStream.foreachBatch(indexSink(spark, dir, "doc_id", "text") _)`. */
+  /** Rename-commit the next manifest: `m<seq+1>.tmp` → `m<seq+1>`. */
+  def commit(dir: String, maxBatch: Long, segments: Seq[String]): Unit = {
+    val md = manifestDir(dir)
+    md.mkdirs()
+    val seq = latest(dir).map(_.seq + 1).getOrElse(0L)
+    val tmp = new java.io.File(md, s"m$seq.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (maxBatch.toString +: segments).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!tmp.renameTo(new java.io.File(md, s"m$seq")))
+      throw new java.io.IOException(s"manifest commit failed: $md/m$seq")
+  }
+
+  /** GC segments and manifests no current reader can need: keep the
+    * newest `keepManifests` manifest files and every segment any of them
+    * references (a reader that resolved the previous manifest just
+    * before a compaction still has its segments on disk — the
+    * pruneVersions keep≥2 contract). Unreferenced directories include
+    * crashed partial segment writes. Never runs implicitly: deletion is
+    * the caller's policy call, like the version store it replaced. */
+  def prune(dir: String, keepManifests: Int = 2): Unit = {
+    require(keepManifests >= 1)
+    val md = manifestDir(dir)
+    val manifests = Option(md.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("m\\d+"))
+      .sortBy(_.getName.drop(1).toLong)
+    if (manifests.isEmpty) return
+    val kept = manifests.takeRight(keepManifests)
+    val live: Set[String] = kept.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        lines.subList(1, lines.size)).asScala
+    }.toSet
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    manifests.dropRight(keepManifests).foreach(_.delete())
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("(seg|cmp)\\d+")
+        && !live(f.getName))
+      .foreach(rm)
+  }
+}
+
+/** STREAMING serving-index maintenance for BM25 — the append trio
+  * (BM25 r4 / IVF x18 / LSH d15) driven from a stream: each micro-batch
+  * of finalized documents is indexed ONCE and written as an immutable
+  * SEGMENT; the serving read unions the live segments (every BM25 index
+  * component merge is associative, so segments ≡ one full rebuild over
+  * everything streamed, bit-for-bit — spec-pinned).
+  *
+  * Why segments, not versions (the round-9 design this replaces): a
+  * versioned sink that folds `read(prev) ∪ batch → write(v)` rewrites
+  * the ENTIRE index every micro-batch — after N batches it has written
+  * N·(N+1)/2 batch-volumes of parquet, a scale-killer for a long-lived
+  * stream. Here batch k writes O(|batch k|) bytes (spec-pinned by
+  * counting segment files); only a COMPACTION — triggered when live
+  * segments exceed `maxSegments`, so amortized once per K batches —
+  * rewrites the merged index, and the serving scan is a single
+  * multi-path parquet read either way (1000 segments = one scan with
+  * 1000 input paths, not a 1000-way plan union).
+  *
+  * Exactly-once across restarts: the manifest's high-water batch id
+  * skips re-delivered micro-batches (idempotent), and the manifest
+  * rename is the only commit point — a crash mid-segment-write leaves
+  * an unreferenced directory, never a visible partial index. */
+object StreamingIndexMaintenance {
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def liveSegments(dir: String): Seq[String] =
+    Segments.latest(dir).map(_.segments).getOrElse(Nil)
+
+  /** The live serving index: one multi-path scan per component across
+    * all live segments; dfreq/stats re-aggregate (associative sums),
+    * postings/doclen are disjoint per-document rows (plain union). */
+  def readLatest(spark: SparkSession, dir: String): Bm25.Index = {
+    val segs = liveSegments(dir).map(s => s"$dir/$s")
+    require(segs.nonEmpty, s"no committed segments under $dir")
+    Bm25.Index(
+      spark.read.parquet(segs.map(_ + "/postings"): _*),
+      spark.read.parquet(segs.map(_ + "/doclen"): _*),
+      spark.read.parquet(segs.map(_ + "/dfreq"): _*)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      spark.read.parquet(segs.map(_ + "/stats"): _*)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_len")).as("total_len")))
+  }
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+
+  /** The foreachBatch function: index `batch` into segment
+    * `seg<batchId>`, commit a manifest appending it, and compact when
+    * live segments exceed `maxSegments`. Wire as
+    * `ds.writeStream.foreachBatch(indexSink(spark, dir, "doc_id", "text")() _)`. */
   def indexSink(spark: SparkSession, dir: String, idCol: String,
-                textCol: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (marker(dir, batchId).exists()) return // re-delivered: already folded
-    val prev = latestVersion(dir)
-    // keep the handle to the batch index: its postings frame is the one
-    // buildIndex persisted, and a long-running stream must release it
-    // per micro-batch (unpersisting the merged UNION plan would be a
-    // no-op — it was never cached)
+                textCol: String, maxSegments: Int = 8)(
+                batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= latestMaxBatch(dir)) return // re-delivered: already folded
     val bIdx = Bm25.buildIndex(batch, idCol, textCol)
-    val merged =
-      if (prev < 0) bIdx
-      else Bm25.appendIndexes(bIdx, Bm25.readIndex(spark, s"$dir/v$prev"))
-    Bm25.writeIndex(merged, s"$dir/v$batchId")
-    bIdx.postings.unpersist()
-    val m = marker(dir, batchId)
-    m.getParentFile.mkdirs()
-    java.nio.file.Files.createFile(m.toPath)
+    Bm25.writeIndex(bIdx, s"$dir/seg$batchId")
+    bIdx.postings.unpersist() // buildIndex's caller-owned cache, per batch
+    Segments.commit(dir, batchId, liveSegments(dir) :+ s"seg$batchId")
+    if (liveSegments(dir).size > maxSegments) compact(spark, dir, batchId)
+  }
+
+  /** Merge every live segment into one `cmp<batchId>` segment and commit
+    * a manifest referencing only it. Retired segment directories stay on
+    * disk for readers of the previous manifest until [[prune]]. */
+  def compact(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    Bm25.writeIndex(readLatest(spark, dir), s"$dir/cmp$batchId")
+    Segments.commit(dir, latestMaxBatch(dir), Seq(s"cmp$batchId"))
   }
 }

@@ -8,7 +8,14 @@ import org.apache.spark.sql.functions._
 /** Streaming twin #7: a BM25 serving index maintained from a document
   * stream must equal the batch rebuild over everything streamed —
   * exactly, scores included — and re-delivered batches must be no-ops
-  * (the idempotence restarts rely on). */
+  * (the idempotence restarts rely on).
+  *
+  * Segment-form pins (the round-10 rewrite of the versioned sink):
+  * batch k writes O(|batch k|) rows — NOT a full index rewrite — so a
+  * long-lived stream's total write volume is linear in what it ingested
+  * plus amortized compactions, and compaction (segments > maxSegments)
+  * collapses the live set to one merged segment that still equals the
+  * rebuild. */
 object StreamingIndexMaintenanceSpec {
   case class Doc(doc_id: Long, text: String)
 }
@@ -39,7 +46,9 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
       mem.addData(w: _*); q.processAllAvailable()
     }
     q.stop()
-    assert(StreamingIndexMaintenance.latestVersion(dir) == 2L)
+    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 2L)
+    assert(StreamingIndexMaintenance.liveSegments(dir)
+      == Seq("seg0", "seg1", "seg2"))
     val all = (wave1 ++ wave2 ++ wave3).toDF()
     val probes = all.filter(col("doc_id") === 1)
     val served = Bm25.searchIndex(probes,
@@ -53,19 +62,77 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
-  test("pruneVersions retires old versions, keeps the serving pair, tolerates stragglers") {
+  test("batch k writes O(|batch k|) rows: a segment holds ONLY its batch") {
     val sp = spark; import sp.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sidx3").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_w").toString
     val sink = StreamingIndexMaintenance.indexSink(sp, dir, "doc_id", "text") _
     sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L); sink(wave3.toDF(), 2L)
-    // a partially-written straggler (no marker) below the keep window
-    new java.io.File(s"$dir/v0_tmp").mkdirs() // non-matching name: ignored
-    StreamingIndexMaintenance.pruneVersions(dir, keep = 2)
-    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(!names.contains("v0"), names)
-    assert(names.contains("v1") && names.contains("v2"), names)
-    assert(StreamingIndexMaintenance.latestVersion(dir) == 2L)
-    // the served search still works from the kept latest
+    // the write-amplification pin: the versioned sink this replaced wrote
+    // n_docs = 2, 4, 5 at batches 0, 1, 2 (full rewrites); segments write
+    // exactly the batch
+    for ((seg, n) <- Seq(("seg0", 2L), ("seg1", 2L), ("seg2", 1L))) {
+      val stats = sp.read.parquet(s"$dir/$seg/stats").collect().head
+      assert(stats.getLong(0) == n, s"$seg holds ${stats.getLong(0)} docs, want $n")
+      assert(sp.read.parquet(s"$dir/$seg/doclen").count() == n)
+    }
+    // and the multi-segment serving read still aggregates stats exactly
+    val stats = StreamingIndexMaintenance.readLatest(sp, dir)
+      .stats.collect().head
+    assert(stats.getLong(0) == 5L, s"union stats n_docs ${stats.getLong(0)}")
+  }
+
+  test("compaction collapses live segments to one, rebuild identity holds") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_c").toString
+    // maxSegments = 2: the third append trips compaction
+    val sink = StreamingIndexMaintenance
+      .indexSink(sp, dir, "doc_id", "text", maxSegments = 2) _
+    sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L); sink(wave3.toDF(), 2L)
+    assert(StreamingIndexMaintenance.liveSegments(dir) == Seq("cmp2"),
+      StreamingIndexMaintenance.liveSegments(dir))
+    // the high-water mark survives compaction retiring seg2
+    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 2L)
+    // re-delivery of a compacted-away batch is still a no-op
+    sink(wave3.toDF(), 2L)
+    assert(StreamingIndexMaintenance.liveSegments(dir) == Seq("cmp2"))
+    val all = (wave1 ++ wave2 ++ wave3).toDF()
+    val probes = all.filter(col("doc_id") === 1)
+    val served = Bm25.searchIndex(probes,
+        StreamingIndexMaintenance.readLatest(sp, dir), "doc_id", "text", k = 5,
+        minIdfMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val rebuilt = Bm25.topK(probes, all, "doc_id", "text", k = 5,
+        minIdfMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served == rebuilt, s"compacted index diverged:\n$served\nvs\n$rebuilt")
+  }
+
+  test("prune sweeps retired + unreferenced segments, keeps the serving pair") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx3").toString
+    val sink = StreamingIndexMaintenance
+      .indexSink(sp, dir, "doc_id", "text", maxSegments = 2) _
+    sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L); sink(wave3.toDF(), 2L)
+    // compaction retired seg0..seg2 but they stay on disk for readers of
+    // the previous manifest until prune
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(before.contains("seg0") && before.contains("cmp2"), before)
+    // a crashed partial segment write (unreferenced by any manifest) and
+    // a non-matching tooling dir
+    new java.io.File(s"$dir/seg99").mkdirs()
+    new java.io.File(s"$dir/vacuum").mkdirs()
+    // keepManifests = 2: the pre-compaction manifest still references
+    // seg0..seg2, so they survive; the crashed seg99 does not
+    StreamingIndexMaintenance.prune(dir, keepManifests = 2)
+    val kept2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(kept2.contains("seg0") && !kept2.contains("seg99"), kept2)
+    assert(kept2.contains("vacuum"), kept2) // never touches foreign dirs
+    // keepManifests = 1: only the compacted segment is live
+    StreamingIndexMaintenance.prune(dir, keepManifests = 1)
+    val kept1 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!kept1.exists(_.startsWith("seg")), kept1)
+    assert(kept1.contains("cmp2"), kept1)
+    // the served search still works from the kept manifest
     val served = Bm25.searchIndex((wave1 ++ wave2 ++ wave3).toDF()
         .filter(col("doc_id") === 1),
       StreamingIndexMaintenance.readLatest(sp, dir), "doc_id", "text", k = 3,
@@ -79,11 +146,14 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     val sink = StreamingIndexMaintenance.indexSink(sp, dir, "doc_id", "text") _
     sink(wave1.toDF(), 0L)
     sink(wave2.toDF(), 1L)
-    val before = Bm25.readIndex(sp, s"$dir/v1").stats.collect().toSeq
+    val before = StreamingIndexMaintenance.readLatest(sp, dir)
+      .stats.collect().toSeq
     // crash-replay: batch 1 delivered again — must not double-count
     sink(wave2.toDF(), 1L)
-    assert(StreamingIndexMaintenance.latestVersion(dir) == 1L)
-    val after = Bm25.readIndex(sp, s"$dir/v1").stats.collect().toSeq
+    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 1L)
+    assert(StreamingIndexMaintenance.liveSegments(dir) == Seq("seg0", "seg1"))
+    val after = StreamingIndexMaintenance.readLatest(sp, dir)
+      .stats.collect().toSeq
     assert(after == before, s"re-delivery changed the index: $after vs $before")
     assert(after.head.getLong(0) == 4L) // 4 docs, not 6
   }
