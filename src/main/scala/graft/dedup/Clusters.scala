@@ -255,18 +255,101 @@ object Clusters {
     // recover untouched nodes (roots included) via the anti join below.
     // Size-≥2 components keep their root reachable through the members'
     // star edges, so no connectivity is lost.
+    //
+    // Min-rooting GUARD: the append ≡ rebuild identity requires stored
+    // cluster_ids to be component MINIMA (any other representative rule
+    // silently diverges). cluster_id ≤ id on every star edge is implied
+    // by min-rooting, so a violating row fails loudly here instead of
+    // producing wrong labels downstream. Zero-cost when it holds (one
+    // codegen'd comparison per stored row).
+    val guardedId = when(col("cluster_id") <= col("id"), col("id"))
+      .otherwise(raise_error(concat(
+        lit("appendLabels: storedLabels is not min-rooted (cluster_id "),
+        col("cluster_id").cast("string"), lit(" > id "), col("id").cast("string"),
+        lit(") — labels from a non-minimum representative rule cannot be appended"))))
     val starEdges = storedLabels.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(colA), col("cluster_id").as(colB))
+      .select(guardedId.as(colA), col("cluster_id").as(colB))
+    // self-loops in newPairs are dropped so both fixpoint algorithms see
+    // the same node universe (min-label keeps self-loop-only nodes, LSS
+    // drops them — the adaptive fallback must not change the output);
+    // nodes appearing ONLY as self-loops are re-added as singletons below
+    val cleanPairs = newPairs.select(col(colA), col(colB))
+      .filter(col(colA) =!= col(colB))
     // no extra persist: the fixpoint's result rides its final eager
     // localCheckpoint, so both consumers below re-read materialized
     // blocks, not the pair lineage
-    val fresh = connectedComponentsAdaptive(
-      starEdges.unionByName(newPairs.select(col(colA), col(colB))), colA, colB)
+    val fresh = connectedComponentsAdaptive(starEdges.unionByName(cleanPairs),
+      colA, colB)
     // stored nodes not reached by any star or new edge keep their label
     // verbatim (singletons a dedupPlan-style stored frame may carry)
     val untouched = storedLabels.select(col("id"), col("cluster_id"))
       .join(fresh.select(col("id")), Seq("id"), "left_anti")
-    fresh.unionByName(untouched)
+    // NEW nodes whose only evidence is a self-loop: singleton clusters
+    // (deterministic regardless of which fixpoint algorithm ran)
+    val selfOnly = newPairs.filter(col(colA) === col(colB))
+      .select(col(colA).as("id")).distinct()
+      .join(fresh.select(col("id")), Seq("id"), "left_anti")
+      .join(storedLabels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    fresh.unionByName(untouched).unionByName(selfOnly)
+  }
+
+  /** Per-cluster BEST member under (score DESC, id ASC) — the stored
+    * companion of [[appendLabels]] that lets the PRODUCTION keep rule
+    * ([[dedupPlanByQuality]]'s highest-quality representative) survive
+    * appends without re-reading old scores: max(struct(q, −id)) is
+    * associative, so the per-cluster best is mergeable state, exactly
+    * like BM25's df sums. One combine-enabled aggregate; output
+    * (cluster_id, rep_id, rep_score). Numeric-id precondition as
+    * [[dedupPlanByQuality]]. */
+  def qualityBests(labels: DataFrame, scored: DataFrame, idCol: String,
+                   scoreCol: String): DataFrame =
+    scored.join(labels.withColumnRenamed("id", idCol), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col(scoreCol).as("q"), (-col(idCol)).as("nid"))).as("s"))
+      .select(col("cluster_id"), (-col("s.nid")).as("rep_id"),
+        col("s.q").as("rep_score"))
+
+  /** INCREMENTAL quality-keep — [[dedupPlanByQuality]]'s append form:
+    * fold a scored batch (ids disjoint from the stored docs) plus its
+    * near-dup pairs into stored (labels, per-cluster bests) state. Labels
+    * fold via [[appendLabels]] (exact); bests fold by re-keying each old
+    * cluster's stored best to its new cluster (the old cluster_id is a
+    * member id, so its new label IS the mapping — components only merge,
+    * never split) and max-merging with the batch's scores. The result
+    * equals the full rebuild because a merged cluster is a disjoint union
+    * of old clusters and batch docs, and max is associative over exactly
+    * that partition — d18_quality_keep_append gates the composed output
+    * against d14's full-rebuild oracle verbatim.
+    *
+    * Returns (labels, bests) — the next round's stored state; join them
+    * on cluster_id for the d14-shaped keep frame. */
+  def appendQualityKeep(storedLabels: DataFrame, storedBests: DataFrame,
+                        batchScored: DataFrame, newPairs: DataFrame,
+                        idCol: String, scoreCol: String,
+                        colA: String = "id_a", colB: String = "id_b")
+      : (DataFrame, DataFrame) = {
+    val touched = appendLabels(storedLabels, newPairs, colA, colB)
+    // batch docs with no near-dup anywhere become their own clusters
+    val novel = batchScored.select(col(idCol).as("id"))
+      .join(touched.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    val labels = touched.unionByName(novel)
+    // old cluster → new cluster via the label of its min member
+    val remap = labels.select(col("id").as("old_cid"), col("cluster_id").as("new_cid"))
+    val fromStored = storedBests
+      .join(remap, storedBests("cluster_id") === remap("old_cid"))
+      .select(col("new_cid").as("cluster_id"),
+        struct(col("rep_score").as("q"), (-col("rep_id")).as("nid")).as("s"))
+    val fromBatch = batchScored
+      .join(labels.withColumnRenamed("id", idCol), idCol)
+      .select(col("cluster_id"),
+        struct(col(scoreCol).as("q"), (-col(idCol)).as("nid")).as("s"))
+    val bests = fromStored.unionByName(fromBatch)
+      .groupBy(col("cluster_id")).agg(max(col("s")).as("s"))
+      .select(col("cluster_id"), (-col("s.nid")).as("rep_id"),
+        col("s.q").as("rep_score"))
+    (labels, bests)
   }
 
   /** Full dedup decision frame: every document with its cluster id (its

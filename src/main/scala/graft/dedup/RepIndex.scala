@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REPRESENTATIVE-ONLY LSH serving index — the composition of the append
+  * family's three dedup members ([[MinHash.appendToSnapshotIndex]] band
+  * rows, [[Clusters.appendLabels]] incremental components) into the form
+  * a long-lived serving tier actually wants: the stored index holds ONE
+  * member per near-dup cluster (its min-label representative), not every
+  * raw document.
+  *
+  * Why this exists (SCALE.md, the d15 decade cell): a raw snapshot index
+  * does verification work proportional to TRUE-DUPLICATE MASS — on a 10×
+  * duplicated corpus every incoming doc band-collides with all ~10 copies
+  * of its cluster, so the measured append cost grew 18.5× at 10× rows ×
+  * 10× dup density. Indexing only representatives caps both the index
+  * size and the per-doc verification fan-out at the CLUSTER count, which
+  * duplication density does not inflate: the same probe's work tracks
+  * batch × clusters-matched, not batch × duplicate mass.
+  *
+  * The semantics are rep-mediated BY DESIGN, stated honestly: an incoming
+  * doc is compared against cluster representatives only, so a doc whose
+  * similarity to a cluster is witnessed solely by a NON-representative
+  * member is not linked to it (for near-dup thresholds the members of a
+  * cluster are mutually similar, so the gap is small — the recall/cost
+  * trade every production rep-index makes). The d17 gate therefore
+  * replays exactly these semantics in its oracle: old-snapshot clusters →
+  * reps → rep-mediated batch fold → rep-mediated search, all rebuilt from
+  * scratch in SQL — a green row proves the INCREMENTAL path introduced
+  * and lost nothing versus that from-scratch replay.
+  *
+  * Exactness of the incremental fold: min-label representatives survive
+  * appends with no history — a merged component's new minimum is the
+  * least of its members' ids, and every candidate minimum (the old
+  * clusters' reps, the batch's ids) is at hand: old NON-rep members
+  * exceed their cluster minimum by construction, so they can never become
+  * the rep of a merged cluster and their shingle arrays are never needed
+  * again. Retired reps leave the index by an id semi-join; promoted reps
+  * enter with band rows computed from the batch's arrays (per-doc pure
+  * functions, so the maintained index equals `snapshotIndex` over the
+  * current reps row-for-row — RepIndexSpec pins it). */
+object RepIndex {
+
+  /** Serving state: `labels` — (id, cluster_id) for EVERY indexed doc,
+    * min-rooted (cluster_id = component minimum; docs with no near-dup
+    * label themselves), and `index` — [[MinHash.snapshotIndex]] rows
+    * (id, sharr, band, band_hash) for REPRESENTATIVES ONLY (the docs
+    * with id == cluster_id). Both frames are plain parquet-writable
+    * ([[write]]/[[read]]). */
+  final case class State(labels: DataFrame, index: DataFrame)
+
+  /** Build the serving state from a finalized snapshot's shingle-array
+    * frame (persist `sharr` — the pair detection and the rep band rows
+    * both consume it). Pair detection within the snapshot is the full
+    * LSH pipeline; from then on the snapshot's text is never needed. */
+  def build(sharr: DataFrame, idCol: String, threshold: Double = 0.7,
+            rowsPerBand: Int = MinHash.RowsPerBand): State = {
+    val pairs = MinHash.nearDuplicatesFromArray(sharr, idCol, threshold, rowsPerBand)
+    val comps = Clusters.connectedComponentsAdaptive(pairs)
+    val labels = sharr.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val reps = labels.filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    val index = MinHash.snapshotIndex(
+      sharr.join(reps, Seq(idCol), "left_semi"), idCol, rowsPerBand)
+    State(labels, index)
+  }
+
+  /** Fold a finalized batch (ids DISJOINT from the indexed docs — the
+    * d10/c9 batch contract) into the state WITHOUT reading the old
+    * corpus: new pairs are discovered rep-mediated (batch vs the stored
+    * rep index) plus within the batch itself; labels fold via
+    * [[Clusters.appendLabels]] (stored rows are star edges, so merged
+    * components are exact); the index keeps surviving reps' rows and
+    * adds freshly computed rows for promoted/novel batch reps.
+    *
+    * Cost shape: one batch-sized signature pass + a band join against a
+    * CLUSTER-sized index + a fixpoint over |stored-touched| + |new|
+    * star/pair edges. Nothing proportional to the old corpus — and
+    * nothing proportional to its duplication density. */
+  def append(batchSharr: DataFrame, state: State, idCol: String,
+             threshold: Double = 0.7,
+             rowsPerBand: Int = MinHash.RowsPerBand): State = {
+    val vsReps = MinHash.nearDuplicatesArraysAgainstIndex(
+        batchSharr, state.index, idCol, threshold, rowsPerBand)
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+    val within = MinHash.nearDuplicatesFromArray(
+        batchSharr, idCol, threshold, rowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    val touched = Clusters.appendLabels(state.labels,
+      vsReps.unionByName(within))
+    // batch docs with no near-dup anywhere become their own clusters
+    val novel = batchSharr.select(col(idCol).as("id"))
+      .join(touched.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    val labels = touched.unionByName(novel)
+    val repIds = labels.filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    // surviving old reps keep their stored rows; retired reps (their
+    // cluster merged under a smaller minimum) drop out of the semi join;
+    // promoted/novel reps are batch docs, so their band rows come from
+    // the batch's arrays
+    val keptOld = state.index.join(repIds, Seq(idCol), "left_semi")
+    val newRows = MinHash.snapshotIndex(
+      batchSharr.join(repIds, Seq(idCol), "left_semi"), idCol, rowsPerBand)
+    State(labels, keptOld.unionByName(newRows))
+  }
+
+  /** Serving search: near-dup CLUSTERS of each query doc — (id_new,
+    * id_old = representative, jaccard). Verification fan-out is bounded
+    * by matched clusters, not matched documents. */
+  def search(querySharr: DataFrame, state: State, idCol: String,
+             threshold: Double = 0.7,
+             rowsPerBand: Int = MinHash.RowsPerBand): DataFrame =
+    MinHash.nearDuplicatesArraysAgainstIndex(
+      querySharr, state.index, idCol, threshold, rowsPerBand)
+
+  /** Persist the state (labels + rep band index) — partitioned/bucketed
+    * by (band, band_hash) at scale, like the raw snapshot index. */
+  def write(state: State, dir: String): Unit = {
+    state.labels.write.mode("overwrite").parquet(s"$dir/labels")
+    state.index.write.mode("overwrite").parquet(s"$dir/index")
+  }
+
+  def read(spark: SparkSession, dir: String): State =
+    State(spark.read.parquet(s"$dir/labels"),
+      spark.read.parquet(s"$dir/index"))
+}

@@ -751,6 +751,72 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- D17: REPRESENTATIVE-ONLY serving index — the composition the
+    //      append family builds toward (SCALE.md's prescription for
+    //      d15's duplication-density blowup): the stored LSH index holds
+    //      one band-row set per CLUSTER (its min-label rep), so both
+    //      index size and per-doc verification fan-out track the cluster
+    //      count, which duplication density does not inflate. Three-phase
+    //      like d15: state built over buckets <60, the 60-79 wave folded
+    //      INCREMENTALLY (rep-mediated pair discovery → appendLabels →
+    //      rep retirement/promotion in the index), today's ≥80 batch
+    //      searched against the maintained index. The oracle rebuilds the
+    //      same rep-mediated semantics from scratch in SQL (two recursive
+    //      CCs) — a green row proves the incremental fold introduced and
+    //      lost nothing vs the full replay.
+    "d17_rep_index_serving" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      def sharrOf(pred: org.apache.spark.sql.Column) =
+        MinHash.hashedShingleArray(docs.filter(pred), "doc_id", "text", 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st0 = graft.dedup.RepIndex.build(sharrOf(bucket < 60), "doc_id")
+      val st1 = graft.dedup.RepIndex.append(
+        sharrOf(bucket >= 60 && bucket < 80), st0, "doc_id")
+      crossSnapshotBest(graft.dedup.RepIndex.search(
+          sharrOf(bucket >= 80), st1, "doc_id"))
+        .withColumnRenamed("best_old_id", "best_rep_id")
+        .withColumnRenamed("n_dups", "n_dup_clusters")
+    }),
+
+    // ---- D18: INCREMENTAL quality-keep — d14's production keep rule
+    //      (highest quality survives, ties → smallest id) maintained
+    //      across an append: per-cluster bests are associative
+    //      max(struct(quality, −id)) state stored alongside d16's labels,
+    //      re-keyed to merged clusters and max-merged with the batch.
+    //      The oracle is d14's full-rebuild SQL verbatim — the composed
+    //      (labels ⋈ bests) frame must equal recomputing clusters and
+    //      representatives from every pair and every score.
+    "d18_quality_keep_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = MinHash.exactJaccardPairs(docs, "doc_id", "text",
+          n = 2, threshold = 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oldDoc = (c: org.apache.spark.sql.Column) =>
+        TextAnalysis.splitBucket(c) < 80
+      // stored state over the old snapshot: every old doc labeled
+      // (singletons label themselves) + per-cluster bests
+      val storedLabels = scored.filter(oldDoc(col("doc_id")))
+        .select(col("doc_id").as("id"))
+        .join(Clusters.connectedComponentsAdaptive(
+          pairs.filter(oldDoc(col("id_a")) && oldDoc(col("id_b"))),
+          "id_a", "id_b"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      val storedBests = Clusters.qualityBests(storedLabels,
+        scored.filter(oldDoc(col("doc_id"))), "doc_id", "quality")
+      val (labels, bests) = Clusters.appendQualityKeep(
+        storedLabels, storedBests, scored.filter(!oldDoc(col("doc_id"))),
+        pairs.filter(!(oldDoc(col("id_a")) && oldDoc(col("id_b")))),
+        "doc_id", "quality")
+      labels.join(bests, "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("rep_id"),
+          (col("id") === col("rep_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T19: overlapping token-window chunking — the RAG/embedding
     //      pipeline primitive (64-token windows every 48 tokens, overlap
     //      16); map-side array fan-out, no shuffle, no UDF
@@ -1243,6 +1309,99 @@ object TextQueries extends QueryPack {
          |  CAST(n_dups AS BIGINT) AS n_dups
          |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** d17 oracle: from-scratch replay of the REP-MEDIATED serving
+    * semantics ([[graft.dedup.RepIndex]]). One global verified-pair
+    * relation `vp` (every LSH band collision, exact-Jaccard ≥ 0.7 —
+    * identical to what every Spark stage verifies), then the sequence:
+    * CC over old-old pairs → old reps (component minima; pair-free docs
+    * rep themselves) → the 60-79 wave's pairs restricted to rep-mediated
+    * discovery (mid↔old-rep and mid↔mid only — a mid doc similar only to
+    * a NON-rep old member is NOT linked, by design) → CC again (the
+    * appendLabels star identity lets the oracle reuse the raw old pairs)
+    * → new reps → today's ≥80 batch matched against new reps only. */
+  private def repIndexServingSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |bk AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+       |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |consts(i, a, b) AS (VALUES $constsValues),
+       |xi AS (SELECT doc_id, shash % ${MinHash.ShingleMod} AS x FROM shh),
+       |hs AS (SELECT doc_id, c.i, MIN((c.a * x + c.b) % ${MinHash.P}) AS h
+       |  FROM xi CROSS JOIN consts c GROUP BY doc_id, c.i),
+       |bands AS (SELECT doc_id, i // ${MinHash.RowsPerBand} AS band,
+       |  (((((((MAX(CASE WHEN i % 4 = 0 THEN h END) * ${MinHash.MixMul}
+       |    + MAX(CASE WHEN i % 4 = 1 THEN h END)) % ${MinHash.MixMod})
+       |    * ${MinHash.MixMul}) + MAX(CASE WHEN i % 4 = 2 THEN h END)) % ${MinHash.MixMod})
+       |    * ${MinHash.MixMul} + MAX(CASE WHEN i % 4 = 3 THEN h END)) % ${MinHash.MixMod})
+       |    AS band_hash
+       |  FROM hs GROUP BY doc_id, i // ${MinHash.RowsPerBand}),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.band_hash = r.band_hash
+       |  WHERE l.doc_id < r.doc_id),
+       |vint AS (SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c JOIN shh a ON a.doc_id = c.id_a
+       |  JOIN shh b ON b.doc_id = c.id_b AND b.shash = a.shash
+       |  GROUP BY 1, 2),
+       |vsz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |vp AS (SELECT id_a, id_b,
+       |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+       |  FROM vint JOIN vsz sa ON sa.doc_id = id_a
+       |  JOIN vsz sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7),
+       |pairs_oo AS (SELECT vp.id_a, vp.id_b FROM vp
+       |  JOIN bk ba ON ba.doc_id = vp.id_a JOIN bk bb ON bb.doc_id = vp.id_b
+       |  WHERE ba.bucket < 60 AND bb.bucket < 60),
+       |edges1 AS (SELECT id_a AS s, id_b AS d FROM pairs_oo
+       |           UNION ALL SELECT id_b, id_a FROM pairs_oo),
+       |nodes1 AS (SELECT DISTINCT s AS id FROM edges1),
+       |reach1 AS (
+       |  SELECT id, id AS r FROM nodes1
+       |  UNION
+       |  SELECT e.d AS id, reach1.r FROM reach1 JOIN edges1 e ON e.s = reach1.id),
+       |lab1 AS (SELECT id, MIN(r) AS cid FROM reach1 GROUP BY id),
+       |reps1 AS (SELECT bk.doc_id AS rid FROM bk
+       |  LEFT JOIN lab1 ON lab1.id = bk.doc_id
+       |  WHERE bk.bucket < 60 AND COALESCE(lab1.cid, bk.doc_id) = bk.doc_id),
+       |pairs_new AS (SELECT vp.id_a, vp.id_b FROM vp
+       |  JOIN bk ba ON ba.doc_id = vp.id_a JOIN bk bb ON bb.doc_id = vp.id_b
+       |  WHERE (ba.bucket >= 60 AND ba.bucket < 80
+       |         AND bb.bucket >= 60 AND bb.bucket < 80)
+       |     OR (ba.bucket >= 60 AND ba.bucket < 80
+       |         AND vp.id_b IN (SELECT rid FROM reps1))
+       |     OR (bb.bucket >= 60 AND bb.bucket < 80
+       |         AND vp.id_a IN (SELECT rid FROM reps1))),
+       |g2 AS (SELECT id_a, id_b FROM pairs_oo
+       |       UNION SELECT id_a, id_b FROM pairs_new),
+       |edges2 AS (SELECT id_a AS s, id_b AS d FROM g2
+       |           UNION ALL SELECT id_b, id_a FROM g2),
+       |nodes2 AS (SELECT DISTINCT s AS id FROM edges2),
+       |reach2 AS (
+       |  SELECT id, id AS r FROM nodes2
+       |  UNION
+       |  SELECT e.d AS id, reach2.r FROM reach2 JOIN edges2 e ON e.s = reach2.id),
+       |lab2 AS (SELECT id, MIN(r) AS cid FROM reach2 GROUP BY id),
+       |reps2 AS (SELECT bk.doc_id AS rid FROM bk
+       |  LEFT JOIN lab2 ON lab2.id = bk.doc_id
+       |  WHERE bk.bucket < 80 AND COALESCE(lab2.cid, bk.doc_id) = bk.doc_id),
+       |qm AS (
+       |  SELECT vp.id_a AS id_new, vp.id_b AS id_old, ROUND(j, 6) AS jaccard
+       |  FROM vp JOIN bk ba ON ba.doc_id = vp.id_a
+       |  WHERE ba.bucket >= 80 AND vp.id_b IN (SELECT rid FROM reps2)
+       |  UNION ALL
+       |  SELECT vp.id_b, vp.id_a, ROUND(j, 6)
+       |  FROM vp JOIN bk bb ON bb.doc_id = vp.id_b
+       |  WHERE bb.bucket >= 80 AND vp.id_a IN (SELECT rid FROM reps2)),
+       |rk AS (SELECT id_new, id_old, jaccard,
+       |    row_number() OVER (PARTITION BY id_new
+       |      ORDER BY jaccard DESC, id_old ASC) AS rn,
+       |    count(*) OVER (PARTITION BY id_new) AS n_dups
+       |  FROM qm)
+       |SELECT id_new AS doc_id, id_old AS best_rep_id,
+       |  jaccard AS best_jaccard, CAST(n_dups AS BIGINT) AS n_dup_clusters
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Word-2gram distinct shingles per doc (count parity with
     * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
     * md5-derived hash rows the engine joins on. */
@@ -1253,6 +1412,58 @@ object TextQueries extends QueryPack {
       |  FROM w),
       |shh AS (SELECT doc_id,
       |  CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shash FROM sh)""".stripMargin
+
+  /** d14/d18 shared oracle: full-rebuild quality-keep — d5's recursive
+    * CC + t3's quality arithmetic; the rep is the rank-1 row under
+    * (quality DESC, doc_id ASC), the total order Spark's
+    * max(struct(quality, -id)) aggregate encodes. d18's incremental
+    * (labels + bests) fold must reproduce it row-for-row. */
+  private lazy val qualityKeepSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
+         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
+         |        WHERE df <= 20),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |  ROUND(((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+'))
+         |      BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text,
+         |        '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+         |        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) > 0
+         |      THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |  FROM documents),
+         |cl AS (SELECT d.doc_id, COALESCE(comps.comp, d.doc_id) AS cluster_id,
+         |    q.quality
+         |  FROM documents d LEFT JOIN comps ON comps.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id),
+         |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id ASC) AS rk
+         |  FROM cl) WHERE rk = 1)
+         |SELECT cl.doc_id, cl.cluster_id, rep.rep_id,
+         |  cl.doc_id = rep.rep_id AS keep
+         |FROM cl JOIN rep ON rep.cluster_id = cl.cluster_id
+         |ORDER BY cl.doc_id""".stripMargin
 
   /** Full-rebuild connected-component labels over the 0.8-Jaccard pair
     * graph — the oracle for BOTH d5 (direct CC) and d16 (incremental
@@ -1880,52 +2091,12 @@ object TextQueries extends QueryPack {
     // d14: d5's recursive CC + t3's quality arithmetic; the rep is the
     // rank-1 row under (quality DESC, doc_id ASC) — the same total order
     // Spark's max(struct(quality, -id)) aggregate encodes
-    "d14_quality_keep" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |dfc AS (SELECT shash, count(*) AS df FROM shh GROUP BY shash),
-         |shp AS (SELECT shh.doc_id, shh.shash FROM shh JOIN dfc USING (shash)
-         |        WHERE df <= 20),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM shp a JOIN shp b ON a.shash = b.shash AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-         |comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
-         |q AS (SELECT doc_id,
-         |  ROUND(((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+'))
-         |      BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
-         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text,
-         |        '[[:punct:]]', '', 'g')) AS DOUBLE)
-         |        / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
-         |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-         |        x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
-         |        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) > 0
-         |      THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
-         |  FROM documents),
-         |cl AS (SELECT d.doc_id, COALESCE(comps.comp, d.doc_id) AS cluster_id,
-         |    q.quality
-         |  FROM documents d LEFT JOIN comps ON comps.doc_id = d.doc_id
-         |  JOIN q ON q.doc_id = d.doc_id),
-         |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
-         |  SELECT cluster_id, doc_id,
-         |    row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY quality DESC, doc_id ASC) AS rk
-         |  FROM cl) WHERE rk = 1)
-         |SELECT cl.doc_id, cl.cluster_id, rep.rep_id,
-         |  cl.doc_id = rep.rep_id AS keep
-         |FROM cl JOIN rep ON rep.cluster_id = cl.cluster_id
-         |ORDER BY cl.doc_id""".stripMargin,
+    "d14_quality_keep" -> qualityKeepSql,
+    // d18 shares d14's full-rebuild oracle VERBATIM (the d16/d15 pattern):
+    // a green row proves the incremental (labels ⋈ bests) fold equals
+    // recomputing clusters and quality representatives from scratch
+    "d18_quality_keep_append" -> qualityKeepSql,
+    "d17_rep_index_serving" -> repIndexServingSql,
     // d13: d2's CTEs with the containment tail (inter / least size)
     "d13_containment_pairs" ->
       s"""WITH $shinglesCte,

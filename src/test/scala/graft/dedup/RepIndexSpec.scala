@@ -1,0 +1,148 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Representative-only LSH serving index (RepIndex): the d15-blowup
+  * mitigation in code. Pins (1) the maintained index always equals
+  * `snapshotIndex` over the current representatives — including rep
+  * RETIREMENT when clusters merge under a smaller minimum; (2) on a
+  * corpus of mutually-similar duplicate groups (where rep-mediated
+  * discovery sees everything), the incremental append equals the
+  * one-shot build over the union; (3) the parquet round trip is
+  * decision-identical; (4) the honest rep-mediated recall semantics: a
+  * batch doc similar ONLY to a non-representative member is not linked
+  * (the documented cost of indexing one doc per cluster). */
+class RepIndexSpec extends SparkSpec {
+
+  private def sharrOf(rows: Seq[(Long, String)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    MinHash.hashedShingleArray(rows.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def labelMap(st: RepIndex.State): Map[Long, Long] =
+    st.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def indexRows(idx: DataFrame): Set[(Long, Seq[Long], Int, Long)] =
+    idx.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2), r.getLong(3))).toSet
+
+  private val groupA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val groupB = "one two three four five six seven eight nine"
+  private val loner  = "completely unrelated text about parquet file formats"
+  private val novelT = "fresh never before seen tokens entirely new cluster"
+
+  test("append folds a batch exactly: merge retires the old rep, novel docs enter") {
+    val old = sharrOf(Seq(5L -> groupA, 7L -> groupA, 2L -> groupB, 9L -> groupB,
+      11L -> loner))
+    val st0 = RepIndex.build(old, "doc_id")
+    assert(labelMap(st0) == Map(5L -> 5L, 7L -> 5L, 2L -> 2L, 9L -> 2L, 11L -> 11L))
+    assert(indexRows(st0.index).map(_._1) == Set(5L, 2L, 11L))
+
+    // batch: doc 1 joins group A (new minimum: rep 5 retires), doc 3 novel
+    val batch = sharrOf(Seq(1L -> groupA, 3L -> novelT))
+    val st1 = RepIndex.append(batch, st0, "doc_id")
+    assert(labelMap(st1) == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 2L -> 2L,
+      9L -> 2L, 11L -> 11L, 3L -> 3L))
+    assert(indexRows(st1.index).map(_._1) == Set(1L, 2L, 11L, 3L))
+
+    // the maintained index IS snapshotIndex over the current reps —
+    // row-for-row, not just the same id set
+    val union = sharrOf(Seq(5L -> groupA, 7L -> groupA, 2L -> groupB,
+      9L -> groupB, 11L -> loner, 1L -> groupA, 3L -> novelT))
+    val reps = st1.labels.filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val rebuilt = MinHash.snapshotIndex(
+      union.join(reps, Seq("doc_id"), "left_semi"), "doc_id")
+    assert(indexRows(st1.index) == indexRows(rebuilt))
+
+    // mutually-similar groups: rep-mediated discovery sees everything,
+    // so append ≡ one-shot build over the union
+    val full = RepIndex.build(union, "doc_id")
+    assert(labelMap(st1) == labelMap(full))
+    assert(indexRows(st1.index) == indexRows(full.index))
+  }
+
+  test("parquet round trip is decision-identical") {
+    val sp = spark
+    val old = sharrOf(Seq(5L -> groupA, 7L -> groupA, 11L -> loner))
+    val st0 = RepIndex.build(old, "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_repidx").toString
+    RepIndex.write(st0, dir)
+    val back = RepIndex.read(sp, dir)
+    assert(labelMap(back) == labelMap(st0))
+    assert(indexRows(back.index) == indexRows(st0.index))
+    // a batch folded into the read-back state still searches correctly
+    val st1 = RepIndex.append(sharrOf(Seq(1L -> groupA)), back, "doc_id")
+    val hits = RepIndex.search(sharrOf(Seq(100L -> groupA)), st1, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 1L)), s"expected the merged cluster's rep, got $hits")
+  }
+
+  test("rep-mediated semantics: a doc similar only to a NON-rep member is not linked") {
+    // chain cluster 5—6—7 (adjacent Jaccard 10/12 ≈ 0.833, ends 9/13 ≈
+    // 0.692 < 0.7): rep is 5; a batch copy of doc 7's text matches doc 7
+    // at J=1 but the index only holds doc 5, against which it scores
+    // 0.692 — below threshold, so it is (by design) a novel cluster
+    val t = (1 to 14).map(i => s"w$i")
+    def txt(from: Int, to: Int) = t.slice(from - 1, to).mkString(" ")
+    val old = sharrOf(Seq(5L -> txt(1, 12), 6L -> txt(2, 13), 7L -> txt(3, 14)))
+    val st0 = RepIndex.build(old, "doc_id")
+    assert(labelMap(st0) == Map(5L -> 5L, 6L -> 5L, 7L -> 5L),
+      s"chain cluster did not form: ${labelMap(st0)}")
+    val batch = sharrOf(Seq(20L -> txt(3, 14)))
+    val st1 = RepIndex.append(batch, st0, "doc_id")
+    assert(labelMap(st1)(20L) == 20L, s"rep-mediated miss expected: ${labelMap(st1)}")
+    assert(indexRows(st1.index).map(_._1) == Set(5L, 20L))
+  }
+
+  test("appendLabels guard: non-min-rooted stored labels fail loudly") {
+    val sp = spark; import sp.implicits._
+    val bad = Seq((5L, 9L), (9L, 9L)).toDF("id", "cluster_id") // rooted at MAX
+    val pairs = Seq((20L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[Exception] {
+      Clusters.appendLabels(bad, pairs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("not min-rooted")), e.getMessage)
+  }
+
+  test("appendLabels: self-loop-only new nodes become singletons (both algorithms)") {
+    val sp = spark; import sp.implicits._
+    val stored = Seq((5L, 5L)).toDF("id", "cluster_id")
+    val pairs = Seq((42L, 42L), (7L, 5L)).toDF("id_a", "id_b")
+    val out = Clusters.appendLabels(stored, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 5L, 7L -> 5L, 42L -> 42L), out.toString)
+  }
+
+  test("appendQualityKeep equals the full-rebuild quality plan across a boundary") {
+    val sp = spark; import sp.implicits._
+    // two old clusters + one old singleton; batch doc 1 bridges into the
+    // {5,7} cluster carrying the new best score; batch doc 30 is novel
+    val scores = Seq(5L -> 0.4, 7L -> 0.9, 2L -> 0.6, 9L -> 0.6, 11L -> 0.5,
+      1L -> 0.95, 30L -> 0.2)
+    val scored = scores.toDF("doc_id", "quality")
+    val allPairs = Seq((5L, 7L), (2L, 9L), (1L, 5L)).toDF("id_a", "id_b")
+    val oldIds = Set(5L, 7L, 2L, 9L, 11L)
+    val storedLabels = Seq(5L -> 5L, 7L -> 5L, 2L -> 2L, 9L -> 2L, 11L -> 11L)
+      .toDF("id", "cluster_id")
+    val storedBests = Clusters.qualityBests(storedLabels,
+      scored.filter(col("doc_id").isin(oldIds.toSeq: _*)), "doc_id", "quality")
+    val newPairs = Seq((1L, 5L)).toDF("id_a", "id_b") // the cross-boundary pair
+    val (labels, bests) = Clusters.appendQualityKeep(storedLabels, storedBests,
+      scored.filter(!col("doc_id").isin(oldIds.toSeq: _*)),
+      newPairs, "doc_id", "quality")
+    val got = labels.join(bests, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("rep_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = Clusters.dedupPlanByQuality(scored, "doc_id", "quality", allPairs)
+      .select(col("doc_id"), col("cluster_id"), col("rep_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, s"incremental $got\nvs rebuild $want")
+    // the merged {1,5,7} cluster keeps doc 1 (q=0.95 beats 7's 0.9)
+    assert(want(5L) == (1L, 1L))
+  }
+}
