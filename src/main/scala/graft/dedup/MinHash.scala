@@ -379,6 +379,20 @@ object MinHash {
                             rowsPerBand: Int = RowsPerBand): DataFrame =
     storedIndex.unionByName(snapshotIndex(batchSharr, idCol, rowsPerBand))
 
+  /** TOMBSTONE deletes for the stored snapshot index — the reference's
+    * soft-delete algebra (tables.py:224-254) completing the d10/c9
+    * "re-indexing a doc means delete + append" contract: index rows are
+    * per-document pure functions, so removing a doc's rows by id IS the
+    * rebuild-without-it, exactly (no global state to adjust — contrast
+    * [[graft.text.Bm25.deleteFromIndex]]'s df/stats subtraction). The
+    * result is a lazy view: serve through it for soft delete, or write
+    * it to compact the tombstones away. Ids absent from the index are
+    * ignored (idempotent). */
+  def deleteFromSnapshotIndex(tombstones: DataFrame, storedIndex: DataFrame,
+                              idCol: String): DataFrame =
+    storedIndex.join(tombstones.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** [[nearDuplicatesAgainst]] against a prebuilt [[snapshotIndex]] frame
     * (freshly computed or read back from storage — `IndexRoundTripSpec`
     * pins the parquet round trip decision-identical). Only the incoming

@@ -1065,6 +1065,28 @@ object TextQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- R7: TOMBSTONE deletes — the reference's soft-delete algebra
+    //      (status flip, never remove) applied to the stored BM25 index:
+    //      the t7 40-59 bucket is tombstoned out of a full-corpus index
+    //      via `deleteFromIndex`, which recovers every deleted doc's
+    //      contribution FROM THE INDEX ITSELF (postings/doclen anti-join,
+    //      per-term df and the global stats subtract — all integer sums).
+    //      The oracle REBUILDS scoring over the corpus minus the bucket,
+    //      so the gate is the exact identity delete(t, index(all)) ≡
+    //      index(all ∖ t), scores included — deleted docs don't just
+    //      vanish from top-k, the survivors' idf/avgdl shift as if the
+    //      deleted docs never existed.
+    "r7_bm25_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val idx = graft.text.Bm25.deleteFromIndex(
+        docs.filter(bucket >= 40 && bucket < 60).select(col("doc_id")),
+        graft.text.Bm25.buildIndex(docs, "doc_id", "text"), "doc_id")
+      graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10), idx,
+          "doc_id", "text", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -1120,11 +1142,12 @@ object TextQueries extends QueryPack {
     * so the cutoff comparison is engine-exact): 0 = the unpruned
     * reference scoring (r1); [[graft.text.Bm25.DefaultMinIdfMicro]] =
     * the production configuration (r1b/r2/r3/r4). */
-  private[queries] def bm25Ctes(maxQid: Int, minIdfMicro: Long = 0L): String =
+  private[queries] def bm25Ctes(maxQid: Int, minIdfMicro: Long = 0L,
+                                corpusWhere: String = ""): String =
     s"""p AS (SELECT doc_id AS did,
        |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
        |      x -> x <> '')) AS term
-       |  FROM documents),
+       |  FROM documents $corpusWhere),
        |post AS (SELECT did, term, count(*) AS tf FROM p GROUP BY did, term),
        |dl AS (SELECT did, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY did),
        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
@@ -2300,6 +2323,17 @@ object TextQueries extends QueryPack {
     "r4_bm25_increment" ->
       s"""WITH ${bm25Ctes(maxQid = 10,
              minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)}
+        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // r7: the oracle rebuilds scoring over the corpus MINUS the
+    // tombstoned bucket — gating the delete path against the exact
+    // rebuild-without-deleted identity (the r4 pattern, subtractive)
+    "r7_bm25_delete" ->
+      s"""WITH ${bm25Ctes(maxQid = 10,
+             minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro,
+             corpusWhere = """WHERE CAST(concat('0x', substr(md5(concat(
+               |      CAST(doc_id AS VARCHAR), ':graft-split-v1')), 1, 15))
+               |      AS BIGINT) % 100 NOT BETWEEN 40 AND 59""".stripMargin)}
         |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "t23_shard_manifest" ->

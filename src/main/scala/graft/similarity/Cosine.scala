@@ -287,6 +287,20 @@ object Cosine {
       .unionByName(assignToCentroids(batch, idCol, vecCol, centroids, cellCol)
         .select(col(idCol), col("assigned_cell").as(cellCol)))
 
+  /** TOMBSTONE deletes for the stored IVF index — the reference's
+    * soft-delete algebra (tables.py:224-254) applied to the cell
+    * assignment: [[ivfSearchIndex]] only reaches a vector through its
+    * (id, cell) row, so anti-joining the tombstoned ids out of
+    * `storedCells` removes them from every probe, exactly as if the
+    * one-pass assignment had never seen them (assignment is per-row, no
+    * global state; centroids stay the stored trained table, matching the
+    * no-retrain append contract). Delete + [[ivfAppendCells]] re-indexes
+    * a changed vector. Ids absent are ignored (idempotent). */
+  def ivfDeleteCells(tombstones: DataFrame, storedCells: DataFrame,
+                     idCol: String): DataFrame =
+    storedCells.join(tombstones.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** IVF TRAINING step: per-cell elementwise centroid — the DEFAULT path.
     * Plain `avg` keyed by (cell, dim): a combine-enabled HashAggregate
     * whose per-group state is (sum, count) — two doubles — regardless of

@@ -154,6 +154,46 @@ object Bm25 {
                     textCol: String): Index =
     appendIndexes(buildIndex(batch, idCol, textCol), idx)
 
+  /** TOMBSTONE deletes — the reference's soft-delete algebra
+    * (tables.py:224-254: rows flip to inactive, they are never removed)
+    * applied to the stored index, completing the documented
+    * "re-indexing a doc means delete + append" contract
+    * ([[appendToIndex]]). Every index component's contribution from a
+    * deleted doc is recoverable FROM THE INDEX ITSELF (no text re-read):
+    * postings/doclen rows anti-join away by id; per-term df loses the
+    * deleted docs' posting count; the 1-row stats lose their doc count
+    * and length sum. All integer subtractions of associative sums, so
+    * `deleteFromIndex(t, buildIndex(all)) ≡ buildIndex(all ∖ t)`
+    * bit-for-bit, BM25 scores included — r7_bm25_delete gates a search
+    * over the tombstoned index against the rebuild-without-deleted
+    * oracle, and Bm25IndexSpec pins delete + re-append round trips.
+    *
+    * The returned frames are LAZY views over the stored index — serve
+    * through them for soft delete (stored parquet untouched, the
+    * reference's status-flip semantics), or [[writeIndex]] them to
+    * compact the tombstones away. Ids absent from the index are ignored
+    * (idempotent re-delivery of a delete batch). Edge: deleting EVERY
+    * doc leaves stats (0, 0) where a fresh empty build has a null
+    * total_len — scoring against an empty index returns no rows either
+    * way. */
+  def deleteFromIndex(tombstones: DataFrame, idx: Index,
+                      idCol: String): Index = {
+    val t = tombstones.select(col(idCol).as("did")).distinct()
+    val deadDf = idx.postings.join(t, "did")
+      .groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+    val dfreq = idx.dfreq.join(deadDf, Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0) // terms only the deleted docs carried vanish
+    val deadStats = idx.doclen.join(t, "did")
+      .agg(count(lit(1)).as("dn"), coalesce(sum(col("dl")), lit(0L)).as("dlen"))
+    val stats = idx.stats.crossJoin(deadStats)
+      .select((col("n_docs") - col("dn")).as("n_docs"),
+        (col("total_len") - col("dlen")).as("total_len"))
+    Index(idx.postings.join(t, Seq("did"), "left_anti"),
+      idx.doclen.join(t, Seq("did"), "left_anti"),
+      dfreq, stats)
+  }
+
   /** [[appendToIndex]] with the batch side already indexed — lets a
     * caller that needs to release the batch's postings cache hold the
     * handle (`b.postings.unpersist()` once the merged index is

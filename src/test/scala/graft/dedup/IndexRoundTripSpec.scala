@@ -80,6 +80,44 @@ class IndexRoundTripSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromSnapshotIndex == index built without the deleted docs") {
+    val sp = spark; import sp.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank soon"),
+      (3L, "one more unrelated document talking about parquet files and buckets"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank forever"))
+      .toDF("doc_id", "text")
+    val idx = MinHash.snapshotIndex(
+      MinHash.hashedShingleArray(old, "doc_id", "text", 2), "doc_id")
+    // tombstone doc 2 (one of the batch's matches); 999 is absent (ignored)
+    val afterDel = MinHash.deleteFromSnapshotIndex(
+      Seq(2L, 999L).toDF("doc_id"), idx, "doc_id")
+    val got = MinHash.nearDuplicatesAgainstIndex(batch, afterDel,
+      "doc_id", "text", n = 2, threshold = 0.5)
+      .orderBy("id_new", "id_old").collect().toSeq
+    val want = MinHash.nearDuplicatesAgainst(batch,
+      old.filter(col("doc_id") =!= 2L), "doc_id", "text", n = 2, threshold = 0.5)
+      .orderBy("id_new", "id_old").collect().toSeq
+    assert(got == want, s"delete diverged: $got vs $want")
+    assert(got.nonEmpty && !got.exists(_.getLong(1) == 2L))
+    // delete + append re-indexes a changed doc (the documented contract)
+    val newText = Seq((2L, "totally rewritten article on container formats"))
+      .toDF("doc_id", "text")
+    val reIdx = MinHash.appendToSnapshotIndex(
+      MinHash.hashedShingleArray(newText, "doc_id", "text", 2), afterDel, "doc_id")
+    val got2 = MinHash.nearDuplicatesAgainstIndex(batch, reIdx,
+      "doc_id", "text", n = 2, threshold = 0.5)
+      .orderBy("id_new", "id_old").collect().toSeq
+    val want2 = MinHash.nearDuplicatesAgainst(batch,
+      old.filter(col("doc_id") =!= 2L).unionByName(newText),
+      "doc_id", "text", n = 2, threshold = 0.5)
+      .orderBy("id_new", "id_old").collect().toSeq
+    assert(got2 == want2, s"delete+append diverged: $got2 vs $want2")
+  }
+
   test("bucketed snapshot index joins shuffle-free on the index side") {
     val sp = spark; import sp.implicits._
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path

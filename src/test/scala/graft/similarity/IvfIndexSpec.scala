@@ -71,6 +71,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(out.count() == 15)
   }
 
+  test("ivfDeleteCells == one-pass assignment of the corpus minus the deleted") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Cosine.cellCentroids(emb.select(col("label"),
+      Cosine.toDouble(col("embedding")).as("v")), "label", "v")
+    val cells = Cosine.assignToCentroids(emb, "vec_id", "embedding", cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    val tomb = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val afterDel = Cosine.ivfDeleteCells(tomb, cells, "vec_id")
+    val onePass = Cosine.assignToCentroids(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    assert(afterDel.exceptAll(onePass).isEmpty && onePass.exceptAll(afterDel).isEmpty)
+    // deleted vectors vanish from search; survivors still rank
+    val out = Cosine.ivfSearchIndex(emb.filter(col("vec_id") < 5),
+      emb.select(col("vec_id"), col("embedding")), afterDel, cents,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    assert(out.count() > 0)
+    assert(out.filter(col("neighbor_id") % 7 === 0).count() == 0)
+    // delete + append re-indexes a moved vector against the SAME centroids
+    val moved = emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id"), col("embedding"))
+    val reIdx = Cosine.ivfAppendCells(moved, "vec_id", "embedding",
+      cents, afterDel, "label")
+    val want = Cosine.assignToCentroids(
+        emb.filter(col("vec_id") % 7 =!= 0 || col("vec_id") === 7L),
+        "vec_id", "embedding", cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    assert(reIdx.exceptAll(want).isEmpty && want.exceptAll(reIdx).isEmpty)
+  }
+
   test("ivfSearchIndex over the in-plan index == ivfTopKMultiprobe (refactor guard)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
