@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Shared single-frame segment sink for index families whose stored form
+  * is ONE frame of per-document rows (LSH band index: (id, sharr, band,
+  * band_hash); IVF cell assignment: (id, cell)) — append IS union for
+  * these, so a micro-batch folds by writing one immutable `seg<batchId>`
+  * parquet directory and committing a [[Segments]] manifest: O(|batch|)
+  * bytes per batch, serving reads are a single multi-path scan, and
+  * compaction (live segments > maxSegments) collapses to one `cmp`
+  * segment. The BM25 sink ([[StreamingIndexMaintenance]]) has its own
+  * four-component variant; this one covers the other two members of the
+  * append trio. Same crash/exactly-once story: manifest rename is the
+  * commit point, the high-water batch id skips re-delivery. */
+private[streaming] object FrameSegments {
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Segments.latest(dir).map(_.segments).getOrElse(Nil)
+      .map(s => s"$dir/$s")
+    require(segs.nonEmpty, s"no committed segments under $dir")
+    spark.read.parquet(segs: _*)
+  }
+
+  /** Fold one micro-batch: no-op if `batchId` is at/under the manifest's
+    * high-water mark; otherwise write `frame` as `seg<batchId>`, commit,
+    * and compact if the live set exceeds `maxSegments`. */
+  def fold(spark: SparkSession, dir: String, batchId: Long,
+           maxSegments: Int)(frame: => DataFrame): Unit = {
+    val prev = Segments.latest(dir)
+    if (batchId <= prev.map(_.maxBatch).getOrElse(-1L)) return
+    frame.write.mode("overwrite").parquet(s"$dir/seg$batchId")
+    val live = prev.map(_.segments).getOrElse(Nil) :+ s"seg$batchId"
+    Segments.commit(dir, batchId, live)
+    if (live.size > maxSegments) {
+      readLatest(spark, dir).write.mode("overwrite").parquet(s"$dir/cmp$batchId")
+      Segments.commit(dir, batchId, Seq(s"cmp$batchId"))
+    }
+  }
+}
+
+/** Streaming maintenance for the LSH snapshot index (the d15 append path
+  * driven from a stream): each micro-batch of finalized documents is
+  * shingled/signed ONCE and its [[graft.dedup.MinHash.snapshotIndex]]
+  * rows land as one immutable segment — index rows are per-document pure
+  * functions, so the unioned segments equal `snapshotIndex` over
+  * everything streamed, row-for-row (spec-pinned against the batch
+  * rebuild). Serve with
+  * `MinHash.nearDuplicatesAgainstIndex(batch, readLatest(spark, dir), …)`. */
+object StreamingLshMaintenance {
+  import graft.dedup.MinHash
+
+  def indexSink(spark: SparkSession, dir: String, idCol: String,
+                textCol: String, n: Int = 2,
+                rowsPerBand: Int = MinHash.RowsPerBand, maxSegments: Int = 8)(
+                batch: DataFrame, batchId: Long): Unit = {
+    // persisted because snapshotIndex consumes it twice (signatures +
+    // the sharr re-attach join); released per micro-batch — persist is
+    // lazy, so a re-delivered (no-op) batch never materializes it
+    val sharr = MinHash.hashedShingleArray(batch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try FrameSegments.fold(spark, dir, batchId, maxSegments)(
+      MinHash.snapshotIndex(sharr, idCol, rowsPerBand))
+    finally sharr.unpersist()
+  }
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+}
+
+/** Streaming maintenance for the IVF cell assignment (the x18 append
+  * path driven from a stream): each micro-batch of finalized vectors is
+  * assigned map-side against the STORED centroid table (no retraining —
+  * the serving-time contract) and its (id, cell) rows land as one
+  * immutable segment; unioned segments equal the one-pass assignment of
+  * everything streamed under the same centroids (spec-pinned). Serve
+  * with `Cosine.ivfSearchIndex(queries, vectors, readLatest(spark, dir),
+  * centroids, …)`. */
+object StreamingIvfMaintenance {
+
+  def cellSink(spark: SparkSession, dir: String, idCol: String,
+               vecCol: String, centroids: DataFrame, cellCol: String,
+               maxSegments: Int = 8)(batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments) {
+      graft.similarity.Cosine
+        .assignToCentroids(batch, idCol, vecCol, centroids, cellCol)
+        .select(col(idCol), col("assigned_cell").as(cellCol))
+    }
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.dedup.MinHash
+import graft.similarity.Cosine
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming maintenance twins for the OTHER two index families (BM25's
+  * is StreamingIndexMaintenanceSpec): three streamed waves must equal
+  * the batch rebuild exactly — LSH dedup decisions and IVF cell rows —
+  * with re-delivery idempotent and per-batch segments holding only
+  * their batch. */
+object StreamingFrameSegmentsSpec {
+  case class Doc(doc_id: Long, text: String)
+}
+
+class StreamingFrameSegmentsSpec extends SparkSpec {
+  import StreamingFrameSegmentsSpec.Doc
+
+  private val wave1 = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    Doc(2L, "an entirely different sentence about catalyst plans and shuffles here"))
+  private val wave2 = Seq(
+    Doc(3L, "one more unrelated document talking about parquet files and buckets"),
+    Doc(4L, "the quick brown fox jumps over the lazy dog near the river bank soon"))
+  private val wave3 = Seq(
+    Doc(5L, "the quick brown fox jumps over the lazy dog near the river bank forever"))
+
+  test("LSH: streamed segments == fresh full snapshot index, decisions included") {
+    val sp = spark; import sp.implicits._
+    implicit val sc = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh").toString
+    val mem = MemoryStream[Doc]
+    val sink = StreamingLshMaintenance.indexSink(sp, dir, "doc_id", "text") _
+    val q = mem.toDS().writeStream
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[Doc], id: Long) =>
+        sink(ds.toDF(), id))
+      .outputMode("append").start()
+    for (w <- Seq(wave1, wave2, wave3)) { mem.addData(w: _*); q.processAllAvailable() }
+    q.stop()
+    assert(StreamingLshMaintenance.latestMaxBatch(dir) == 2L)
+    // each segment holds only its batch (write volume pin)
+    assert(sp.read.parquet(s"$dir/seg2").select("doc_id").distinct().count() == 1L)
+    val all = (wave1 ++ wave2 ++ wave3).toDF()
+    val batch = Seq(Doc(10L,
+      "the quick brown fox jumps over the lazy dog near the river bank sometimes")).toDF()
+    val got = MinHash.nearDuplicatesAgainstIndex(batch,
+        StreamingLshMaintenance.readLatest(sp, dir), "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .orderBy("id_new", "id_old").collect().toSeq
+    val want = MinHash.nearDuplicatesAgainst(batch, all, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .orderBy("id_new", "id_old").collect().toSeq
+    assert(got == want, s"streamed LSH index diverged: $got vs $want")
+    // matches span waves — the stream really contributed every segment
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 4L, 5L), got.toString)
+    // re-delivery is a no-op
+    sink((wave3: Seq[Doc]).toDF(), 2L)
+    assert(StreamingLshMaintenance.readLatest(sp, dir).count() ==
+      MinHash.snapshotIndex(
+        MinHash.hashedShingleArray(all, "doc_id", "text", 2), "doc_id").count())
+  }
+
+  test("IVF: streamed cell segments == one-pass assignment; compaction exact") {
+    val sp = spark
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val cents = Cosine.cellCentroids(emb.select(col("label"),
+      Cosine.toDouble(col("embedding")).as("v")), "label", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    // maxSegments = 2 so the third wave trips compaction
+    val sink = StreamingIvfMaintenance.cellSink(sp, dir, "vec_id", "embedding",
+      cents, "label", maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(StreamingIvfMaintenance.latestMaxBatch(dir) == 2L)
+    val got = StreamingIvfMaintenance.readLatest(sp, dir)
+    val want = Cosine.assignToCentroids(emb, "vec_id", "embedding", cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed cells != one-pass assignment")
+    // compaction happened (3 > 2): one cmp segment serves
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    // re-delivery after compaction is still a no-op
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    // the served search returns ranked rows from the streamed index
+    val out = Cosine.ivfSearchIndex(emb.filter(col("vec_id") < 3),
+      emb.select(col("vec_id"), col("embedding")), got, cents,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    assert(out.count() == 9)
+    cents.unpersist()
+  }
+}
