@@ -92,4 +92,86 @@ object Mmr {
     pairs.foreach(_.unpersist())
     selected.select(col("query_id"), col("mmr_rank"), col("doc_id"), col("score"))
   }
+
+  /** SINGLE-TASK kernel — the serving-scale form of [[rerank]]: one
+    * query's N candidates fit trivially in a task, so the k-step argmax
+    * runs as plain Scala inside `flatMapGroups` (one shuffle on the query
+    * key, zero driver round-trips, no k-job loop). VALUE-IDENTICAL to
+    * the dataframe form by construction: the pairwise cosine is the same
+    * sequential-accumulation dot / √·√ chain, fixed to integer micro
+    * units with the same HALF_UP rounding, and every argmax compares the
+    * same integers under the same (score desc, nulls last, doc_id asc)
+    * order — MmrSpec pins the two forms row-for-row on real embeddings,
+    * which transitively puts this kernel under r6's oracle gate. Use
+    * this in a serving loop; use [[rerank]] where the oracle machinery
+    * must see the plan. Ids must be LongType here (the dataframe form
+    * accepts any orderable id). */
+  def rerankLocal(cand: DataFrame, k: Int, lambdaTenths: Int = 7,
+                  queryCol: String = "query_id", docCol: String = "doc_id",
+                  simMicroCol: String = "qsim_micro",
+                  vecCol: String = "v"): DataFrame = {
+    require(k >= 1 && lambdaTenths >= 0 && lambdaTenths <= 10)
+    val lam = lambdaTenths.toLong
+    val sp = cand.sparkSession
+    import sp.implicits._
+    cand.select(col(queryCol).cast("long"), col(docCol).cast("long"),
+        col(simMicroCol).cast("long"), col(vecCol))
+      .as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Double])]) =>
+        // ascending doc_id: ties resolve to the smallest id by first-wins
+        val cs = it.toArray.sortBy(_._2)
+        val vs = cs.map(_._4.toArray)
+        val norms = vs.map(v => dotSeq(v, v))
+        // pair sim in micro units; None when either norm is 0 (the
+        // Column form's nullif → null semantics)
+        def psim(i: Int, j: Int): Option[Long] = {
+          val d = math.sqrt(norms(i)) * math.sqrt(norms(j))
+          if (d == 0.0) None else Some(roundMicro(dotSeq(vs(i), vs(j)) / d))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Option[Long])]
+        val steps = math.min(k, cs.length)
+        for (step <- 1 to steps) {
+          var bestIdx = -1
+          var bestScore: Option[Long] = None
+          for (i <- cs.indices if !selected.contains(i)) {
+            val score: Option[Long] =
+              if (step == 1) Some(lam * cs(i)._3)
+              else {
+                val ps = selected.iterator.flatMap(j => psim(i, j).iterator)
+                if (ps.isEmpty) None
+                else Some(lam * cs(i)._3 - (10L - lam) * ps.max)
+              }
+            val wins = bestIdx < 0 || ((score, bestScore) match {
+              case (Some(a), Some(b)) => a > b // tie → earlier (smaller) id
+              case (Some(_), None)    => true  // nulls sort last under desc
+              case _                  => false
+            })
+            if (wins) { bestIdx = i; bestScore = score }
+          }
+          selected += bestIdx
+          out += ((qid, step, cs(bestIdx)._2, bestScore))
+        }
+        out.iterator
+      }
+      .toDF("query_id", "mmr_rank", "doc_id", "score")
+  }
+
+  /** Sequential left-to-right double accumulation — the scalar twin of
+    * the codegen'd dot_product expression (identical IEEE op order). */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Scalar twin of `round(x * 1000000, 0).cast("long")`: Spark's Round
+    * on DoubleType goes through BigDecimal.valueOf (shortest-repr) with
+    * HALF_UP — replicated exactly so the kernel's integers cannot drift
+    * from the Column form's. */
+  private def roundMicro(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000.0d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 }
