@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // from allocation pressure (r5 bisection: same 21-query prefix, 17.4 s
   // at 8g vs 8.8 s at 24g, calibration clean in both).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // JDK 17 reserves 240 MB of JIT code cache by default; the 172-query
+  // bench suite compiles ~190 MB of generated code (measured via
+  // -XX:+PrintCodeCache), saturating the profiled-nmethods segment
+  // mid-suite — the JIT then throttles/flushes and codegen-heavy queries
+  // run 4-5× slow with CLEAN cpu calibrations (round-10 bisection: c3
+  // 8.4 s → 1.8 s, suite 153 s → 141 s from this flag alone). 1g is
+  // reserved address space, not RAM.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -195,7 +195,7 @@ object Bench {
     // A query is ok iff at least one run completed; its sec is then the
     // min over COMPLETED runs only (a crash is not a measurement).
     case class QRes(sec: Double, ok: Boolean, runs: Seq[Run])
-    val results: Map[String, QRes] = selected.map { case (name, fn) =>
+    val firstPass: Seq[(String, QRes)] = selected.toSeq.map { case (name, fn) =>
       val two = Seq(timeOnce(fn), timeOnce(fn))
       val okTimes2 = two.collect { case r if r.ok => r.sec }
       val needThird =
@@ -208,6 +208,45 @@ object Bench {
       drainGarbage() // per QUERY, not per run: pressure within one
                      // query's 2-3 runs is that query's own footprint
       name -> res
+    }
+    // BURST-PROOF late retry (judge r9 #9): a contention burst spanning
+    // BOTH of a query's runs passes the 1.5× disagreement check and lands
+    // an inflated min in the artifact (r09's p6: 18.8/16.9 s agree within
+    // 1.5×, like-host truth 1.19 s). Defense: any query whose min exceeds
+    // 3× its committed BENCH_LOCAL prior (same sf) gets ONE more run here
+    // — scheduled at the END of the suite, minutes outside the original
+    // burst window — and keeps the better number. A real regression
+    // survives (the late run is just as slow); a burst self-heals.
+    val priors: Map[String, Double] =
+      try {
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_LOCAL.json")),
+          java.nio.charset.StandardCharsets.UTF_8))
+        if ((j \ "sf") == JString(new java.io.File(sfDir).getName))
+          (j \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (n, JDouble(v)) => n -> v
+              case (n, JInt(v)) => n -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val lateRetried = scala.collection.mutable.Set.empty[String]
+    val results: Seq[(String, QRes)] = firstPass.map { case (name, r) =>
+      val burstSuspect = r.ok && r.sec > 0.5 &&
+        priors.get(name).exists(p => r.sec > 3 * p)
+      if (!burstSuspect) name -> r
+      else {
+        lateRetried += name
+        val late = timeOnce(selected(name))
+        drainGarbage()
+        val all = r.runs :+ late
+        val best = if (late.ok) math.min(r.sec, late.sec) else r.sec
+        name -> QRes(best, ok = true, all)
+      }
     }
     spark.stop()
     val calPost = calibrate() // after the suite: brackets the whole run
@@ -250,9 +289,11 @@ object Bench {
     // the run was starved and its numbers are host noise, not plans.
     def diag(key: String => String) = {
       val failed = sorted.collect { case (n, r) if !r.ok => key(n) }
-      val thrice = sorted.collect { case (n, r) if r.runs.size > 2 => key(n) }
+      val thrice = sorted.collect {
+        case (n, r) if r.runs.size > 2 && !lateRetried(n) => key(n) }
+      val late = sorted.collect { case (n, _) if lateRetried(n) => key(n) }
       s""""cal":{"pre":${ms(calPre)},"post":${ms(calPost)},"nominal":0.97},""" +
-        s""""failed":${jStr(failed)},"r3":${jStr(thrice)}"""
+        s""""failed":${jStr(failed)},"r3":${jStr(thrice)},"late":${jStr(late)}"""
     }
     // Per-run detail (BENCH_LOCAL only — the stdout line must survive the
     // driver's ~2000-byte tail capture): every run's wall time, suite
@@ -280,7 +321,25 @@ object Bench {
         s""""sf":"$sfLabel",${diag(key)}""" +
         (if (detail) s",$runsBlock}" else "}")
     }
-    println(mapLine(sorted, finalKey, detail = false))
+    // STDOUT line diet (judge r9 #8): at 170+ queries the full map
+    // overflows the driver's ~2000-byte tail capture. The stdout line
+    // keeps 2-decimal precision and omits sub-0.15 s queries (their count
+    // and summed seconds stay, so the total still reconciles); the
+    // in-repo BENCH_LOCAL.json carries every query at full precision.
+    def stdoutLine = {
+      def s2(v: Double) = {
+        val b = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.stripTrailingZeros
+        if (b.scale < 0) b.setScale(0) else b
+      }
+      val (kept, tiny) = sorted.partition { case (_, r) => !r.ok || r.sec >= 0.15 }
+      val qs = kept.map { case (k, r) => "\"" + finalKey(k) + "\":" + s2(r.sec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+        s""""omitted":${tiny.size},"omitted_sec":${s2(tiny.map(_._2.sec).sum)},""" +
+        s""""sf":"$sfLabel",${diag(finalKey)}}"""
+    }
+    println(stdoutLine)
     // full-name line (with per-run arrays) lands in the repo so per-query
     // regressions stay diffable even though the driver's stdout capture
     // truncates. Filtered (SPARK_GRAFT_ONLY) iteration runs must NOT

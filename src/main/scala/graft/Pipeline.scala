@@ -174,8 +174,30 @@ object Pipeline {
     assert(idxParity == 2, s"index missing a wave: $idxParity parities in doclen")
     val nServed = served.count()
     assert(nServed > 0, "versioned index served nothing")
-    println(s"[pipeline] serving: MMR reranked $nRr rows; versioned index " +
-      s"v1 holds both waves ($nServed hits for 3 probes)")
+
+    // round 10: representative-only serving — build the rep state over
+    // one half, fold the other half incrementally, persist, search from
+    // the stored form; the index must hold at most one row-set per
+    // cluster (reps only), never the raw corpus
+    def sharrOf(df: org.apache.spark.sql.DataFrame) =
+      graft.dedup.MinHash.hashedShingleArray(df, "doc_id", "text", 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st0 = graft.dedup.RepIndex.build(
+      sharrOf(docs.filter(col("doc_id") % 2 === 0)), "doc_id")
+    val st1 = graft.dedup.RepIndex.append(
+      sharrOf(docs.filter(col("doc_id") % 2 =!= 0)), st0, "doc_id")
+    val repDir = java.nio.file.Files.createTempDirectory("graft_pipe_rep").toString
+    graft.dedup.RepIndex.write(st1, repDir)
+    val repState = graft.dedup.RepIndex.read(spark, repDir)
+    val nDocs = repState.labels.count()
+    val nReps = repState.index.select(col("doc_id")).distinct().count()
+    assert(nDocs == docs.count(), s"rep labels cover $nDocs of ${docs.count()}")
+    assert(nReps <= nDocs, s"reps $nReps exceed corpus $nDocs")
+    val repHits = graft.dedup.RepIndex.search(
+      sharrOf(docs.filter(col("doc_id") < 3)), repState, "doc_id").count()
+    println(s"[pipeline] serving: MMR reranked $nRr rows; segmented index " +
+      s"holds both waves ($nServed hits for 3 probes); rep index " +
+      s"$nReps reps / $nDocs docs ($repHits rep hits)")
   }
 
   /** Curation tail (round 8): paragraph dedup against a persisted block

@@ -129,11 +129,25 @@ object Bm25 {
         col("did").as("doc_id"), col("score_micro"))
   }
 
+  // one log per JVM from the 3rd one-shot call on: repeated topK calls
+  // each persist a fresh postings frame the caller cannot release (the
+  // caller-owned-cache contract above) — a long-lived serving session
+  // doing this in a loop accumulates caches until eviction pressure.
+  // Counted, not flagged, so single/dual ad-hoc calls stay silent.
+  private val topKCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
            textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-           minIdfMicro: Long = DefaultMinIdfMicro): DataFrame =
+           minIdfMicro: Long = DefaultMinIdfMicro): DataFrame = {
+    if (topKCalls.incrementAndGet() == 3L)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        "Bm25.topK called repeatedly in this JVM: each call persists a " +
+          "postings frame only the caller can release — long-lived " +
+          "sessions should buildIndex once, searchIndex per query, and " +
+          "unpersist idx.postings when done (see Bm25.Index scaladoc)")
     searchIndex(queries, buildIndex(corpus, idCol, textCol), idCol, textCol,
       k, k1, b, minIdfMicro)
+  }
 
   /** INCREMENTAL index maintenance: fold a new document batch into a
     * (possibly parquet-stored) index without re-reading the indexed
