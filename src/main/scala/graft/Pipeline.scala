@@ -190,7 +190,7 @@ object Pipeline {
     graft.dedup.RepIndex.write(st1, repDir)
     val repState = graft.dedup.RepIndex.read(spark, repDir)
     val nDocs = repState.labels.count()
-    val nReps = repState.index.select(col("doc_id")).distinct().count()
+    val nReps = repState.sharr.select(col("doc_id")).count()
     assert(nDocs == docs.count(), s"rep labels cover $nDocs of ${docs.count()}")
     assert(nReps <= nDocs, s"reps $nReps exceed corpus $nDocs")
     val repHits = graft.dedup.RepIndex.search(

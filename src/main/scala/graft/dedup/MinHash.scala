@@ -425,18 +425,36 @@ object MinHash {
   def nearDuplicatesArraysAgainstIndex(shNew: DataFrame, oldIndex: DataFrame,
                                        idCol: String,
                                        threshold: Double = 0.7,
+                                       rowsPerBand: Int = RowsPerBand): DataFrame =
+    nearDuplicatesArraysAgainstBands(shNew,
+      oldIndex.select(col(idCol), col("band"), col("band_hash")),
+      oldIndex.select(col(idCol), col("sharr")).dropDuplicates(idCol),
+      idCol, threshold, rowsPerBand)
+
+  /** [[nearDuplicatesArraysAgainstIndex]] over the NORMALIZED index
+    * layout — band rows (id, band, band_hash) and shingle arrays
+    * (id, sharr) as SEPARATE frames with one sharr row per doc. The
+    * denormalized [[snapshotIndex]] carries each doc's array once per
+    * band (×4 at the default width): ~4× the index bytes, and every
+    * search pays a `dropDuplicates` shuffle over array rows before the
+    * verification join. Serving tiers that own their storage layout
+    * (RepIndex) store the normalized form and skip both. Values are
+    * identical by construction (the denormalized entry point now
+    * DELEGATES here after splitting + deduping — the existing d10/d15
+    * gates pin it). */
+  def nearDuplicatesArraysAgainstBands(shNew: DataFrame, oldBands: DataFrame,
+                                       oldSharr: DataFrame, idCol: String,
+                                       threshold: Double = 0.7,
                                        rowsPerBand: Int = RowsPerBand): DataFrame = {
     val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
-    val bOld = oldIndex.select(col(idCol).as("id_old"), col("band"), col("band_hash"))
+    val bOld = oldBands.select(col(idCol).as("id_old"), col("band"), col("band_hash"))
     val pairs = bNew.join(bOld, Seq("band", "band_hash"))
       .filter(col("id_new") =!= col("id_old"))
       .select(col("id_new"), col("id_old")).distinct()
-    val shOldById = oldIndex.select(col(idCol).as("id_old"), col("sharr").as("sh_b"))
-      .dropDuplicates("id_old")
     pairs
       .join(shNew.select(col(idCol).as("id_new"), col("sharr").as("sh_a")), "id_new")
-      .join(shOldById, "id_old")
+      .join(oldSharr.select(col(idCol).as("id_old"), col("sharr").as("sh_b")), "id_old")
       .select(col("id_new"), col("id_old"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))

@@ -37,18 +37,24 @@ import org.apache.spark.sql.functions._
   * exceed their cluster minimum by construction, so they can never become
   * the rep of a merged cluster and their shingle arrays are never needed
   * again. Retired reps leave the index by an id semi-join; promoted reps
-  * enter with band rows computed from the batch's arrays (per-doc pure
-  * functions, so the maintained index equals `snapshotIndex` over the
-  * current reps row-for-row — RepIndexSpec pins it). */
+  * enter with band/array rows computed from the batch's arrays (per-doc
+  * pure functions, so the maintained index equals the one built fresh
+  * over the current reps row-for-row — RepIndexSpec pins it). */
 object RepIndex {
 
   /** Serving state: `labels` — (id, cluster_id) for EVERY indexed doc,
     * min-rooted (cluster_id = component minimum; docs with no near-dup
-    * label themselves), and `index` — [[MinHash.snapshotIndex]] rows
-    * (id, sharr, band, band_hash) for REPRESENTATIVES ONLY (the docs
-    * with id == cluster_id). Both frames are plain parquet-writable
-    * ([[write]]/[[read]]). */
-  final case class State(labels: DataFrame, index: DataFrame)
+    * label themselves) — plus the rep index in NORMALIZED layout:
+    * `bands` (id, band, band_hash) and `sharr` (id, sharr), one sharr
+    * row per doc, REPRESENTATIVES ONLY (the docs with id ==
+    * cluster_id). Normalized because the serving tier owns this
+    * layout: the denormalized [[MinHash.snapshotIndex]] carries each
+    * doc's shingle array once per band (~4× the stored bytes) and pays
+    * a dropDuplicates shuffle before every verification join; the
+    * normalized form stores each array once and skips both. All frames
+    * are plain parquet-writable ([[write]]/[[read]]); partition/bucket
+    * `bands` by (band, band_hash) at scale. */
+  final case class State(labels: DataFrame, bands: DataFrame, sharr: DataFrame)
 
   /** Build the serving state from a finalized snapshot's shingle-array
     * frame (persist `sharr` — the pair detection and the rep band rows
@@ -63,9 +69,11 @@ object RepIndex {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
     val reps = labels.filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
-    val index = MinHash.snapshotIndex(
-      sharr.join(reps, Seq(idCol), "left_semi"), idCol, rowsPerBand)
-    State(labels, index)
+    val repSharr = sharr.join(reps, Seq(idCol), "left_semi")
+    State(labels,
+      MinHash.bandRows(MinHash.signaturesFromArray(repSharr, idCol),
+        idCol, rowsPerBand),
+      repSharr.select(col(idCol), col("sharr")))
   }
 
   /** Fold a finalized batch (ids DISJOINT from the indexed docs — the
@@ -83,8 +91,8 @@ object RepIndex {
   def append(batchSharr: DataFrame, state: State, idCol: String,
              threshold: Double = 0.7,
              rowsPerBand: Int = MinHash.RowsPerBand): State = {
-    val vsReps = MinHash.nearDuplicatesArraysAgainstIndex(
-        batchSharr, state.index, idCol, threshold, rowsPerBand)
+    val vsReps = MinHash.nearDuplicatesArraysAgainstBands(
+        batchSharr, state.bands, state.sharr, idCol, threshold, rowsPerBand)
       .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
     val within = MinHash.nearDuplicatesFromArray(
         batchSharr, idCol, threshold, rowsPerBand)
@@ -99,13 +107,16 @@ object RepIndex {
     val repIds = labels.filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
     // surviving old reps keep their stored rows; retired reps (their
-    // cluster merged under a smaller minimum) drop out of the semi join;
-    // promoted/novel reps are batch docs, so their band rows come from
-    // the batch's arrays
-    val keptOld = state.index.join(repIds, Seq(idCol), "left_semi")
-    val newRows = MinHash.snapshotIndex(
-      batchSharr.join(repIds, Seq(idCol), "left_semi"), idCol, rowsPerBand)
-    State(labels, keptOld.unionByName(newRows))
+    // cluster merged under a smaller minimum) drop out of the semi joins;
+    // promoted/novel reps are batch docs, so their rows come from the
+    // batch's arrays
+    val newRepSharr = batchSharr.join(repIds, Seq(idCol), "left_semi")
+    State(labels,
+      state.bands.join(repIds, Seq(idCol), "left_semi")
+        .unionByName(MinHash.bandRows(
+          MinHash.signaturesFromArray(newRepSharr, idCol), idCol, rowsPerBand)),
+      state.sharr.join(repIds, Seq(idCol), "left_semi")
+        .unionByName(newRepSharr.select(col(idCol), col("sharr"))))
   }
 
   /** Serving search: near-dup CLUSTERS of each query doc — (id_new,
@@ -114,17 +125,19 @@ object RepIndex {
   def search(querySharr: DataFrame, state: State, idCol: String,
              threshold: Double = 0.7,
              rowsPerBand: Int = MinHash.RowsPerBand): DataFrame =
-    MinHash.nearDuplicatesArraysAgainstIndex(
-      querySharr, state.index, idCol, threshold, rowsPerBand)
+    MinHash.nearDuplicatesArraysAgainstBands(
+      querySharr, state.bands, state.sharr, idCol, threshold, rowsPerBand)
 
-  /** Persist the state (labels + rep band index) — partitioned/bucketed
-    * by (band, band_hash) at scale, like the raw snapshot index. */
+  /** Persist the state (labels + normalized rep index) — partition/
+    * bucket `bands` by (band, band_hash) at scale. */
   def write(state: State, dir: String): Unit = {
     state.labels.write.mode("overwrite").parquet(s"$dir/labels")
-    state.index.write.mode("overwrite").parquet(s"$dir/index")
+    state.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    state.sharr.write.mode("overwrite").parquet(s"$dir/sharr")
   }
 
   def read(spark: SparkSession, dir: String): State =
     State(spark.read.parquet(s"$dir/labels"),
-      spark.read.parquet(s"$dir/index"))
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sharr"))
 }

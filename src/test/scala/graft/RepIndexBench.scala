@@ -1,0 +1,97 @@
+package graft
+
+import graft.dedup.{MinHash, RepIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase-level cost of the representative-only serving index vs the raw
+  * snapshot index (SCALE.md round-10): the d17 gated query is monolithic
+  * (build + fold + search in one plan), so the duplication-density-bound
+  * ONE-TIME snapshot build masks where the rep index actually wins — the
+  * RECURRING serving phases. This bench stores state to parquet between
+  * phases (what a production deployment does) and times each phase
+  * separately, for both index forms, on the same bucket splits d15/d17
+  * gate (<60 snapshot, 60-79 fold batch, ≥80 search batch).
+  *
+  * Run: sbt 'Test/runMain graft.RepIndexBench /tmp/sf1'
+  *      sbt 'Test/runMain graft.RepIndexBench /tmp/sf10'
+  * Prints one JSON line: per-phase seconds for raw and rep forms. */
+object RepIndexBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    val docs = Tables.documents(spark, dir)
+    val bucket = graft.text.TextAnalysis.splitBucket(col("doc_id"))
+    def sharrOf(pred: org.apache.spark.sql.Column): DataFrame =
+      MinHash.hashedShingleArray(docs.filter(pred), "doc_id", "text", 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    // best of 2 (the Bench protocol): single-shot phase times on this
+    // host swing >2x with contention windows
+    def timed[A](f: => A): (A, Double) = {
+      def once: (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (a1, t1) = once
+      reset()
+      val (_, t2) = once
+      (a1, math.min(t1, t2))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("repbench").toString
+
+    // ---- raw snapshot index (the d15 shape) -------------------------
+    val (_, rawBuild) = timed {
+      MinHash.snapshotIndex(sharrOf(bucket < 60), "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/raw0")
+    }
+    reset()
+    val (_, rawAppend) = timed {
+      MinHash.appendToSnapshotIndex(sharrOf(bucket >= 60 && bucket < 80),
+          spark.read.parquet(s"$tmp/raw0"), "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/raw1")
+    }
+    reset()
+    val (nRaw, rawSearch) = timed {
+      MinHash.nearDuplicatesArraysAgainstIndex(sharrOf(bucket >= 80),
+        spark.read.parquet(s"$tmp/raw1"), "doc_id", threshold = 0.7).count()
+    }
+    reset()
+
+    // ---- representative-only index (the d17 shape) ------------------
+    val (_, repBuild) = timed {
+      RepIndex.write(RepIndex.build(sharrOf(bucket < 60), "doc_id"), s"$tmp/rep0")
+    }
+    reset()
+    val (_, repAppend) = timed {
+      RepIndex.write(RepIndex.append(sharrOf(bucket >= 60 && bucket < 80),
+        RepIndex.read(spark, s"$tmp/rep0"), "doc_id"), s"$tmp/rep1")
+    }
+    reset()
+    val st = RepIndex.read(spark, s"$tmp/rep1")
+    val (nRep, repSearch) = timed {
+      RepIndex.search(sharrOf(bucket >= 80), st, "doc_id").count()
+    }
+    val nReps = st.sharr.select(col("doc_id")).count()
+    val nDocs = st.labels.count()
+    def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"bench":"rep_index_phases","dir":"$dir",""" +
+      s""""raw":{"build":${ms(rawBuild)},"append":${ms(rawAppend)},"search":${ms(rawSearch)},"pairs":$nRaw},""" +
+      s""""rep":{"build":${ms(repBuild)},"append":${ms(repAppend)},"search":${ms(repSearch)},"pairs":$nRep},""" +
+      s""""reps":$nReps,"docs":$nDocs}""")
+    spark.stop()
+  }
+}

@@ -5,9 +5,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Representative-only LSH serving index (RepIndex): the d15-blowup
-  * mitigation in code. Pins (1) the maintained index always equals
-  * `snapshotIndex` over the current representatives — including rep
-  * RETIREMENT when clusters merge under a smaller minimum; (2) on a
+  * mitigation in code. Pins (1) the maintained index (normalized bands
+  * + arrays) always equals the fresh rep index over the current
+  * representatives — including rep RETIREMENT when clusters merge
+  * under a smaller minimum; (2) on a
   * corpus of mutually-similar duplicate groups (where rep-mediated
   * discovery sees everything), the incremental append equals the
   * one-shot build over the union; (3) the parquet round trip is
@@ -25,8 +26,11 @@ class RepIndexSpec extends SparkSpec {
   private def labelMap(st: RepIndex.State): Map[Long, Long] =
     st.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  private def indexRows(idx: DataFrame): Set[(Long, Seq[Long], Int, Long)] =
-    idx.collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2), r.getLong(3))).toSet
+  private def bandRowsOf(st: RepIndex.State): Set[(Long, Int, Long)] =
+    st.bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private def sharrOfState(st: RepIndex.State): Set[(Long, Seq[Long])] =
+    st.sharr.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
 
   private val groupA = "alpha beta gamma delta epsilon zeta eta theta"
   private val groupB = "one two three four five six seven eight nine"
@@ -38,30 +42,35 @@ class RepIndexSpec extends SparkSpec {
       11L -> loner))
     val st0 = RepIndex.build(old, "doc_id")
     assert(labelMap(st0) == Map(5L -> 5L, 7L -> 5L, 2L -> 2L, 9L -> 2L, 11L -> 11L))
-    assert(indexRows(st0.index).map(_._1) == Set(5L, 2L, 11L))
+    assert(sharrOfState(st0).map(_._1) == Set(5L, 2L, 11L))
+    assert(bandRowsOf(st0).map(_._1) == Set(5L, 2L, 11L))
 
     // batch: doc 1 joins group A (new minimum: rep 5 retires), doc 3 novel
     val batch = sharrOf(Seq(1L -> groupA, 3L -> novelT))
     val st1 = RepIndex.append(batch, st0, "doc_id")
     assert(labelMap(st1) == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 2L -> 2L,
       9L -> 2L, 11L -> 11L, 3L -> 3L))
-    assert(indexRows(st1.index).map(_._1) == Set(1L, 2L, 11L, 3L))
+    assert(sharrOfState(st1).map(_._1) == Set(1L, 2L, 11L, 3L))
 
-    // the maintained index IS snapshotIndex over the current reps —
-    // row-for-row, not just the same id set
+    // the maintained index IS the fresh rep index over the current reps
+    // — row-for-row (bands AND arrays), not just the same id set
     val union = sharrOf(Seq(5L -> groupA, 7L -> groupA, 2L -> groupB,
       9L -> groupB, 11L -> loner, 1L -> groupA, 3L -> novelT))
     val reps = st1.labels.filter(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
-    val rebuilt = MinHash.snapshotIndex(
-      union.join(reps, Seq("doc_id"), "left_semi"), "doc_id")
-    assert(indexRows(st1.index) == indexRows(rebuilt))
+    val repSharr = union.join(reps, Seq("doc_id"), "left_semi")
+    val rebuilt = RepIndex.State(st1.labels,
+      MinHash.bandRows(MinHash.signaturesFromArray(repSharr, "doc_id"), "doc_id"),
+      repSharr)
+    assert(bandRowsOf(st1) == bandRowsOf(rebuilt))
+    assert(sharrOfState(st1) == sharrOfState(rebuilt))
 
     // mutually-similar groups: rep-mediated discovery sees everything,
     // so append ≡ one-shot build over the union
     val full = RepIndex.build(union, "doc_id")
     assert(labelMap(st1) == labelMap(full))
-    assert(indexRows(st1.index) == indexRows(full.index))
+    assert(bandRowsOf(st1) == bandRowsOf(full))
+    assert(sharrOfState(st1) == sharrOfState(full))
   }
 
   test("parquet round trip is decision-identical") {
@@ -72,7 +81,8 @@ class RepIndexSpec extends SparkSpec {
     RepIndex.write(st0, dir)
     val back = RepIndex.read(sp, dir)
     assert(labelMap(back) == labelMap(st0))
-    assert(indexRows(back.index) == indexRows(st0.index))
+    assert(bandRowsOf(back) == bandRowsOf(st0))
+    assert(sharrOfState(back) == sharrOfState(st0))
     // a batch folded into the read-back state still searches correctly
     val st1 = RepIndex.append(sharrOf(Seq(1L -> groupA)), back, "doc_id")
     val hits = RepIndex.search(sharrOf(Seq(100L -> groupA)), st1, "doc_id")
@@ -94,7 +104,7 @@ class RepIndexSpec extends SparkSpec {
     val batch = sharrOf(Seq(20L -> txt(3, 14)))
     val st1 = RepIndex.append(batch, st0, "doc_id")
     assert(labelMap(st1)(20L) == 20L, s"rep-mediated miss expected: ${labelMap(st1)}")
-    assert(indexRows(st1.index).map(_._1) == Set(5L, 20L))
+    assert(sharrOfState(st1).map(_._1) == Set(5L, 20L))
   }
 
   test("appendLabels guard: non-min-rooted stored labels fail loudly") {

@@ -35,9 +35,18 @@ stop_suffix = (" the of and to a is in it on as"
 import os
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
+# Copy offsets must clear the SOURCE's id range: the original fixed
+# 10M/1M offsets silently collided when the source was /tmp/sf1 (whose
+# make_sf1 ids reach ~200M), leaving the "512k-doc" decade corpus with
+# only 107k distinct doc_ids — duplicate ids break the split-bucket
+# phases and inflate apparent duplication (round-10 find).
+doc_off, vec_off = con.execute(
+    f"SELECT (SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')), "
+    f"(SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet'))"
+).fetchone()
 con.execute(f"""
 COPY (
-  SELECT doc_id + i * 10000000 AS doc_id,
+  SELECT doc_id + i * {doc_off} AS doc_id,
          text || ' copytag' || CAST(i AS VARCHAR) || '{stop_suffix}' AS text,
          lang, source,
          CAST(length(text) + 8 + length(CAST(i AS VARCHAR))
@@ -48,16 +57,21 @@ COPY (
 """)
 con.execute(f"""
 COPY (
-  SELECT vec_id + i * 1000000 AS vec_id,
+  SELECT vec_id + i * {vec_off} AS vec_id,
          CAST(list_transform(embedding, x -> x * (1.0 + i * 0.00001)) AS FLOAT[]) AS embedding,
          label
   FROM read_parquet('{src}/embeddings.parquet')
   CROSS JOIN (SELECT unnest(range(0, {n})) AS i)
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
+dd, dv = con.execute(
+    f"SELECT (SELECT count(DISTINCT doc_id) FROM read_parquet('{out}/documents.parquet')), "
+    f"(SELECT count(DISTINCT vec_id) FROM read_parquet('{out}/embeddings.parquet'))").fetchone()
+
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]:
     shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
 docs, vecs = (con.execute(f"SELECT (SELECT count(*) FROM read_parquet('{out}/documents.parquet')), "
                           f"(SELECT count(*) FROM read_parquet('{out}/embeddings.parquet'))").fetchone())
-print(f"wrote {out}: documents={docs} embeddings={vecs} (x{n})")
+assert dd == docs and dv == vecs, f"id collision: {dd}/{docs} docs, {dv}/{vecs} vecs distinct"
+print(f"wrote {out}: documents={docs} embeddings={vecs} (x{n}, ids distinct)")
