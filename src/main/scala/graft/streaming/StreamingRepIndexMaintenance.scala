@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.dedup.{MinHash, RepIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming maintenance for the REPRESENTATIVE-ONLY serving index
+  * (twin #10 — the rep-index member of the streaming maintenance
+  * family): each micro-batch of finalized documents folds into the
+  * stored [[RepIndex.State]] via the same rep-mediated discovery the
+  * batch path gates (d17), but the stream writes O(delta) per batch,
+  * not the full state.
+  *
+  * Why deltas merge EXACTLY here (the LSM property the state's algebra
+  * provides for free):
+  *  - a node's cluster_id only DECREASES over time (components only
+  *    merge, and the label is the component minimum) — so the label
+  *    store is min-mergeable: each segment holds the batch's new/changed
+  *    label rows, and `min(cluster_id) GROUP BY id` over all segments IS
+  *    the current label of every node, order-free;
+  *  - rep RETIREMENT is monotone (a rep leaves when its cluster absorbs
+  *    a smaller id; the minimum never grows back) — so index rows are
+  *    additions ∪-minus a tombstone set: per batch, one segment of the
+  *    NEW reps' band/array rows plus the retired rep ids, and the live
+  *    index is (∪ additions) anti-join (∪ tombstones).
+  * Both reads are one multi-path scan + one aggregate/anti-join;
+  * compaction (live segments > maxSegments) rewrites the RESOLVED state
+  * as a single segment with empty tombstones. Crash safety and
+  * re-delivery idempotence come from the shared [[Segments]] manifest
+  * (rename-commit, high-water batch id). StreamingRepIndexSpec pins the
+  * streamed state ≡ the batch build/append path (and through it d17's
+  * oracle), re-delivery no-ops, and rep retirement across waves. */
+object StreamingRepIndexMaintenance {
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  private def liveSegs(dir: String): Seq[String] =
+    Segments.latest(dir).map(_.segments).getOrElse(Nil)
+
+  /** The current serving state, merged-on-read from the live segments. */
+  def readLatest(spark: SparkSession, dir: String, idCol: String): RepIndex.State = {
+    val segs = liveSegs(dir).map(s => s"$dir/$s")
+    require(segs.nonEmpty, s"no committed segments under $dir")
+    val labels = spark.read.parquet(segs.map(_ + "/labels"): _*)
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    val retired = spark.read.parquet(segs.map(_ + "/retired"): _*)
+    val bands = spark.read.parquet(segs.map(_ + "/bands"): _*)
+      .join(retired, Seq(idCol), "left_anti")
+    val sharr = spark.read.parquet(segs.map(_ + "/sharr"): _*)
+      .join(retired, Seq(idCol), "left_anti")
+    RepIndex.State(labels, bands, sharr)
+  }
+
+  /** The foreachBatch function: fold `batch` (idCol + textCol document
+    * rows, ids disjoint from everything already folded) into the stored
+    * state, writing only the delta. Wire as
+    * `ds.writeStream.foreachBatch(sink(spark, dir, "doc_id", "text")() _)`. */
+  def sink(spark: SparkSession, dir: String, idCol: String, textCol: String,
+           n: Int = 2, threshold: Double = 0.7,
+           rowsPerBand: Int = MinHash.RowsPerBand, maxSegments: Int = 8)(
+           batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= latestMaxBatch(dir)) return // re-delivered: already folded
+    val sharrB = MinHash.hashedShingleArray(batch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = liveSegs(dir).isEmpty
+      val prev =
+        if (first) RepIndex.State(null, null, null)
+        else readLatest(spark, dir, idCol)
+      val next =
+        if (first) RepIndex.build(sharrB, idCol, threshold, rowsPerBand)
+        else RepIndex.append(sharrB, prev, idCol, threshold, rowsPerBand)
+      val seg = s"$dir/seg$batchId"
+      // labels delta: rows new or changed this batch (cluster minima only
+      // decrease, so stale rows in older segments lose the min-merge)
+      val labelsDelta =
+        if (first) next.labels
+        else next.labels.join(prev.labels, Seq("id", "cluster_id"), "left_anti")
+      labelsDelta.write.mode("overwrite").parquet(s"$seg/labels")
+      // index delta: the batch's new rep rows + retired rep ids
+      val newRepIds =
+        if (first) next.sharr.select(col(idCol))
+        else next.sharr.select(col(idCol))
+          .join(prev.sharr.select(col(idCol)), Seq(idCol), "left_anti")
+      next.bands.join(newRepIds, Seq(idCol), "left_semi")
+        .write.mode("overwrite").parquet(s"$seg/bands")
+      next.sharr.join(newRepIds, Seq(idCol), "left_semi")
+        .write.mode("overwrite").parquet(s"$seg/sharr")
+      val retired =
+        if (first) next.sharr.select(col(idCol)).limit(0)
+        else prev.sharr.select(col(idCol))
+          .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti")
+      retired.write.mode("overwrite").parquet(s"$seg/retired")
+      Segments.commit(dir, batchId, liveSegs(dir) :+ s"seg$batchId")
+      if (liveSegs(dir).size > maxSegments) compact(spark, dir, idCol, batchId)
+    } finally sharrB.unpersist()
+  }
+
+  /** Rewrite the RESOLVED state as one `cmp<batchId>` segment (tombstones
+    * empty — retirements are already applied by the resolved read). */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+              batchId: Long): Unit = {
+    val st = readLatest(spark, dir, idCol)
+    val seg = s"$dir/cmp$batchId"
+    st.labels.write.mode("overwrite").parquet(s"$seg/labels")
+    st.bands.write.mode("overwrite").parquet(s"$seg/bands")
+    st.sharr.write.mode("overwrite").parquet(s"$seg/sharr")
+    st.sharr.select(col(idCol)).limit(0)
+      .write.mode("overwrite").parquet(s"$seg/retired")
+    Segments.commit(dir, latestMaxBatch(dir), Seq(s"cmp$batchId"))
+  }
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+}
