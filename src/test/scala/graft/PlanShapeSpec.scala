@@ -263,4 +263,46 @@ class PlanShapeSpec extends SparkSpec {
         s"pair stage re-scans parquet despite the cache:\n$exec")
     } finally emb.unpersist()
   }
+
+  test("r7 tombstoned-index search: only index files scanned, corpus text never read") {
+    import org.apache.spark.sql.functions._
+    // serving contract: delete + search run entirely from the STORED
+    // index — a plan that reaches back to the corpus parquet would drag
+    // 100 TB of text into every delete
+    val docs = Tables.documents(spark, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_r7_plan").toString
+    graft.text.Bm25.writeIndex(
+      graft.text.Bm25.buildIndex(docs, "doc_id", "text"), idxDir)
+    val sp = spark; import sp.implicits._
+    val tomb = Seq(1L, 2L).toDF("doc_id")
+    val deleted = graft.text.Bm25.deleteFromIndex(tomb,
+      graft.text.Bm25.readIndex(sp, idxDir), "doc_id")
+    val out = graft.text.Bm25.searchIndex(
+      Seq((999L, "alpha beta gamma")).toDF("doc_id", "text"),
+      deleted, "doc_id", "text", k = 5)
+    val scanned = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("graft_r7_plan")),
+      s"tombstoned search escaped the stored index: $scanned")
+  }
+
+  test("segmented index read: N segments = ONE multi-path scan per component") {
+    val sp = spark; import sp.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_seg_plan").toString
+    val sink = graft.streaming.StreamingIndexMaintenance
+      .indexSink(sp, dir2, "doc_id", "text") _
+    sink(Seq((1L, "quick brown fox"), (2L, "lazy dog")).toDF("doc_id", "text"), 0L)
+    sink(Seq((3L, "sleepy fox")).toDF("doc_id", "text"), 1L)
+    sink(Seq((4L, "cooking recipe")).toDF("doc_id", "text"), 2L)
+    val idx = graft.streaming.StreamingIndexMaintenance.readLatest(sp, dir2)
+    // 3 segments must NOT plan as a 3-way union of scans: the multi-path
+    // parquet read is one scan node whose location lists 3 roots
+    val scans = idx.postings.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1, s"postings read is ${scans.size} scans, want 1")
+    assert(scans.head.relation.location.rootPaths.size == 3,
+      s"expected 3 segment roots: ${scans.head.relation.location.rootPaths}")
+  }
 }
