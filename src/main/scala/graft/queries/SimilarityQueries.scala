@@ -168,6 +168,33 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- C12: SEMANTIC decontamination — the embedding-space member of
+    //      the decontamination family (c3/c5 are lexical 8-gram overlap,
+    //      t25 is novelty ppm): a train doc whose embedding is too close
+    //      to ANY eval-split vector is paraphrase-level contamination
+    //      that n-gram overlap structurally misses. Per train vector:
+    //      max cosine against the eval split (broadcast — the eval side
+    //      is the small side by construction) and a keep flag at 0.34
+    //      (sits between the sf corpus's p90 0.338 and p99 0.403, so
+    //      both outcomes are populated). max-of-rounded = rounded-max
+    //      (round is monotone), so the gate is engine-exact.
+    "c12_semantic_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bucket = graft.text.TextAnalysis.splitBucket(col("vec_id"))
+      val test = emb.filter(bucket >= 90)
+        .select(col("vec_id").as("tid"), Cosine.toDouble(col("embedding")).as("tv"))
+        .withColumn("tn", Cosine.normSq(col("tv")))
+      val train = emb.filter(bucket < 90)
+        .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("v"))
+        .withColumn("vn", Cosine.normSq(col("v")))
+      train.crossJoin(broadcast(test))
+        .select(col("vec_id"),
+          round(Cosine.cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("max_test_sim"))
+        .withColumn("kept", col("max_test_sim") < 0.34)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- X13: iterative Lloyd k-means — the full trainer whose single
     //      step x5/x6 expose: 2 rounds of (centroids → reassign) from the
     //      label initialization. Gate runs the sorted-fold centroid path.
@@ -636,6 +663,27 @@ object SimilarityQueries extends QueryPack {
          |  coalesce(d.dcg_micro, 0) * 1000000 // i.idcg_micro AS ndcg_ppm
          |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
          |ORDER BY i.query_id""".stripMargin,
+    // c12: the same dot/norm chain as x1 restricted to the split sides;
+    // max over ROUND(sim, 6) — identical to Spark's rounded-max since
+    // rounding is monotone
+    "c12_semantic_decontaminate" ->
+      s"""WITH $vCte,
+         |bk AS (SELECT vec_id,
+         |  CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+         |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM embeddings),
+         |m AS (SELECT t.vec_id,
+         |    max(ROUND(list_dot_product(t.emb, e.emb)
+         |      / (sqrt(tn.nsq) * sqrt(en.nsq)), 6)) AS max_test_sim
+         |  FROM v t JOIN bk bt ON bt.vec_id = t.vec_id
+         |  JOIN n tn ON tn.vec_id = t.vec_id
+         |  CROSS JOIN v e
+         |  JOIN bk be ON be.vec_id = e.vec_id
+         |  JOIN n en ON en.vec_id = e.vec_id
+         |  WHERE bt.bucket < 90 AND be.bucket >= 90
+         |  GROUP BY t.vec_id)
+         |SELECT vec_id, max_test_sim, max_test_sim < 0.34 AS kept
+         |FROM m ORDER BY vec_id""".stripMargin,
     "x1_cosine_topk" ->
       s"""WITH $vCte,
          |sims AS (

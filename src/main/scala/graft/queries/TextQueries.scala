@@ -1087,6 +1087,31 @@ object TextQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- T31: DOMAIN-level quality gate — the Gopher/RefinedWeb stage
+    //      the per-doc filters (t3/t11/t18) don't cover: aggregate doc
+    //      quality per SOURCE and drop whole sources whose average falls
+    //      below the corpus mean (spam/SEO domains poison at the domain
+    //      granularity; per-doc filters leak their tail). Integer micro
+    //      quality per doc → per-source (count, sum) → floor-div average
+    //      vs the corpus-mean threshold: every comparison is integer, so
+    //      the gate is engine-exact. One corpus scan feeds both the
+    //      per-source and the global aggregate (persisted projection).
+    "t31_domain_quality_gate" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("qm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thr = per.agg(expr("sum(qm) div count(1)").as("thr"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sum_q_micro"))
+        .crossJoin(broadcast(thr))
+        .select(col("source"), col("n_docs"), col("sum_q_micro"),
+          expr("sum_q_micro div n_docs").as("avg_q_micro"),
+          (expr("sum_q_micro div n_docs") >= col("thr")).as("kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---- T18: unigram cross-entropy quality score — the CCNet-style
     //      perplexity filter (Wenzek et al. 2019) with the LM trained on
     //      the corpus's own t7 train split; high xent = out-of-domain /
@@ -2115,6 +2140,29 @@ object TextQueries extends QueryPack {
     // rank-1 row under (quality DESC, doc_id ASC) — the same total order
     // Spark's max(struct(quality, -id)) aggregate encodes
     "d14_quality_keep" -> qualityKeepSql,
+    // t31: d14's per-doc quality arithmetic fixed to integer micro units,
+    // then pure integer aggregation — `//` is DuckDB's floor division,
+    // matching Spark's `div` on the non-negative sums
+    "t31_domain_quality_gate" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  CAST(ROUND(ROUND(((CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+        |      BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text,
+        |        '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+        |        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) > 0
+        |      THEN 1.0 ELSE 0.0 END)) / 3.0, 6) * 1000000, 0) AS BIGINT) AS qm
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(qm) AS BIGINT) AS sum_q_micro
+        |  FROM q GROUP BY source),
+        |g AS (SELECT CAST(sum(qm) AS BIGINT) // count(*) AS thr FROM q)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sum_q_micro,
+        |  sum_q_micro // n_docs AS avg_q_micro,
+        |  (sum_q_micro // n_docs) >= g.thr AS kept
+        |FROM s, g ORDER BY source""".stripMargin,
     // d18 shares d14's full-rebuild oracle VERBATIM (the d16/d15 pattern):
     // a green row proves the incremental (labels ⋈ bests) fold equals
     // recomputing clusters and quality representatives from scratch
