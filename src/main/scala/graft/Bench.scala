@@ -323,16 +323,18 @@ object Bench {
     }
     // STDOUT line diet (judge r9 #8): at 170+ queries the full map
     // overflows the driver's ~2000-byte tail capture. The stdout line
-    // keeps 2-decimal precision and omits sub-0.15 s queries (their count
-    // and summed seconds stay, so the total still reconciles); the
-    // in-repo BENCH_LOCAL.json carries every query at full precision.
+    // keeps 2-decimal precision and omits sub-0.25 s queries (their count
+    // and summed seconds stay, so the total still reconciles; 0.15 left
+    // the 174-query line at 2029 bytes — 0.25 buys headroom to ~200+
+    // queries); the in-repo BENCH_LOCAL.json carries every query at
+    // full precision.
     def stdoutLine = {
       def s2(v: Double) = {
         val b = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .underlying.stripTrailingZeros
         if (b.scale < 0) b.setScale(0) else b
       }
-      val (kept, tiny) = sorted.partition { case (_, r) => !r.ok || r.sec >= 0.15 }
+      val (kept, tiny) = sorted.partition { case (_, r) => !r.ok || r.sec >= 0.25 }
       val qs = kept.map { case (k, r) => "\"" + finalKey(k) + "\":" + s2(r.sec) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
