@@ -179,9 +179,14 @@ object Pipeline {
     // one half, fold the other half incrementally, persist, search from
     // the stored form; the index must hold at most one row-set per
     // cluster (reps only), never the raw corpus
-    def sharrOf(df: org.apache.spark.sql.DataFrame) =
-      graft.dedup.MinHash.hashedShingleArray(df, "doc_id", "text", 2)
+    val repCaches = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    def sharrOf(df: org.apache.spark.sql.DataFrame) = {
+      val f = graft.dedup.MinHash.hashedShingleArray(df, "doc_id", "text", 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      repCaches += f
+      f
+    }
     val st0 = graft.dedup.RepIndex.build(
       sharrOf(docs.filter(col("doc_id") % 2 === 0)), "doc_id")
     val st1 = graft.dedup.RepIndex.append(
@@ -195,6 +200,9 @@ object Pipeline {
     assert(nReps <= nDocs, s"reps $nReps exceed corpus $nDocs")
     val repHits = graft.dedup.RepIndex.search(
       sharrOf(docs.filter(col("doc_id") < 3)), repState, "doc_id").count()
+    // the stored state is materialized; release the stage's caches so
+    // later pipeline stages don't run under its storage pressure
+    repCaches.foreach(_.unpersist())
     println(s"[pipeline] serving: MMR reranked $nRr rows; segmented index " +
       s"holds both waves ($nServed hits for 3 probes); rep index " +
       s"$nReps reps / $nDocs docs ($repHits rep hits)")

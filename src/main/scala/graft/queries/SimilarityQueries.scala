@@ -187,7 +187,11 @@ object SimilarityQueries extends QueryPack {
       val train = emb.filter(bucket < 90)
         .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("v"))
         .withColumn("vn", Cosine.normSq(col("v")))
-      train.crossJoin(broadcast(test))
+      // no broadcast HINT: a real eval set is fixed and tiny (the planner
+      // broadcasts it from stats), but this gate's 10%-bucket proxy grows
+      // with the corpus — a forced broadcast would OOM at decade scale
+      // instead of degrading to a shuffled cartesian
+      train.crossJoin(test)
         .select(col("vec_id"),
           round(Cosine.cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
         .groupBy(col("vec_id")).agg(max(col("sim")).as("max_test_sim"))

@@ -116,19 +116,26 @@ object Mmr {
     import sp.implicits._
     cand.select(col(queryCol).cast("long"), col(docCol).cast("long"),
         col(simMicroCol).cast("long"), col(vecCol))
-      .as[(Long, Long, Long, Seq[Double])]
+      .as[(Long, Long, Option[Long], Option[Seq[Double]])]
       .groupByKey(_._1)
-      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Double])]) =>
-        // ascending doc_id: ties resolve to the smallest id by first-wins
+      .flatMapGroups { (qid: Long,
+                        it: Iterator[(Long, Long, Option[Long], Option[Seq[Double]])]) =>
+        // ascending doc_id: ties resolve to the smallest id by first-wins.
+        // qsim/vector ride as Options: a zero-norm candidate reaches here
+        // with a NULL qsim (cosine's nullif semantics) and must score
+        // null-last exactly like the dataframe loop, not crash the
+        // encoder on a non-nullable primitive
         val cs = it.toArray.sortBy(_._2)
-        val vs = cs.map(_._4.toArray)
-        val norms = vs.map(v => dotSeq(v, v))
-        // pair sim in micro units; None when either norm is 0 (the
-        // Column form's nullif → null semantics)
-        def psim(i: Int, j: Int): Option[Long] = {
-          val d = math.sqrt(norms(i)) * math.sqrt(norms(j))
-          if (d == 0.0) None else Some(roundMicro(dotSeq(vs(i), vs(j)) / d))
-        }
+        val vs = cs.map(_._4.map(_.toArray))
+        val norms = vs.map(_.map(v => dotSeq(v, v)))
+        // pair sim in micro units; None when either vector is null or has
+        // norm 0 (the Column form's nullif → null semantics)
+        def psim(i: Int, j: Int): Option[Long] =
+          for {
+            vi <- vs(i); vj <- vs(j)
+            d = math.sqrt(norms(i).get) * math.sqrt(norms(j).get)
+            if d != 0.0
+          } yield roundMicro(dotSeq(vi, vj) / d)
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Int, Long, Option[Long])]
@@ -138,11 +145,14 @@ object Mmr {
           var bestScore: Option[Long] = None
           for (i <- cs.indices if !selected.contains(i)) {
             val score: Option[Long] =
-              if (step == 1) Some(lam * cs(i)._3)
+              if (step == 1) cs(i)._3.map(lam * _)
               else {
                 val ps = selected.iterator.flatMap(j => psim(i, j).iterator)
                 if (ps.isEmpty) None
-                else Some(lam * cs(i)._3 - (10L - lam) * ps.max)
+                else {
+                  val m = ps.max
+                  cs(i)._3.map(q => lam * q - (10L - lam) * m)
+                }
               }
             val wins = bestIdx < 0 || ((score, bestScore) match {
               case (Some(a), Some(b)) => a > b // tie → earlier (smaller) id

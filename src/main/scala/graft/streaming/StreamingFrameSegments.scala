@@ -23,21 +23,15 @@ private[streaming] object FrameSegments {
     spark.read.parquet(segs: _*)
   }
 
-  /** Fold one micro-batch: no-op if `batchId` is at/under the manifest's
-    * high-water mark; otherwise write `frame` as `seg<batchId>`, commit,
-    * and compact if the live set exceeds `maxSegments`. */
+  /** Fold one micro-batch through the shared [[Segments.fold]] protocol:
+    * the segment is the single frame, compaction is the resolved union. */
   def fold(spark: SparkSession, dir: String, batchId: Long,
-           maxSegments: Int)(frame: => DataFrame): Unit = {
-    val prev = Segments.latest(dir)
-    if (batchId <= prev.map(_.maxBatch).getOrElse(-1L)) return
-    frame.write.mode("overwrite").parquet(s"$dir/seg$batchId")
-    val live = prev.map(_.segments).getOrElse(Nil) :+ s"seg$batchId"
-    Segments.commit(dir, batchId, live)
-    if (live.size > maxSegments) {
-      readLatest(spark, dir).write.mode("overwrite").parquet(s"$dir/cmp$batchId")
-      Segments.commit(dir, batchId, Seq(s"cmp$batchId"))
+           maxSegments: Int)(frame: => DataFrame): Unit =
+    Segments.fold(dir, batchId, maxSegments) { seg =>
+      frame.write.mode("overwrite").parquet(seg)
+    } { cmp =>
+      readLatest(spark, dir).write.mode("overwrite").parquet(cmp)
     }
-  }
 }
 
 /** Streaming maintenance for the LSH snapshot index (the d15 append path

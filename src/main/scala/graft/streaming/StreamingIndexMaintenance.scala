@@ -23,17 +23,26 @@ private[streaming] object Segments {
 
   private def manifestDir(dir: String) = new java.io.File(dir, "manifest")
 
-  def latest(dir: String): Option[Manifest] = {
-    val files = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.matches("m\\d+"))
-    if (files.isEmpty) None
-    else {
-      val f = files.maxBy(_.getName.drop(1).toLong)
+  private def parse(f: java.io.File): Option[Manifest] =
+    try {
       val lines = java.nio.file.Files.readAllLines(f.toPath)
       Some(Manifest(f.getName.drop(1).toLong, lines.get(0).toLong,
         scala.jdk.CollectionConverters.ListHasAsScala(
           lines.subList(1, lines.size)).asScala.toSeq))
-    }
+    } catch { case _: Exception => None } // torn/empty file: not a manifest
+
+  /** Newest PARSEABLE manifest. A power loss after the rename can leave
+    * the newest file empty (the rename is not fsynced — acceptable for
+    * this store: the fold is idempotent and re-delivery rebuilds the
+    * manifest); a torn newest file must not brick every read and every
+    * subsequent fold, so unparsable files are skipped, falling back to
+    * the previous commit — exactly the state a crash before the rename
+    * would have left. */
+  def latest(dir: String): Option[Manifest] = {
+    val files = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("m\\d+"))
+      .sortBy(-_.getName.drop(1).toLong)
+    files.iterator.flatMap(parse(_).iterator).nextOption()
   }
 
   /** Rename-commit the next manifest: `m<seq+1>.tmp` → `m<seq+1>`. */
@@ -54,8 +63,13 @@ private[streaming] object Segments {
     * references (a reader that resolved the previous manifest just
     * before a compaction still has its segments on disk — the
     * pruneVersions keep≥2 contract). Unreferenced directories include
-    * crashed partial segment writes. Never runs implicitly: deletion is
-    * the caller's policy call, like the version store it replaced. */
+    * crashed partial segment writes — but ONLY those at/below the kept
+    * high-water batch id: a sink mid-flight on the NEXT batch has
+    * already written (or is writing) `seg<batchId>` with batchId above
+    * the newest manifest's maxBatch, and deleting it under the writer
+    * would commit a manifest pointing at a vanished directory — the
+    * writer-race guard the version store this replaced also had. Never
+    * runs implicitly: deletion is the caller's policy call. */
   def prune(dir: String, keepManifests: Int = 2): Unit = {
     require(keepManifests >= 1)
     val md = manifestDir(dir)
@@ -64,11 +78,10 @@ private[streaming] object Segments {
       .sortBy(_.getName.drop(1).toLong)
     if (manifests.isEmpty) return
     val kept = manifests.takeRight(keepManifests)
-    val live: Set[String] = kept.flatMap { f =>
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        lines.subList(1, lines.size)).asScala
-    }.toSet
+    val parsed = kept.flatMap(parse)
+    if (parsed.isEmpty) return // nothing trustworthy to anchor deletion on
+    val live: Set[String] = parsed.flatMap(_.segments).toSet
+    val highWater = parsed.map(_.maxBatch).max
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
@@ -76,8 +89,26 @@ private[streaming] object Segments {
     manifests.dropRight(keepManifests).foreach(_.delete())
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("(seg|cmp)\\d+")
-        && !live(f.getName))
+        && !live(f.getName)
+        && f.getName.dropWhile(!_.isDigit).toLong <= highWater)
       .foreach(rm)
+  }
+
+  /** The shared fold protocol (re-delivery skip → write one immutable
+    * segment → rename-commit → compact past `maxSegments`), implemented
+    * ONCE: the three sinks differ only in how a segment's contents are
+    * written and how the live set compacts, passed in as callbacks. */
+  def fold(dir: String, batchId: Long, maxSegments: Int)(
+      writeSegment: String => Unit)(writeCompacted: String => Unit): Unit = {
+    val prev = latest(dir)
+    if (batchId <= prev.map(_.maxBatch).getOrElse(-1L)) return
+    writeSegment(s"$dir/seg$batchId")
+    val live = prev.map(_.segments).getOrElse(Nil) :+ s"seg$batchId"
+    commit(dir, batchId, live)
+    if (live.size > maxSegments) {
+      writeCompacted(s"$dir/cmp$batchId")
+      commit(dir, batchId, Seq(s"cmp$batchId"))
+    }
   }
 }
 
@@ -136,20 +167,15 @@ object StreamingIndexMaintenance {
     * `ds.writeStream.foreachBatch(indexSink(spark, dir, "doc_id", "text")() _)`. */
   def indexSink(spark: SparkSession, dir: String, idCol: String,
                 textCol: String, maxSegments: Int = 8)(
-                batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= latestMaxBatch(dir)) return // re-delivered: already folded
-    val bIdx = Bm25.buildIndex(batch, idCol, textCol)
-    Bm25.writeIndex(bIdx, s"$dir/seg$batchId")
-    bIdx.postings.unpersist() // buildIndex's caller-owned cache, per batch
-    Segments.commit(dir, batchId, liveSegments(dir) :+ s"seg$batchId")
-    if (liveSegments(dir).size > maxSegments) compact(spark, dir, batchId)
-  }
-
-  /** Merge every live segment into one `cmp<batchId>` segment and commit
-    * a manifest referencing only it. Retired segment directories stay on
-    * disk for readers of the previous manifest until [[prune]]. */
-  def compact(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    Bm25.writeIndex(readLatest(spark, dir), s"$dir/cmp$batchId")
-    Segments.commit(dir, latestMaxBatch(dir), Seq(s"cmp$batchId"))
-  }
+                batch: DataFrame, batchId: Long): Unit =
+    Segments.fold(dir, batchId, maxSegments) { seg =>
+      val bIdx = Bm25.buildIndex(batch, idCol, textCol)
+      Bm25.writeIndex(bIdx, seg)
+      bIdx.postings.unpersist() // buildIndex's caller-owned cache, per batch
+    } { cmp =>
+      // merge every live segment into one compacted segment; retired
+      // directories stay on disk for readers of the previous manifest
+      // until [[prune]]
+      Bm25.writeIndex(readLatest(spark, dir), cmp)
+    }
 }

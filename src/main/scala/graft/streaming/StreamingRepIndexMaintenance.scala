@@ -60,18 +60,32 @@ object StreamingRepIndexMaintenance {
            n: Int = 2, threshold: Double = 0.7,
            rowsPerBand: Int = MinHash.RowsPerBand, maxSegments: Int = 8)(
            batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= latestMaxBatch(dir)) return // re-delivered: already folded
-    val sharrB = MinHash.hashedShingleArray(batch, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // released per micro-batch; all persists are lazy, so a re-delivered
+    // (no-op) batch never materializes them
+    val sharrB = MinHash.hashedShingleArray(batch, idCol, textCol, n).persist(lvl)
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](sharrB)
+    try Segments.fold(dir, batchId, maxSegments) { seg =>
       val first = liveSegs(dir).isEmpty
       val prev =
         if (first) RepIndex.State(null, null, null)
-        else readLatest(spark, dir, idCol)
-      val next =
+        else {
+          // the four delta writes below are four actions: cache the two
+          // prev frames they share so the live segments are scanned once,
+          // not once per write
+          val st = readLatest(spark, dir, idCol)
+          val p = RepIndex.State(st.labels.persist(lvl), st.bands,
+            st.sharr.persist(lvl))
+          caches += p.labels += p.sharr
+          p
+        }
+      val next0 =
         if (first) RepIndex.build(sharrB, idCol, threshold, rowsPerBand)
         else RepIndex.append(sharrB, prev, idCol, threshold, rowsPerBand)
-      val seg = s"$dir/seg$batchId"
+      // labels drive every downstream frame (rep ids, bands, arrays) and
+      // feed four actions — cache them once per batch
+      val next = RepIndex.State(next0.labels.persist(lvl), next0.bands, next0.sharr)
+      caches += next.labels
       // labels delta: rows new or changed this batch (cluster minima only
       // decrease, so stale rows in older segments lose the min-merge)
       val labelsDelta =
@@ -92,23 +106,21 @@ object StreamingRepIndexMaintenance {
         else prev.sharr.select(col(idCol))
           .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti")
       retired.write.mode("overwrite").parquet(s"$seg/retired")
-      Segments.commit(dir, batchId, liveSegs(dir) :+ s"seg$batchId")
-      if (liveSegs(dir).size > maxSegments) compact(spark, dir, idCol, batchId)
-    } finally sharrB.unpersist()
+    } { cmp =>
+      compactInto(spark, dir, idCol, cmp)
+    } finally caches.foreach(_.unpersist())
   }
 
-  /** Rewrite the RESOLVED state as one `cmp<batchId>` segment (tombstones
+  /** Rewrite the RESOLVED state as one compacted segment (tombstones
     * empty — retirements are already applied by the resolved read). */
-  def compact(spark: SparkSession, dir: String, idCol: String,
-              batchId: Long): Unit = {
+  private def compactInto(spark: SparkSession, dir: String, idCol: String,
+                          seg: String): Unit = {
     val st = readLatest(spark, dir, idCol)
-    val seg = s"$dir/cmp$batchId"
     st.labels.write.mode("overwrite").parquet(s"$seg/labels")
     st.bands.write.mode("overwrite").parquet(s"$seg/bands")
     st.sharr.write.mode("overwrite").parquet(s"$seg/sharr")
     st.sharr.select(col(idCol)).limit(0)
       .write.mode("overwrite").parquet(s"$seg/retired")
-    Segments.commit(dir, latestMaxBatch(dir), Seq(s"cmp$batchId"))
   }
 
   def prune(dir: String, keepManifests: Int = 2): Unit =

@@ -75,4 +75,24 @@ class MmrSpec extends SparkSpec {
       .orderBy(col("mmr_rank")).collect()
     assert(got.map(_.getLong(2)).toSeq == Seq(101L, 103L, 102L), got.toSeq)
   }
+
+  test("kernel handles null qsim / zero-norm vectors like the dataframe loop") {
+    val sp = spark; import sp.implicits._
+    // a zero-norm candidate reaches MMR with NULL qsim (cosine's nullif
+    // semantics upstream); the loop sorts its null scores last — the
+    // kernel must agree, not crash its encoder on a non-nullable Long
+    val c = Seq(
+      (1L, 101L, Option(990000L), Seq(1.0, 0.01, 0.0)),
+      (1L, 102L, Option(980000L), Seq(1.0, 0.02, 0.0)),
+      (1L, 103L, Option.empty[Long], Seq(0.0, 0.0, 0.0)))
+      .toDF("query_id", "doc_id", "qsim_micro", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val loop = rows(Mmr.rerank(c, k = 3, lambdaTenths = 7))
+    val local = rows(Mmr.rerankLocal(c, k = 3, lambdaTenths = 7))
+    assert(local == loop, s"$local vs $loop")
+    // the null-scored candidate ranks LAST in both forms
+    assert(loop.find(_._3 == 103L).get._2 == 3, loop.toString)
+  }
 }

@@ -117,16 +117,20 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     // the previous manifest until prune
     val before = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(before.contains("seg0") && before.contains("cmp2"), before)
-    // a crashed partial segment write (unreferenced by any manifest) and
-    // a non-matching tooling dir
+    // a crashed partial COMPACTION write (unreferenced, BELOW the kept
+    // high-water mark — safe to sweep), a possible in-flight writer's
+    // directory (above the mark — must survive), and a foreign dir
+    new java.io.File(s"$dir/cmp1").mkdirs()
     new java.io.File(s"$dir/seg99").mkdirs()
     new java.io.File(s"$dir/vacuum").mkdirs()
     // keepManifests = 2: the pre-compaction manifest still references
-    // seg0..seg2, so they survive; the crashed seg99 does not
+    // seg0..seg2, so they survive; the crashed cmp1 does not
     StreamingIndexMaintenance.prune(dir, keepManifests = 2)
     val kept2 = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(kept2.contains("seg0") && !kept2.contains("seg99"), kept2)
+    assert(kept2.contains("seg0") && !kept2.contains("cmp1"), kept2)
+    assert(kept2.contains("seg99"), kept2) // writer-race guard: above high-water
     assert(kept2.contains("vacuum"), kept2) // never touches foreign dirs
+    new java.io.File(s"$dir/seg99").delete() // tidy the fixture
     // keepManifests = 1: only the compacted segment is live
     StreamingIndexMaintenance.prune(dir, keepManifests = 1)
     val kept1 = new java.io.File(dir).listFiles().map(_.getName).toSet
@@ -138,6 +142,37 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
       StreamingIndexMaintenance.readLatest(sp, dir), "doc_id", "text", k = 3,
       minIdfMicro = 0L)
     assert(served.count() > 0)
+  }
+
+  test("prune never races a mid-flight writer; torn manifests are skipped") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx4").toString
+    val sink = StreamingIndexMaintenance.indexSink(sp, dir, "doc_id", "text") _
+    sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L)
+    // a sink mid-flight on batch 2: seg2 written, manifest NOT yet
+    // committed — prune must leave it alone (its id is above the kept
+    // high-water mark), while a stale below-high-water straggler goes
+    Bm25.writeIndex(Bm25.buildIndex(wave3.toDF(), "doc_id", "text"), s"$dir/seg2")
+    new java.io.File(s"$dir/seg0_tmp").mkdirs() // non-matching: ignored
+    StreamingIndexMaintenance.prune(dir, keepManifests = 1)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("seg2"), s"prune raced the in-flight writer: $names")
+    assert(names.contains("seg0") && names.contains("seg1"), names)
+    // the in-flight batch now commits and serves
+    sink(wave3.toDF(), 2L)
+    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 2L)
+    assert(StreamingIndexMaintenance.readLatest(sp, dir)
+      .stats.collect().head.getLong(0) == 5L)
+    // a torn (empty) newest manifest must not brick reads or folds: the
+    // store falls back to the previous commit, exactly the pre-rename
+    // crash state
+    val md = new java.io.File(s"$dir/manifest")
+    val seqs = md.listFiles().map(_.getName.drop(1).toLong)
+    java.nio.file.Files.write(
+      new java.io.File(md, s"m${seqs.max + 1}").toPath, Array.emptyByteArray)
+    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 2L)
+    assert(StreamingIndexMaintenance.readLatest(sp, dir)
+      .stats.collect().head.getLong(0) == 5L)
   }
 
   test("a re-delivered batch id is a no-op (restart idempotence)") {
