@@ -30,6 +30,15 @@ object MinHash {
   val RowsPerBand = 4
   def numBands: Int = NumHashes / RowsPerBand
 
+  /** Partition fan-out for the PERSISTED rep-index band layout
+    * ([[graft.dedup.RepIndex.write]]): stored band rows carry
+    * pbucket = band_hash mod ProbeBuckets as a partition column, so a
+    * serving probe's band join prunes to its own (band, pbucket)
+    * directories. bandCount × ProbeBuckets directories total — small
+    * enough for any metastore, large enough that a single-doc probe
+    * reads 1/ProbeBuckets of each band. */
+  val ProbeBuckets = 16
+
   /** Deterministic hash-function constants (shared with the oracle SQL). */
   val A: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
   val B: Seq[Long] = (0 until NumHashes).map(i => (104729L * i + 12345L) % P)
@@ -446,10 +455,23 @@ object MinHash {
                                        oldSharr: DataFrame, idCol: String,
                                        threshold: Double = 0.7,
                                        rowsPerBand: Int = RowsPerBand): DataFrame = {
-    val bNew = bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand)
+    // when oldBands comes from the PARTITIONED serving layout (it carries
+    // the pbucket partition column), compute the same pure function of
+    // band_hash on the probe side and include it in the equi-join keys:
+    // filters nothing (pbucket is determined by band_hash) but lets
+    // dynamic partition pruning cut the stored scan to the probe's
+    // (band, pbucket) directories
+    val pruned = oldBands.columns.contains("pbucket")
+    val pb = pmod(col("band_hash"), lit(ProbeBuckets.toLong)).cast("int")
+    val bNew0 = bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
-    val bOld = oldBands.select(col(idCol).as("id_old"), col("band"), col("band_hash"))
-    val pairs = bNew.join(bOld, Seq("band", "band_hash"))
+    val bNew = if (pruned) bNew0.withColumn("pbucket", pb) else bNew0
+    val oldCols = Seq(col(idCol).as("id_old"), col("band"), col("band_hash")) ++
+      (if (pruned) Seq(col("pbucket")) else Nil)
+    val bOld = oldBands.select(oldCols: _*)
+    val keys = if (pruned) Seq("band", "pbucket", "band_hash")
+               else Seq("band", "band_hash")
+    val pairs = bNew.join(bOld, keys)
       .filter(col("id_new") =!= col("id_old"))
       .select(col("id_new"), col("id_old")).distinct()
     pairs

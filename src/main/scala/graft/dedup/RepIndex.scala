@@ -35,11 +35,18 @@ import org.apache.spark.sql.functions._
   * least of its members' ids, and every candidate minimum (the old
   * clusters' reps, the batch's ids) is at hand: old NON-rep members
   * exceed their cluster minimum by construction, so they can never become
-  * the rep of a merged cluster and their shingle arrays are never needed
-  * again. Retired reps leave the index by an id semi-join; promoted reps
-  * enter with band/array rows computed from the batch's arrays (per-doc
-  * pure functions, so the maintained index equals the one built fresh
-  * over the current reps row-for-row — RepIndexSpec pins it). */
+  * the rep of a merged cluster during an APPEND. Retired reps leave the
+  * index by an id semi-join; promoted reps enter with band/array rows
+  * computed from the batch's arrays (per-doc pure functions, so the
+  * maintained index equals the one built fresh over the current reps
+  * row-for-row — RepIndexSpec pins it).
+  *
+  * DELETES ([[delete]]) complete the lifecycle (the soft-delete algebra
+  * of reference `tables.py:224-254`, re-expressed for a rep-mediated
+  * index): tombstoning a REPRESENTATIVE promotes its cluster's next-min
+  * surviving member, whose shingle array the state retains in the cold
+  * member store `marr` exactly for this moment — non-rep arrays are
+  * never read by build/append/search, only by rep promotion on delete. */
 object RepIndex {
 
   /** Serving state: `labels` — (id, cluster_id) for EVERY indexed doc,
@@ -47,14 +54,21 @@ object RepIndex {
     * label themselves) — plus the rep index in NORMALIZED layout:
     * `bands` (id, band, band_hash) and `sharr` (id, sharr), one sharr
     * row per doc, REPRESENTATIVES ONLY (the docs with id ==
-    * cluster_id). Normalized because the serving tier owns this
-    * layout: the denormalized [[MinHash.snapshotIndex]] carries each
-    * doc's shingle array once per band (~4× the stored bytes) and pays
-    * a dropDuplicates shuffle before every verification join; the
-    * normalized form stores each array once and skips both. All frames
-    * are plain parquet-writable ([[write]]/[[read]]); partition/bucket
-    * `bands` by (band, band_hash) at scale. */
-  final case class State(labels: DataFrame, bands: DataFrame, sharr: DataFrame)
+    * cluster_id) — and `marr`, the COLD member-array store (id, sharr)
+    * of the NON-rep members (disjoint from `sharr`; together they cover
+    * every indexed doc). `marr` exists solely so [[delete]] can promote
+    * a tombstoned rep's next-min member without re-reading the corpus;
+    * the hot serving path (band join + verification) never touches it,
+    * so index probe work stays bounded by CLUSTER count. Normalized
+    * because the serving tier owns this layout: the denormalized
+    * [[MinHash.snapshotIndex]] carries each doc's shingle array once per
+    * band (~4× the stored bytes) and pays a dropDuplicates shuffle
+    * before every verification join; the normalized form stores each
+    * array once and skips both. All frames are plain parquet-writable
+    * ([[write]]/[[read]]); `bands` is written partitioned by (band,
+    * probe bucket) so a serving probe prunes to its own partitions. */
+  final case class State(labels: DataFrame, bands: DataFrame, sharr: DataFrame,
+                         marr: DataFrame)
 
   /** Build the serving state from a finalized snapshot's shingle-array
     * frame (persist `sharr` — the pair detection and the rep band rows
@@ -73,7 +87,9 @@ object RepIndex {
     State(labels,
       MinHash.bandRows(MinHash.signaturesFromArray(repSharr, idCol),
         idCol, rowsPerBand),
-      repSharr.select(col(idCol), col("sharr")))
+      repSharr.select(col(idCol), col("sharr")),
+      sharr.join(reps, Seq(idCol), "left_anti")
+        .select(col(idCol), col("sharr")))
   }
 
   /** Fold a finalized batch (ids DISJOINT from the indexed docs — the
@@ -107,16 +123,68 @@ object RepIndex {
     val repIds = labels.filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
     // surviving old reps keep their stored rows; retired reps (their
-    // cluster merged under a smaller minimum) drop out of the semi joins;
-    // promoted/novel reps are batch docs, so their rows come from the
-    // batch's arrays
+    // cluster merged under a smaller minimum) drop out of the semi joins
+    // and their arrays MOVE to the cold member store (delete support —
+    // a later tombstone may promote them back); promoted/novel reps are
+    // batch docs, so their rows come from the batch's arrays
     val newRepSharr = batchSharr.join(repIds, Seq(idCol), "left_semi")
     State(labels,
       state.bands.join(repIds, Seq(idCol), "left_semi")
         .unionByName(MinHash.bandRows(
           MinHash.signaturesFromArray(newRepSharr, idCol), idCol, rowsPerBand)),
       state.sharr.join(repIds, Seq(idCol), "left_semi")
-        .unionByName(newRepSharr.select(col(idCol), col("sharr"))))
+        .unionByName(newRepSharr.select(col(idCol), col("sharr"))),
+      state.marr
+        .unionByName(state.sharr.join(repIds, Seq(idCol), "left_anti"))
+        .unionByName(batchSharr.join(repIds, Seq(idCol), "left_anti")
+          .select(col(idCol), col("sharr"))))
+  }
+
+  /** TOMBSTONE deletes — the rep-index member of the r7 delete family
+    * (BM25 `Bm25.deleteFromIndex`, LSH `MinHash.deleteFromSnapshotIndex`,
+    * IVF `Cosine.ivfDeleteCells`), and the hard one: removing a
+    * REPRESENTATIVE must promote its cluster's next-min surviving member
+    * into the serving index, and that member's shingle array lives in
+    * the cold store `marr` (never the corpus — the whole delete runs
+    * from stored state; PlanShapeSpec pins the same property for r7).
+    *
+    * Semantics (stated honestly, as with the rep-mediated append):
+    * clusters are equivalence classes established at ingest — a delete
+    * removes members but does NOT re-litigate connectivity among the
+    * survivors (the star-edge state holds no pair graph to re-run). The
+    * surviving cluster re-roots at its minimum member; every index row
+    * is a per-doc pure function, so the maintained index equals the one
+    * built fresh over the surviving reps row-for-row (RepIndexSpec pins
+    * it, and the d19 gate replays delete → re-root → promote → search
+    * from scratch in SQL).
+    *
+    * Cost shape: anti joins on the tombstone ids + one min per TOUCHED
+    * cluster + a signature pass over PROMOTED members only — nothing
+    * proportional to the corpus or the index. Idempotent: re-deleting
+    * the same ids is a no-op. */
+  def delete(tombstones: DataFrame, state: State, idCol: String,
+             rowsPerBand: Int = MinHash.RowsPerBand): State = {
+    val t = tombstones.select(col(idCol).as("id"))
+    val tId = tombstones.select(col(idCol))
+    val surv = state.labels.join(t, Seq("id"), "left_anti")
+    // re-root each surviving cluster at its new minimum (the old root
+    // stays root unless it was deleted — members can only raise the min)
+    val labels = surv
+      .join(surv.groupBy(col("cluster_id")).agg(min(col("id")).as("new_root")),
+        Seq("cluster_id"))
+      .select(col("id"), col("new_root").as("cluster_id"))
+    val repIds = labels.filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    // promoted reps were non-reps: their arrays come from the cold store
+    val promoted = state.marr.join(repIds, Seq(idCol), "left_semi")
+    State(labels,
+      state.bands.join(tId, Seq(idCol), "left_anti")
+        .unionByName(MinHash.bandRows(
+          MinHash.signaturesFromArray(promoted, idCol), idCol, rowsPerBand)),
+      state.sharr.join(tId, Seq(idCol), "left_anti")
+        .unionByName(promoted.select(col(idCol), col("sharr"))),
+      state.marr.join(tId, Seq(idCol), "left_anti")
+        .join(repIds, Seq(idCol), "left_anti"))
   }
 
   /** Serving search: near-dup CLUSTERS of each query doc — (id_new,
@@ -128,16 +196,50 @@ object RepIndex {
     MinHash.nearDuplicatesArraysAgainstBands(
       querySharr, state.bands, state.sharr, idCol, threshold, rowsPerBand)
 
-  /** Persist the state (labels + normalized rep index) — partition/
-    * bucket `bands` by (band, band_hash) at scale. */
+  /** Persist the state. `bands` is written PARTITIONED by (band,
+    * pbucket = band_hash mod [[MinHash.ProbeBuckets]]) — the stored-side
+    * half of the serving wall-clock story: [[searchStored]] probes join
+    * on the partition columns, so dynamic partition pruning reads only
+    * the probe's (band, pbucket) directories instead of every band row
+    * (PlanShapeSpec pins the pruned scan). */
   def write(state: State, dir: String): Unit = {
     state.labels.write.mode("overwrite").parquet(s"$dir/labels")
-    state.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    state.bands
+      .withColumn("pbucket",
+        pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("band", "pbucket")
+      .parquet(s"$dir/bands")
     state.sharr.write.mode("overwrite").parquet(s"$dir/sharr")
+    state.marr.write.mode("overwrite").parquet(s"$dir/marr")
   }
 
-  def read(spark: SparkSession, dir: String): State =
+  /** Canonical in-memory state (pbucket is a storage detail — dropped so
+    * maintenance unions stay schema-stable). Serving probes that want
+    * partition pruning go through [[searchStored]] instead. */
+  def read(spark: SparkSession, dir: String): State = {
+    // the partitioned layout appends (band, pbucket) after the data
+    // columns and infers their types from directory names — restore the
+    // canonical (id, band, band_hash) order and band's int type
+    val b0 = spark.read.parquet(s"$dir/bands")
+    val idName = b0.columns.filterNot(Set("band", "band_hash", "pbucket")).head
     State(spark.read.parquet(s"$dir/labels"),
+      b0.select(col(idName), col("band").cast("int"), col("band_hash")),
+      spark.read.parquet(s"$dir/sharr"),
+      spark.read.parquet(s"$dir/marr"))
+  }
+
+  /** Serving search over the PERSISTED layout: the band frame keeps its
+    * (band, pbucket) partition columns, the probe side computes the same
+    * pbucket, and the band join carries both as keys — so the scan
+    * prunes to the probe's partitions (≤ bandCount × |probe-hashes|
+    * directories of [[MinHash.ProbeBuckets]] × bandCount) instead of
+    * reading the full index. Value-identical to [[search]] over
+    * [[read]]: pbucket is a pure function of band_hash, so adding it to
+    * the equi-join keys filters nothing. */
+  def searchStored(spark: SparkSession, querySharr: DataFrame, dir: String,
+                   idCol: String, threshold: Double = 0.7,
+                   rowsPerBand: Int = MinHash.RowsPerBand): DataFrame =
+    MinHash.nearDuplicatesArraysAgainstBands(querySharr,
       spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/sharr"))
+      spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand)
 }

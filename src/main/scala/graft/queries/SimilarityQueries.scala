@@ -172,30 +172,32 @@ object SimilarityQueries extends QueryPack {
     //      the decontamination family (c3/c5 are lexical 8-gram overlap,
     //      t25 is novelty ppm): a train doc whose embedding is too close
     //      to ANY eval-split vector is paraphrase-level contamination
-    //      that n-gram overlap structurally misses. Per train vector:
-    //      max cosine against the eval split (broadcast — the eval side
-    //      is the small side by construction) and a keep flag at 0.34
-    //      (sits between the sf corpus's p90 0.338 and p99 0.403, so
-    //      both outcomes are populated). max-of-rounded = rounded-max
-    //      (round is monotone), so the gate is engine-exact.
+    //      that n-gram overlap structurally misses. BOUNDED plan (the r10
+    //      verdict's wrong #1 — no train×eval cartesian, plan-pinned):
+    //      both sides banded by multi-table SRP, exact cosine on
+    //      colliding candidates only, per-train max left-joined back
+    //      (no collision ⇒ NULL ⇒ kept). Plane count derives from the
+    //      EVAL count (autoPlanes holds eval-bucket occupancy ~constant,
+    //      so per-train candidate work is O(nTables·target), not O(|eval|));
+    //      the derived config is stashed so the oracle replays the exact
+    //      same tables — max-of-rounded = rounded-max over the SAME
+    //      candidate set, so the gate stays engine-exact. Threshold 0.34
+    //      sits between the sf corpus's p90 0.338 and p99 0.403, so both
+    //      keep outcomes are populated. The sizing count runs on the
+    //      persisted projection (one corpus scan feeds sizing + bands +
+    //      the candidate cosine pass).
     "c12_semantic_decontaminate" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bucket = graft.text.TextAnalysis.splitBucket(col("vec_id"))
       val test = emb.filter(bucket >= 90)
-        .select(col("vec_id").as("tid"), Cosine.toDouble(col("embedding")).as("tv"))
-        .withColumn("tn", Cosine.normSq(col("tv")))
       val train = emb.filter(bucket < 90)
-        .select(col("vec_id"), Cosine.toDouble(col("embedding")).as("v"))
-        .withColumn("vn", Cosine.normSq(col("v")))
-      // no broadcast HINT: a real eval set is fixed and tiny (the planner
-      // broadcasts it from stats), but this gate's 10%-bucket proxy grows
-      // with the corpus — a forced broadcast would OOM at decade scale
-      // instead of degrading to a shuffled cartesian
-      train.crossJoin(test)
-        .select(col("vec_id"),
-          round(Cosine.cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
-        .groupBy(col("vec_id")).agg(max(col("sim")).as("max_test_sim"))
-        .withColumn("kept", col("max_test_sim") < 0.34)
+      val nPlanes = Cosine.autoPlanes(test.count(), targetOccupancy = 32)
+      val nTables = Cosine.autoTables(nPlanes)
+      lastC12Config = (nPlanes, nTables)
+      Cosine.semanticDecontaminate(train, test, "vec_id", "embedding",
+          threshold = 0.34, nPlanes = nPlanes, dim = 64, nTables = nTables)
         .orderBy(col("vec_id"))
     }),
 
@@ -425,6 +427,10 @@ object SimilarityQueries extends QueryPack {
     * run, read by [[oracle]] (a def, evaluated by Verify AFTER queries
     * run) so the DuckDB replay buckets with the exact same tables. */
   @volatile private var lastX8Config: (Int, Int) = (1, 1)
+
+  /** c12's derived SRP configuration, stashed the same way as
+    * [[lastX8Config]] so the DuckDB replay bands with identical tables. */
+  @volatile private var lastC12Config: (Int, Int) = (1, 1)
 
   /** Multi-table SRP bucketing as a UNION ALL of per-table sign-bit rows
     * — generated from the same seeded hyperplanes as
@@ -667,27 +673,40 @@ object SimilarityQueries extends QueryPack {
          |  coalesce(d.dcg_micro, 0) * 1000000 // i.idcg_micro AS ndcg_ppm
          |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
          |ORDER BY i.query_id""".stripMargin,
-    // c12: the same dot/norm chain as x1 restricted to the split sides;
-    // max over ROUND(sim, 6) — identical to Spark's rounded-max since
-    // rounding is monotone
+    // c12: the engine's bounded plan replayed exactly — the same seeded
+    // multi-table SRP bands on both split sides, DISTINCT colliding
+    // candidates, the x1 dot/norm chain on candidates only, and the
+    // per-train max LEFT-joined over every train id (no collision ⇒ NULL
+    // ⇒ kept). max over ROUND(sim, 6) — identical to Spark's rounded-max
+    // since rounding is monotone and the candidate sets coincide.
     "c12_semantic_decontaminate" ->
       s"""WITH $vCte,
          |bk AS (SELECT vec_id,
          |  CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
          |    ':graft-split-v1')), 1, 15)) AS BIGINT) % 100 AS bucket
          |  FROM embeddings),
-         |m AS (SELECT t.vec_id,
-         |    max(ROUND(list_dot_product(t.emb, e.emb)
-         |      / (sqrt(tn.nsq) * sqrt(en.nsq)), 6)) AS max_test_sim
-         |  FROM v t JOIN bk bt ON bt.vec_id = t.vec_id
-         |  JOIN n tn ON tn.vec_id = t.vec_id
-         |  CROSS JOIN v e
+         |tb AS (
+         |  ${srpMultiBucketSql(lastC12Config._1, lastC12Config._2)}),
+         |cand AS (SELECT DISTINCT a.vec_id AS train_id, e.vec_id AS eval_id
+         |  FROM tb a JOIN bk ba ON ba.vec_id = a.vec_id
+         |  JOIN tb e ON e.t = a.t AND e.b = a.b
          |  JOIN bk be ON be.vec_id = e.vec_id
-         |  JOIN n en ON en.vec_id = e.vec_id
-         |  WHERE bt.bucket < 90 AND be.bucket >= 90
-         |  GROUP BY t.vec_id)
-         |SELECT vec_id, max_test_sim, max_test_sim < 0.34 AS kept
-         |FROM m ORDER BY vec_id""".stripMargin,
+         |  WHERE ba.bucket < 90 AND be.bucket >= 90),
+         |m AS (SELECT c.train_id AS vec_id,
+         |    max(ROUND(list_dot_product(tv.emb, ev.emb)
+         |      / (sqrt(tn.nsq) * sqrt(en.nsq)), 6)) AS max_test_sim
+         |  FROM cand c
+         |  JOIN v tv ON tv.vec_id = c.train_id
+         |  JOIN n tn ON tn.vec_id = c.train_id
+         |  JOIN v ev ON ev.vec_id = c.eval_id
+         |  JOIN n en ON en.vec_id = c.eval_id
+         |  GROUP BY c.train_id)
+         |SELECT t.vec_id, m.max_test_sim,
+         |  COALESCE(m.max_test_sim < 0.34, TRUE) AS kept
+         |FROM (SELECT em.vec_id FROM embeddings em
+         |      JOIN bk ON bk.vec_id = em.vec_id WHERE bk.bucket < 90) t
+         |LEFT JOIN m ON m.vec_id = t.vec_id
+         |ORDER BY t.vec_id""".stripMargin,
     "x1_cosine_topk" ->
       s"""WITH $vCte,
          |sims AS (

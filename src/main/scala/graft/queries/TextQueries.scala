@@ -779,6 +779,48 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("n_dups", "n_dup_clusters")
     }),
 
+    // ---- D19: rep-index TOMBSTONE deletes — the delete member of the
+    //      serving lifecycle (r7 = BM25, ivfDeleteCells = IVF,
+    //      deleteFromSnapshotIndex = LSH; this is the hard one: deleting
+    //      a cluster REPRESENTATIVE promotes the next-min survivor, whose
+    //      array lives in the state's cold member store, never the
+    //      corpus). d17's first two phases plus a delete wave: tombstone
+    //      the REPRESENTATIVE of every multi-member cluster, so every
+    //      such cluster must re-root at its next-min survivor and promote
+    //      it into the index from the cold store — 2-member clusters
+    //      collapse to fresh singleton reps, ≥3-member clusters keep a
+    //      NON-rep survivor too (both in_index outcomes populated). The
+    //      gated output is the POST-DELETE STATE — every surviving doc's
+    //      re-rooted cluster_id plus whether its rows are REALLY in the
+    //      serving index (computed from st2's stored rows, not from the
+    //      labels, so a promotion that forgot the index rows goes red
+    //      while the oracle derives membership independently from its
+    //      from-scratch replay). Search-after-delete is pinned by
+    //      RepIndexSpec / the Pipeline rehearsal (at sf0.01 every
+    //      query-matched cluster is a singleton, so a search-shaped gate
+    //      would be vacuous for promotion — measured, not assumed).
+    "d19_rep_index_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      def sharrOf(pred: org.apache.spark.sql.Column) =
+        MinHash.hashedShingleArray(docs.filter(pred), "doc_id", "text", 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st0 = graft.dedup.RepIndex.build(sharrOf(bucket < 60), "doc_id")
+      val st1 = graft.dedup.RepIndex.append(
+        sharrOf(bucket >= 60 && bucket < 80), st0, "doc_id")
+      val tomb = st1.labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("cluster_id").as("doc_id"))
+      val st2 = graft.dedup.RepIndex.delete(tomb, st1, "doc_id")
+      st2.labels
+        .join(st2.sharr.select(col("doc_id").as("id"), lit(true).as("in_index")),
+          Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          coalesce(col("in_index"), lit(false)).as("in_index"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- D18: INCREMENTAL quality-keep — d14's production keep rule
     //      (highest quality survives, ties → smallest id) maintained
     //      across an append: per-cluster bests are associative
@@ -1368,6 +1410,58 @@ object TextQueries extends QueryPack {
     * appendLabels star identity lets the oracle reuse the raw old pairs)
     * → new reps → today's ≥80 batch matched against new reps only. */
   private def repIndexServingSql: String =
+    s"""$repIndexCommonCte,
+       |reps2 AS (SELECT bk.doc_id AS rid FROM bk
+       |  LEFT JOIN lab2 ON lab2.id = bk.doc_id
+       |  WHERE bk.bucket < 80 AND COALESCE(lab2.cid, bk.doc_id) = bk.doc_id),
+       |qm AS (
+       |  SELECT vp.id_a AS id_new, vp.id_b AS id_old, ROUND(j, 6) AS jaccard
+       |  FROM vp JOIN bk ba ON ba.doc_id = vp.id_a
+       |  WHERE ba.bucket >= 80 AND vp.id_b IN (SELECT rid FROM reps2)
+       |  UNION ALL
+       |  SELECT vp.id_b, vp.id_a, ROUND(j, 6)
+       |  FROM vp JOIN bk bb ON bb.doc_id = vp.id_b
+       |  WHERE bb.bucket >= 80 AND vp.id_a IN (SELECT rid FROM reps2)),
+       |rk AS (SELECT id_new, id_old, jaccard,
+       |    row_number() OVER (PARTITION BY id_new
+       |      ORDER BY jaccard DESC, id_old ASC) AS rn,
+       |    count(*) OVER (PARTITION BY id_new) AS n_dups
+       |  FROM qm)
+       |SELECT id_new AS doc_id, id_old AS best_rep_id,
+       |  jaccard AS best_jaccard, CAST(n_dups AS BIGINT) AS n_dup_clusters
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** d19 oracle: the d17 replay extended by the DELETE lifecycle — the
+    * same post-append labels (lab2), then the tombstone rule the Spark
+    * query states (the representative of every multi-member cluster),
+    * survivor re-rooting at the new cluster minimum, and rep
+    * promotion; the result is the post-delete state (doc, re-rooted
+    * cluster, index membership). Clusters are equivalence classes
+    * established at ingest: the delete removes members without
+    * re-litigating connectivity — exactly
+    * [[graft.dedup.RepIndex.delete]]'s contract. */
+  private def repIndexDeleteSql: String =
+    s"""$repIndexCommonCte,
+       |labfull AS (SELECT bk.doc_id AS id, COALESCE(lab2.cid, bk.doc_id) AS cid
+       |  FROM bk LEFT JOIN lab2 ON lab2.id = bk.doc_id
+       |  WHERE bk.bucket < 80),
+       |csz AS (SELECT cid, count(*) AS n FROM labfull GROUP BY cid),
+       |tomb AS (SELECT cid AS id FROM csz WHERE n >= 2),
+       |surv AS (SELECT id, cid FROM labfull
+       |  WHERE id NOT IN (SELECT id FROM tomb)),
+       |nroot AS (SELECT cid, MIN(id) AS nr FROM surv GROUP BY cid),
+       |lab3 AS (SELECT surv.id, nroot.nr AS cid FROM surv
+       |  JOIN nroot USING (cid)),
+       |reps3 AS (SELECT id AS rid FROM lab3 WHERE id = cid)
+       |SELECT id AS doc_id, cid AS cluster_id,
+       |  id IN (SELECT rid FROM reps3) AS in_index
+       |FROM lab3 ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain of the d17/d19 oracles: LSH band collisions →
+    * verified pairs (exact Jaccard ≥ 0.7) → CC over the old snapshot →
+    * old reps → rep-mediated wave pairs → CC again → post-append labels
+    * (lab2). */
+  private def repIndexCommonCte: String =
     s"""WITH RECURSIVE $shinglesCte,
        |bk AS (SELECT doc_id,
        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
@@ -1429,26 +1523,7 @@ object TextQueries extends QueryPack {
        |  SELECT id, id AS r FROM nodes2
        |  UNION
        |  SELECT e.d AS id, reach2.r FROM reach2 JOIN edges2 e ON e.s = reach2.id),
-       |lab2 AS (SELECT id, MIN(r) AS cid FROM reach2 GROUP BY id),
-       |reps2 AS (SELECT bk.doc_id AS rid FROM bk
-       |  LEFT JOIN lab2 ON lab2.id = bk.doc_id
-       |  WHERE bk.bucket < 80 AND COALESCE(lab2.cid, bk.doc_id) = bk.doc_id),
-       |qm AS (
-       |  SELECT vp.id_a AS id_new, vp.id_b AS id_old, ROUND(j, 6) AS jaccard
-       |  FROM vp JOIN bk ba ON ba.doc_id = vp.id_a
-       |  WHERE ba.bucket >= 80 AND vp.id_b IN (SELECT rid FROM reps2)
-       |  UNION ALL
-       |  SELECT vp.id_b, vp.id_a, ROUND(j, 6)
-       |  FROM vp JOIN bk bb ON bb.doc_id = vp.id_b
-       |  WHERE bb.bucket >= 80 AND vp.id_a IN (SELECT rid FROM reps2)),
-       |rk AS (SELECT id_new, id_old, jaccard,
-       |    row_number() OVER (PARTITION BY id_new
-       |      ORDER BY jaccard DESC, id_old ASC) AS rn,
-       |    count(*) OVER (PARTITION BY id_new) AS n_dups
-       |  FROM qm)
-       |SELECT id_new AS doc_id, id_old AS best_rep_id,
-       |  jaccard AS best_jaccard, CAST(n_dups AS BIGINT) AS n_dup_clusters
-       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+       |lab2 AS (SELECT id, MIN(r) AS cid FROM reach2 GROUP BY id)""".stripMargin
 
   /** Word-2gram distinct shingles per doc (count parity with
     * TextAnalysis.shingles incl. the <n-token edge case), plus the 60-bit
@@ -2168,6 +2243,7 @@ object TextQueries extends QueryPack {
     // recomputing clusters and quality representatives from scratch
     "d18_quality_keep_append" -> qualityKeepSql,
     "d17_rep_index_serving" -> repIndexServingSql,
+    "d19_rep_index_delete" -> repIndexDeleteSql,
     // d13: d2's CTEs with the containment tail (inter / least size)
     "d13_containment_pairs" ->
       s"""WITH $shinglesCte,

@@ -157,14 +157,7 @@ object Cosine {
     require(dim > 0, s"dim must be the positive embedding width, got $dim")
     require(nPlanes >= 1 && nPlanes <= 62 && nTables >= 1)
     val v0 = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
-    val tableBuckets = array((0 until nTables).map { t =>
-      hyperplanesSeeded(t, nPlanes, dim).zipWithIndex.map { case (h, i) =>
-        when(dot(col("v"), array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    // composite (table, bucket) join key — no bit-packing games, so any
-    // plane count up to 62 is safe
-    val tb = v0.select(col(idCol), posexplode(tableBuckets).as(Seq("t", "b")))
+    val tb = srpBands(corpus, idCol, vecCol, nPlanes, dim, nTables)
     val cand = tb.select(col("t"), col("b"), col(idCol).as("id_a"))
       .join(tb.select(col("t"), col("b"), col(idCol).as("id_b")), Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
@@ -177,6 +170,65 @@ object Cosine {
       .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Multi-table SRP band rows `(idCol, t, b)` — the shared banding stage
+    * of [[srpPairsMulti]] and [[semanticDecontaminate]], and the persisted
+    * "index" of a static reference set (band once, probe many): 20-ish
+    * bytes/row regardless of vector width, so a banded side shuffles and
+    * stores cheaply. ONE scan computes every table's bucket (posexplode
+    * fan-out, not per-table re-scans); the composite (table, bucket) key
+    * avoids bit-packing games, so any plane count up to 62 is safe. */
+  def srpBands(df: DataFrame, idCol: String, vecCol: String,
+               nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    require(dim > 0, s"dim must be the positive embedding width, got $dim")
+    require(nPlanes >= 1 && nPlanes <= 62 && nTables >= 1)
+    val v0 = df.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val tableBuckets = array((0 until nTables).map { t =>
+      hyperplanesSeeded(t, nPlanes, dim).zipWithIndex.map { case (h, i) =>
+        when(dot(col("v"), array(h.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    v0.select(col(idCol), posexplode(tableBuckets).as(Seq("t", "b")))
+  }
+
+  /** SEMANTIC decontamination with a BOUNDED candidate stage — never a
+    * train×eval cartesian. Both sides are banded by the same multi-table
+    * SRP ([[srpBands]]); a (train, eval) pair is scored only if it
+    * collides in some table, exact cosine runs on candidates alone, and
+    * the per-train max is left-joined back over every train id (no
+    * collision ⇒ `max_test_sim` NULL ⇒ kept). The `maxSim < θ ⟹ kept`
+    * contract is preserved by the same recall-knob argument the LSH
+    * dedup family makes: collision probability per table is
+    * (1 − θ_angle/π)^planes, OR-amplified across tables, so planes/tables
+    * tune recall explicitly ([[autoPlanes]] on the EVAL count +
+    * [[autoTables]]). Scale shape: the eval split is static per release —
+    * band it once and persist (`srpBands(eval…)`); per train doc the
+    * candidate count is ≈ nTables × eval-bucket occupancy (constant under
+    * [[autoPlanes]]), so total cost tracks |train|, not |train|·|eval|.
+    * Eval-side frames (bands + vectors) are eval-sized — the planner
+    * broadcasts them from stats; no forced hint, so an oversized eval
+    * degrades to shuffled equi-joins instead of OOMing. */
+  def semanticDecontaminate(train: DataFrame, evalSplit: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    val bandsT = srpBands(train, idCol, vecCol, nPlanes, dim, nTables)
+      .select(col("t"), col("b"), col(idCol).as("train_id"))
+    val bandsE = srpBands(evalSplit, idCol, vecCol, nPlanes, dim, nTables)
+      .select(col("t"), col("b"), col(idCol).as("eval_id"))
+    val cand = bandsT.join(bandsE, Seq("t", "b"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    val vt = train.select(col(idCol).as("train_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", normSq(col("v")))
+    val ve = evalSplit.select(col(idCol).as("eval_id"), toDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", normSq(col("tv")))
+    val mx = cand.join(vt, "train_id").join(ve, "eval_id")
+      .select(col("train_id"),
+        round(cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
+      .groupBy(col("train_id")).agg(max(col("sim")).as("max_test_sim"))
+    train.select(col(idCol))
+      .join(mx.withColumnRenamed("train_id", idCol), Seq(idCol), "left")
+      .withColumn("kept", coalesce(col("max_test_sim") < threshold, lit(true)))
   }
 
   /** IVF-style approximate top-k SEARCH: each query probes only its own

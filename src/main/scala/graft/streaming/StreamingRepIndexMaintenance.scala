@@ -38,7 +38,11 @@ object StreamingRepIndexMaintenance {
   private def liveSegs(dir: String): Seq[String] =
     Segments.latest(dir).map(_.segments).getOrElse(Nil)
 
-  /** The current serving state, merged-on-read from the live segments. */
+  /** The current serving state, merged-on-read from the live segments.
+    * The cold member store (`marr` — non-rep arrays, kept for delete-time
+    * rep promotion) is additions minus the CURRENT reps: a member array
+    * is written once (as a batch non-rep, or re-written when its rep
+    * retires), and any doc that is a rep now must not appear in it. */
   def readLatest(spark: SparkSession, dir: String, idCol: String): RepIndex.State = {
     val segs = liveSegs(dir).map(s => s"$dir/$s")
     require(segs.nonEmpty, s"no committed segments under $dir")
@@ -49,7 +53,13 @@ object StreamingRepIndexMaintenance {
       .join(retired, Seq(idCol), "left_anti")
     val sharr = spark.read.parquet(segs.map(_ + "/sharr"): _*)
       .join(retired, Seq(idCol), "left_anti")
-    RepIndex.State(labels, bands, sharr)
+    // under append-only folding the anti-join filters nothing (members
+    // never promote); it keeps the composed State exact if the caller
+    // hands it to a batch RepIndex.delete afterwards. Lazy either way:
+    // the fold path never materializes marr
+    val marr = spark.read.parquet(segs.map(_ + "/marr"): _*)
+      .join(sharr.select(col(idCol)), Seq(idCol), "left_anti")
+    RepIndex.State(labels, bands, sharr, marr)
   }
 
   /** The foreachBatch function: fold `batch` (idCol + textCol document
@@ -68,14 +78,14 @@ object StreamingRepIndexMaintenance {
     try Segments.fold(dir, batchId, maxSegments) { seg =>
       val first = liveSegs(dir).isEmpty
       val prev =
-        if (first) RepIndex.State(null, null, null)
+        if (first) RepIndex.State(null, null, null, null)
         else {
-          // the four delta writes below are four actions: cache the two
+          // the five delta writes below are five actions: cache the two
           // prev frames they share so the live segments are scanned once,
-          // not once per write
+          // not once per write (marr is cold — never read by the fold)
           val st = readLatest(spark, dir, idCol)
           val p = RepIndex.State(st.labels.persist(lvl), st.bands,
-            st.sharr.persist(lvl))
+            st.sharr.persist(lvl), st.marr)
           caches += p.labels += p.sharr
           p
         }
@@ -84,7 +94,8 @@ object StreamingRepIndexMaintenance {
         else RepIndex.append(sharrB, prev, idCol, threshold, rowsPerBand)
       // labels drive every downstream frame (rep ids, bands, arrays) and
       // feed four actions — cache them once per batch
-      val next = RepIndex.State(next0.labels.persist(lvl), next0.bands, next0.sharr)
+      val next = RepIndex.State(next0.labels.persist(lvl), next0.bands,
+        next0.sharr, next0.marr)
       caches += next.labels
       // labels delta: rows new or changed this batch (cluster minima only
       // decrease, so stale rows in older segments lose the min-merge)
@@ -106,6 +117,17 @@ object StreamingRepIndexMaintenance {
         else prev.sharr.select(col(idCol))
           .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti")
       retired.write.mode("overwrite").parquet(s"$seg/retired")
+      // cold member-array delta: the batch's non-rep arrays, plus the
+      // arrays of reps retired THIS batch (moving from the hot rep store
+      // to the cold store so a later delete can promote them)
+      val batchNonRep = sharrB.select(col(idCol), col("sharr"))
+        .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti")
+      val marrDelta =
+        if (first) batchNonRep
+        else batchNonRep.unionByName(
+          prev.sharr.select(col(idCol), col("sharr"))
+            .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti"))
+      marrDelta.write.mode("overwrite").parquet(s"$seg/marr")
     } { cmp =>
       compactInto(spark, dir, idCol, cmp)
     } finally caches.foreach(_.unpersist())
@@ -121,6 +143,7 @@ object StreamingRepIndexMaintenance {
     st.sharr.write.mode("overwrite").parquet(s"$seg/sharr")
     st.sharr.select(col(idCol)).limit(0)
       .write.mode("overwrite").parquet(s"$seg/retired")
+    st.marr.write.mode("overwrite").parquet(s"$seg/marr")
   }
 
   def prune(dir: String, keepManifests: Int = 2): Unit =

@@ -288,6 +288,39 @@ class PlanShapeSpec extends SparkSpec {
       s"tombstoned search escaped the stored index: $scanned")
   }
 
+  test("rep-index stored search prunes to the probe's (band, pbucket) partitions") {
+    import org.apache.spark.sql.functions._
+    // the stored-side half of the d17 wall-clock story: bands persist
+    // partitioned by (band, pbucket = band_hash % ProbeBuckets); a probe
+    // joins on those columns, so the scan must carry partition filters
+    // (dynamic pruning) instead of reading every band row
+    val docs = Tables.documents(spark, dir)
+    val sharr = graft.dedup.MinHash.hashedShingleArray(docs, "doc_id", "text", 2)
+    val st = graft.dedup.RepIndex.build(sharr, "doc_id")
+    val repDir = java.nio.file.Files.createTempDirectory("graft_rep_dpp").toString
+    graft.dedup.RepIndex.write(st, repDir)
+    val probe = graft.dedup.MinHash.hashedShingleArray(
+      docs.filter(col("doc_id") < 2), "doc_id", "text", 2)
+    val out = graft.dedup.RepIndex.searchStored(spark, probe, repDir, "doc_id")
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"stored band scan carries no dynamic partition filter:\n$plan")
+    // and the pruned path returns exactly what the canonical path does
+    val viaRead = graft.dedup.RepIndex.search(probe,
+      graft.dedup.RepIndex.read(spark, repDir), "doc_id")
+    assert(out.collect().toSet == viaRead.collect().toSet)
+  }
+
+  test("c12 semantic decontamination is candidate-bounded: no train×eval cartesian") {
+    // the r10 verdict's wrong #1: the old plan crossJoined train×eval —
+    // ~10^13 cosine evaluations at 100 TB train × a 1M-chunk eval suite.
+    // The bounded plan SRP-bands both sides and equi-joins on (t, b);
+    // every join in the plan must be hash-keyed, never a nested loop
+    val plan = physical(SparkEntry.queries("c12_semantic_decontaminate")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("segmented index read: N segments = ONE multi-path scan per component") {
     val sp = spark; import sp.implicits._
     val dir2 = java.nio.file.Files.createTempDirectory("graft_seg_plan").toString

@@ -61,7 +61,8 @@ class RepIndexSpec extends SparkSpec {
     val repSharr = union.join(reps, Seq("doc_id"), "left_semi")
     val rebuilt = RepIndex.State(st1.labels,
       MinHash.bandRows(MinHash.signaturesFromArray(repSharr, "doc_id"), "doc_id"),
-      repSharr)
+      repSharr,
+      union.join(reps, Seq("doc_id"), "left_anti"))
     assert(bandRowsOf(st1) == bandRowsOf(rebuilt))
     assert(sharrOfState(st1) == sharrOfState(rebuilt))
 
@@ -105,6 +106,45 @@ class RepIndexSpec extends SparkSpec {
     val st1 = RepIndex.append(batch, st0, "doc_id")
     assert(labelMap(st1)(20L) == 20L, s"rep-mediated miss expected: ${labelMap(st1)}")
     assert(sharrOfState(st1).map(_._1) == Set(5L, 20L))
+  }
+
+  test("delete: tombstoned rep promotes next-min member from the cold store; re-append round-trips") {
+    val sp = spark; import sp.implicits._
+    val old = sharrOf(Seq(5L -> groupA, 7L -> groupA, 2L -> groupB, 9L -> groupB,
+      11L -> loner))
+    val st0 = RepIndex.build(old, "doc_id")
+    val st1 = RepIndex.append(sharrOf(Seq(1L -> groupA, 3L -> novelT)), st0, "doc_id")
+    // state: clusters {1,5,7} {2,9} {11} {3}; reps 1,2,11,3; cold 5,7,9
+    assert(st1.marr.collect().map(_.getLong(0)).toSet == Set(5L, 7L, 9L))
+
+    // tombstone the {1,5,7} rep AND the whole {3} cluster
+    val st2 = RepIndex.delete(Seq(1L, 3L).toDF("doc_id"), st1, "doc_id")
+    assert(labelMap(st2) == Map(5L -> 5L, 7L -> 5L, 2L -> 2L, 9L -> 2L, 11L -> 11L))
+    // doc 5 promoted (its array came from the cold store, never the corpus);
+    // maintained index ≡ fresh-over-surviving-reps — st0 IS that fresh
+    // index (same reps 5,2,11), so row-for-row equality against it
+    assert(bandRowsOf(st2) == bandRowsOf(st0))
+    assert(sharrOfState(st2) == sharrOfState(st0))
+    assert(st2.marr.collect().map(_.getLong(0)).toSet == Set(7L, 9L))
+
+    // served results: the deleted rep vanishes, the promoted rep answers
+    val hits = RepIndex.search(sharrOf(Seq(100L -> groupA)), st2, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 5L)), s"expected promoted rep 5, got $hits")
+
+    // idempotent: re-deleting the same ids is a no-op
+    val st2b = RepIndex.delete(Seq(1L, 3L).toDF("doc_id"), st2, "doc_id")
+    assert(labelMap(st2b) == labelMap(st2))
+    assert(bandRowsOf(st2b) == bandRowsOf(st2))
+    assert(sharrOfState(st2b) == sharrOfState(st2))
+
+    // delete + re-append round trip: doc 1 returns (legal — no longer
+    // indexed), re-takes the rep slot, and 5 retires back to the cold store
+    val st3 = RepIndex.append(sharrOf(Seq(1L -> groupA)), st2, "doc_id")
+    assert(labelMap(st3) == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 2L -> 2L,
+      9L -> 2L, 11L -> 11L))
+    assert(sharrOfState(st3).map(_._1) == Set(1L, 2L, 11L))
+    assert(st3.marr.collect().map(_.getLong(0)).toSet == Set(5L, 7L, 9L))
   }
 
   test("appendLabels guard: non-min-rooted stored labels fail loudly") {

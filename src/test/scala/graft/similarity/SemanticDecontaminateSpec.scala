@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** Pins [[Cosine.semanticDecontaminate]]'s bounded-candidate contract:
+  * an exact-duplicate contamination is ALWAYS caught (identical vectors
+  * share every SRP sign bit, so they collide in every table), a train doc
+  * colliding with no eval vector surfaces as NULL max_test_sim + kept,
+  * and every non-null max is the exact cosine the brute-force pass would
+  * produce for that pair. The gated c12 query layers the engine-exact
+  * DuckDB replay on top; this spec pins the semantics no oracle states:
+  * which side of the recall knob each outcome lands on. */
+class SemanticDecontaminateSpec extends SparkSpec {
+
+  test("exact-duplicate contamination always collides; isolated train doc keeps via NULL") {
+    val sp = spark; import sp.implicits._
+    val dim = 8
+    // eval vector e1; train t1 = e1 verbatim (paraphrase-level worst case),
+    // t2 = -e1 (opposite sign pattern in EVERY table: never collides)
+    val e1 = Array.tabulate(dim)(i => (i + 1).toFloat / dim)
+    val t2 = e1.map(x => -x)
+    val evalDf = Seq((100L, e1)).toDF("vec_id", "embedding")
+    val train = Seq((1L, e1), (2L, t2)).toDF("vec_id", "embedding")
+    val out = Cosine.semanticDecontaminate(train, evalDf, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 3, dim = dim, nTables = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))).toMap
+
+    // identical vectors: cosine exactly 1.0, flagged regardless of planes
+    assert(out(1L) == (Some(1.0), false), out.toString)
+    // antipodal vector: opposite sign on every projection -> no collision
+    // in any table -> NULL max, kept
+    assert(out(2L) == (None, true), out.toString)
+  }
+
+  test("non-null max equals the exact cosine of the colliding pair") {
+    val sp = spark; import sp.implicits._
+    val dim = 4
+    val e = Array(1.0f, 0.5f, 0.25f, 0.125f)
+    // near-duplicate: same signs under every hyperplane with high
+    // probability at 1 plane; assert only on rows that DID collide
+    val t = Array(0.9f, 0.55f, 0.2f, 0.1f)
+    val out = Cosine.semanticDecontaminate(
+        Seq((1L, t)).toDF("vec_id", "embedding"),
+        Seq((100L, e)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.5, nPlanes = 1, dim = dim,
+        nTables = 4)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    if (!r.isNullAt(1)) {
+      def d(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exact = BigDecimal(d(t, e) / (math.sqrt(d(t, t)) * math.sqrt(d(e, e))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(1) == exact, s"got ${r.getDouble(1)}, want $exact")
+      assert(!r.getBoolean(2)) // 0.99+ similarity is over the 0.5 threshold
+    }
+  }
+}

@@ -84,6 +84,19 @@ class StreamingRepIndexSpec extends SparkSpec {
     val hits = RepIndex.search(sharrOf(Seq(Doc(100L, groupA))), got, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits == Set((100L, 0L)), hits.toString)
+    // cold member store (delete-time promotion source) matches the batch
+    // path id-for-id: batch non-reps + retired reps, never a current rep
+    assert(got.marr.collect().map(_.getLong(0)).toSet ==
+      want.marr.collect().map(_.getLong(0)).toSet)
+    // a batch delete over the STREAMED state promotes from that store:
+    // tombstoning rep 0 re-roots group A at 1 (array recovered from marr)
+    val del = RepIndex.delete(Seq(0L).map(Tuple1(_)).toDF("doc_id"),
+      StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id"), "doc_id")
+    assert(labelMap(del)(1L) == 1L && labelMap(del)(5L) == 1L
+      && labelMap(del)(7L) == 1L)
+    val hits2 = RepIndex.search(sharrOf(Seq(Doc(101L, groupA))), del, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == Set((101L, 1L)), hits2.toString)
   }
 
   test("compaction resolves tombstones and keeps the state identical") {
