@@ -175,6 +175,31 @@ object Pipeline {
     val nServed = served.count()
     assert(nServed > 0, "versioned index served nothing")
 
+    // round 11: DELETE mid-lifecycle — the transition no spec crossed
+    // before: tombstone a doc the streamed index is actively serving,
+    // assert it vanishes from the served top-k (soft delete — lazy view,
+    // stored segments untouched), compact the tombstone away, re-append
+    // the same doc, and assert it serves again at its original spot
+    // (delete + append ≡ rebuild bit-for-bit, so the round trip restores
+    // the exact index)
+    val top = served.orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("doc_id")).first()
+    val (probeId, target) = (top.getLong(0), top.getLong(1))
+    val probe = docs.filter(col("doc_id") === probeId)
+    val tombDf = docs.filter(col("doc_id") === target).select(col("doc_id"))
+    val delIdx = graft.text.Bm25.deleteFromIndex(tombDf, latest, "doc_id")
+    val goneN = graft.text.Bm25.searchIndex(probe, delIdx, "doc_id", "text", k = 5)
+      .filter(col("doc_id") === target).count()
+    assert(goneN == 0, s"tombstoned doc $target still served")
+    val cmpDir = java.nio.file.Files.createTempDirectory("graft_pipe_cmp").toString
+    graft.text.Bm25.writeIndex(delIdx, cmpDir) // compaction makes it durable
+    val reAdded = graft.text.Bm25.appendToIndex(
+      docs.filter(col("doc_id") === target),
+      graft.text.Bm25.readIndex(spark, cmpDir), "doc_id", "text")
+    val backN = graft.text.Bm25.searchIndex(probe, reAdded, "doc_id", "text", k = 5)
+      .filter(col("doc_id") === target).count()
+    assert(backN == 1, s"re-appended doc $target did not return to the top-k")
+
     // round 10: representative-only serving — build the rep state over
     // one half, fold the other half incrementally, persist, search from
     // the stored form; the index must hold at most one row-set per
@@ -200,12 +225,28 @@ object Pipeline {
     assert(nReps <= nDocs, s"reps $nReps exceed corpus $nDocs")
     val repHits = graft.dedup.RepIndex.search(
       sharrOf(docs.filter(col("doc_id") < 3)), repState, "doc_id").count()
+    // round 11: the pruned stored-search path must serve the same rows
+    // as the canonical read+search (pbucket is a pure function of
+    // band_hash — the partition columns only prune the scan)
+    val prunedHits = graft.dedup.RepIndex.searchStored(spark,
+      sharrOf(docs.filter(col("doc_id") < 3)), repDir, "doc_id").count()
+    assert(prunedHits == repHits,
+      s"pruned stored search served $prunedHits rows, canonical $repHits")
+    // round 11: rep-index delete over the stored form — tombstoning a
+    // rep re-roots its cluster and promotes from the cold member store
+    val tombRep = repState.sharr.select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(1)
+    val delState = graft.dedup.RepIndex.delete(tombRep, repState, "doc_id")
+    val nAfterDel = delState.labels.count()
+    assert(nAfterDel == nDocs - 1,
+      s"delete left $nAfterDel labels, expected ${nDocs - 1}")
     // the stored state is materialized; release the stage's caches so
     // later pipeline stages don't run under its storage pressure
     repCaches.foreach(_.unpersist())
     println(s"[pipeline] serving: MMR reranked $nRr rows; segmented index " +
-      s"holds both waves ($nServed hits for 3 probes); rep index " +
-      s"$nReps reps / $nDocs docs ($repHits rep hits)")
+      s"holds both waves ($nServed hits for 3 probes; delete/re-append " +
+      s"round-tripped doc $target); rep index $nReps reps / $nDocs docs " +
+      s"($repHits rep hits, pruned search equal, delete re-rooted)")
   }
 
   /** Curation tail (round 8): paragraph dedup against a persisted block

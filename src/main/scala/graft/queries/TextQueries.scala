@@ -806,8 +806,14 @@ object TextQueries extends QueryPack {
         MinHash.hashedShingleArray(docs.filter(pred), "doc_id", "text", 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val st0 = graft.dedup.RepIndex.build(sharrOf(bucket < 60), "doc_id")
-      val st1 = graft.dedup.RepIndex.append(
+      val st1r = graft.dedup.RepIndex.append(
         sharrOf(bucket >= 60 && bucket < 80), st0, "doc_id")
+      // the post-append labels are the expensive frame (two CC fixpoints
+      // over the pair graph) and EVERY delete output reads them — via
+      // tomb, via surv, via the index semi-joins. One persist, four
+      // consumers (the streaming sink makes the same call)
+      val st1 = st1r.copy(labels = st1r.labels
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tomb = st1.labels.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)

@@ -136,23 +136,27 @@ object Mmr {
             d = math.sqrt(norms(i).get) * math.sqrt(norms(j).get)
             if d != 0.0
           } yield roundMicro(dotSeq(vi, vj) / d)
-        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // the standard MMR kernel shape: a boolean selected array (O(1)
+        // membership) and a per-candidate RUNNING max pair-sim updated
+        // once per new selection — O(k·n·dim) total, not O(k²·n·dim).
+        // maxSim(i) = max of the non-null psims against the selected set
+        // (None while every psim was null), exactly the value the old
+        // per-step rescan computed: max over the same integers is
+        // order-free, so the scores cannot drift
+        val selected = new Array[Boolean](cs.length)
+        val maxSim = Array.fill[Option[Long]](cs.length)(None)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Int, Long, Option[Long])]
         val steps = math.min(k, cs.length)
         for (step <- 1 to steps) {
           var bestIdx = -1
           var bestScore: Option[Long] = None
-          for (i <- cs.indices if !selected.contains(i)) {
+          for (i <- cs.indices if !selected(i)) {
             val score: Option[Long] =
               if (step == 1) cs(i)._3.map(lam * _)
-              else {
-                val ps = selected.iterator.flatMap(j => psim(i, j).iterator)
-                if (ps.isEmpty) None
-                else {
-                  val m = ps.max
-                  cs(i)._3.map(q => lam * q - (10L - lam) * m)
-                }
+              else maxSim(i) match {
+                case None    => None
+                case Some(m) => cs(i)._3.map(q => lam * q - (10L - lam) * m)
               }
             val wins = bestIdx < 0 || ((score, bestScore) match {
               case (Some(a), Some(b)) => a > b // tie → earlier (smaller) id
@@ -161,8 +165,13 @@ object Mmr {
             })
             if (wins) { bestIdx = i; bestScore = score }
           }
-          selected += bestIdx
+          selected(bestIdx) = true
           out += ((qid, step, cs(bestIdx)._2, bestScore))
+          if (step < steps)
+            for (i <- cs.indices if !selected(i))
+              psim(i, bestIdx).foreach { p =>
+                maxSim(i) = Some(maxSim(i).fold(p)(math.max(_, p)))
+              }
         }
         out.iterator
       }

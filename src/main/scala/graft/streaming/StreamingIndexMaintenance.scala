@@ -31,13 +31,18 @@ private[streaming] object Segments {
           lines.subList(1, lines.size)).asScala.toSeq))
     } catch { case _: Exception => None } // torn/empty file: not a manifest
 
-  /** Newest PARSEABLE manifest. A power loss after the rename can leave
-    * the newest file empty (the rename is not fsynced — acceptable for
-    * this store: the fold is idempotent and re-delivery rebuilds the
-    * manifest); a torn newest file must not brick every read and every
-    * subsequent fold, so unparsable files are skipped, falling back to
-    * the previous commit — exactly the state a crash before the rename
-    * would have left. */
+  /** Newest PARSEABLE manifest. [[commit]] fsyncs the bytes and the
+    * rename, so on a POSIX filesystem the newest manifest survives power
+    * loss; the skip-unparsable fallback stays as defense-in-depth for
+    * filesystems where the directory fsync is a no-op — a torn newest
+    * file must not brick every read and every subsequent fold, so it is
+    * skipped, falling back to the previous commit — exactly the state a
+    * crash before the rename would have left. Caveat that fallback
+    * inherits (the r7 delete contract): a manifest lost AFTER a
+    * delete-compaction would resurrect tombstoned docs for readers of
+    * the fallback manifest — the one case idempotent re-folding does not
+    * heal, and the reason commit forces real durability instead of
+    * relying on the fallback. */
   def latest(dir: String): Option[Manifest] = {
     val files = Option(manifestDir(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.matches("m\\d+"))
@@ -45,17 +50,39 @@ private[streaming] object Segments {
     files.iterator.flatMap(parse(_).iterator).nextOption()
   }
 
-  /** Rename-commit the next manifest: `m<seq+1>.tmp` → `m<seq+1>`. */
+  /** fsync a directory so a rename inside it is durable (the Lucene
+    * commit-point recipe). Directories cannot be force()d on every
+    * platform/filesystem — there the call degrades to the pre-round-11
+    * no-sync behavior, covered by [[latest]]'s torn-manifest fallback. */
+  private def fsyncDir(d: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(d.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
+
+  /** Rename-commit the next manifest: write `m<seq+1>.tmp`, force its
+    * bytes to disk, rename into place, then fsync the manifest directory
+    * — after commit returns, the commit point is durable, not merely
+    * atomic-for-concurrent-readers. */
   def commit(dir: String, maxBatch: Long, segments: Seq[String]): Unit = {
     val md = manifestDir(dir)
     md.mkdirs()
     val seq = latest(dir).map(_.seq + 1).getOrElse(0L)
     val tmp = new java.io.File(md, s"m$seq.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      (maxBatch.toString +: segments).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        (maxBatch.toString +: segments).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true) // bytes durable BEFORE the rename publishes them
+    } finally ch.close()
     if (!tmp.renameTo(new java.io.File(md, s"m$seq")))
       throw new java.io.IOException(s"manifest commit failed: $md/m$seq")
+    fsyncDir(md) // the rename itself durable
   }
 
   /** GC segments and manifests no current reader can need: keep the
@@ -63,13 +90,18 @@ private[streaming] object Segments {
     * references (a reader that resolved the previous manifest just
     * before a compaction still has its segments on disk — the
     * pruneVersions keep≥2 contract). Unreferenced directories include
-    * crashed partial segment writes — but ONLY those at/below the kept
-    * high-water batch id: a sink mid-flight on the NEXT batch has
-    * already written (or is writing) `seg<batchId>` with batchId above
-    * the newest manifest's maxBatch, and deleting it under the writer
-    * would commit a manifest pointing at a vanished directory — the
-    * writer-race guard the version store this replaced also had. Never
-    * runs implicitly: deletion is the caller's policy call. */
+    * crashed partial segment writes — but ONLY those safely below the
+    * writer's frontier: a `seg` directory is sweepable at/below the kept
+    * high-water batch id (a segment is always written BEFORE the commit
+    * that raises maxBatch to its id, so an unreferenced seg at the high
+    * water is a retired-by-compaction one, never in-flight), while a
+    * `cmp` directory is sweepable only STRICTLY below it — a compaction
+    * writes `cmp<batchId>` AFTER committing maxBatch = batchId, so an
+    * unreferenced cmp at exactly the high water may be mid-write by a
+    * live fold, and deleting it would publish a manifest pointing at a
+    * vanished directory (a crashed cmp at the high water is swept later,
+    * once any subsequent batch raises the mark). Never runs implicitly:
+    * deletion is the caller's policy call. */
   def prune(dir: String, keepManifests: Int = 2): Unit = {
     require(keepManifests >= 1)
     val md = manifestDir(dir)
@@ -88,9 +120,14 @@ private[streaming] object Segments {
     }
     manifests.dropRight(keepManifests).foreach(_.delete())
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("(seg|cmp)\\d+")
-        && !live(f.getName)
-        && f.getName.dropWhile(!_.isDigit).toLong <= highWater)
+      .filter { f =>
+        val sweepable = f.isDirectory && f.getName.matches("(seg|cmp)\\d+") &&
+          !live(f.getName)
+        val id = if (sweepable) f.getName.dropWhile(!_.isDigit).toLong
+                 else Long.MaxValue
+        sweepable &&
+          (if (f.getName.startsWith("cmp")) id < highWater else id <= highWater)
+      }
       .foreach(rm)
   }
 

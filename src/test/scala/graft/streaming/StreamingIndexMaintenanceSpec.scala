@@ -163,6 +163,20 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 2L)
     assert(StreamingIndexMaintenance.readLatest(sp, dir)
       .stats.collect().head.getLong(0) == 5L)
+    // an IN-FLIGHT COMPACTION's directory: fold commits maxBatch = 2
+    // FIRST, then writes cmp2 — so an unreferenced cmp dir at id ==
+    // high-water may be mid-write by a live fold and must survive prune;
+    // it becomes a sweepable crashed compaction only once a later batch
+    // raises the mark
+    new java.io.File(s"$dir/cmp2").mkdirs()
+    StreamingIndexMaintenance.prune(dir, keepManifests = 1)
+    assert(new java.io.File(s"$dir/cmp2").exists(),
+      "prune raced an in-flight compaction at the high-water mark")
+    Segments.commit(dir, 3L,
+      Segments.latest(dir).get.segments) // a later batch raises the mark
+    StreamingIndexMaintenance.prune(dir, keepManifests = 1)
+    assert(!new java.io.File(s"$dir/cmp2").exists(),
+      "crashed compaction below the mark was not swept")
     // a torn (empty) newest manifest must not brick reads or folds: the
     // store falls back to the previous commit, exactly the pre-rename
     // crash state
@@ -170,7 +184,7 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     val seqs = md.listFiles().map(_.getName.drop(1).toLong)
     java.nio.file.Files.write(
       new java.io.File(md, s"m${seqs.max + 1}").toPath, Array.emptyByteArray)
-    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 2L)
+    assert(StreamingIndexMaintenance.latestMaxBatch(dir) == 3L)
     assert(StreamingIndexMaintenance.readLatest(sp, dir)
       .stats.collect().head.getLong(0) == 5L)
   }
