@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -222,6 +222,70 @@ object Cosine {
       .withColumn("vn", normSq(col("v")))
     val ve = evalSplit.select(col(idCol).as("eval_id"), toDouble(col(vecCol)).as("tv"))
       .withColumn("tn", normSq(col("tv")))
+    val mx = cand.join(vt, "train_id").join(ve, "eval_id")
+      .select(col("train_id"),
+        round(cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
+      .groupBy(col("train_id")).agg(max(col("sim")).as("max_test_sim"))
+    train.select(col(idCol))
+      .join(mx.withColumnRenamed("train_id", idCol), Seq(idCol), "left")
+      .withColumn("kept", coalesce(col("max_test_sim") < threshold, lit(true)))
+  }
+
+  /** Persist the SRP index of a STATIC reference split — the "band once,
+    * probe many" serving form of [[semanticDecontaminate]]: an eval
+    * suite is fixed per release, so its band rows and normed vectors are
+    * written once and every train batch probes the stored artifact
+    * instead of re-banding the eval side per run. Layout: `bands`
+    * (id, t, b), `vecs` (id, tv, tn), and a one-line `config` pinning
+    * (nPlanes, dim, nTables) so probes ALWAYS band with the index's own
+    * hyperplanes — a probe banded under a different config would
+    * silently miss every collision. The eval side is small by
+    * construction (the planner broadcasts both frames from stats), so
+    * no partition pruning is needed here — that machinery belongs on
+    * corpus-scale stores (RepIndex). */
+  def writeSrpIndex(df: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int, dim: Int, nTables: Int, dir: String): Unit = {
+    srpBands(df, idCol, vecCol, nPlanes, dim, nTables)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    df.select(col(idCol), toDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", normSq(col("tv")))
+      .write.mode("overwrite").parquet(s"$dir/vecs")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "config"),
+      s"$nPlanes,$dim,$nTables".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** (nPlanes, dim, nTables) a stored SRP index was banded with. */
+  def srpIndexConfig(dir: String): (Int, Int, Int) = {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "config")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+    (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+  }
+
+  /** [[semanticDecontaminate]] against a STORED eval index: bands the
+    * train side under the index's own config (read from the artifact —
+    * never caller-supplied, so probe and index cannot drift), candidate-
+    * joins the stored band rows, exact-cosines candidates against the
+    * stored normed vectors, and left-joins the per-train max back.
+    * Value-identical to the inline form over the same eval split and
+    * config (spec-pinned): banding is a pure function of (vector,
+    * config), and the stored `tn` is the same normSq fold. Stateless
+    * per train doc — which is what makes the STREAMING twin exact: each
+    * batch's decisions depend only on that batch and the fixed index. */
+  def semanticDecontaminateStored(spark: SparkSession, train: DataFrame,
+                                  indexDir: String, idCol: String,
+                                  vecCol: String, threshold: Double): DataFrame = {
+    val (nPlanes, dim, nTables) = srpIndexConfig(indexDir)
+    val bandsT = srpBands(train, idCol, vecCol, nPlanes, dim, nTables)
+      .select(col("t"), col("b"), col(idCol).as("train_id"))
+    val bandsE = spark.read.parquet(s"$indexDir/bands")
+      .select(col("t"), col("b"), col(idCol).as("eval_id"))
+    val cand = bandsT.join(bandsE, Seq("t", "b"))
+      .select(col("train_id"), col("eval_id")).distinct()
+    val vt = train.select(col(idCol).as("train_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", normSq(col("v")))
+    val ve = spark.read.parquet(s"$indexDir/vecs")
+      .select(col(idCol).as("eval_id"), col("tv"), col("tn"))
     val mx = cand.join(vt, "train_id").join(ve, "eval_id")
       .select(col("train_id"),
         round(cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))

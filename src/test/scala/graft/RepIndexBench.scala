@@ -87,11 +87,24 @@ object RepIndexBench {
     }
     val nReps = st.sharr.select(col("doc_id")).count()
     val nDocs = st.labels.count()
+    reset()
+    // ---- delete phase (round 11): tombstone 1% of the indexed docs,
+    // reps included — promotion from the cold store, re-root, and the
+    // index anti-joins; cost must track the tombstone/touched-cluster
+    // count, never the corpus
+    val (nAfterDel, repDelete) = timed {
+      val stD = RepIndex.read(spark, s"$tmp/rep1")
+      val tomb = stD.labels.filter(col("id") % 100 === 0)
+        .select(col("id").as("doc_id"))
+      val d = RepIndex.delete(tomb, stD, "doc_id")
+      RepIndex.write(d, s"$tmp/rep2")
+      spark.read.parquet(s"$tmp/rep2/labels").count()
+    }
     def ms(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"bench":"rep_index_phases","dir":"$dir",""" +
       s""""raw":{"build":${ms(rawBuild)},"append":${ms(rawAppend)},"search":${ms(rawSearch)},"pairs":$nRaw},""" +
-      s""""rep":{"build":${ms(repBuild)},"append":${ms(repAppend)},"search":${ms(repSearch)},"pairs":$nRep},""" +
-      s""""reps":$nReps,"docs":$nDocs}""")
+      s""""rep":{"build":${ms(repBuild)},"append":${ms(repAppend)},"search":${ms(repSearch)},"pairs":$nRep,"delete":${ms(repDelete)}},""" +
+      s""""reps":$nReps,"docs":$nDocs,"docsAfterDelete":$nAfterDel}""")
     spark.stop()
   }
 }
