@@ -223,13 +223,14 @@ object Pipeline {
     val nReps = repState.sharr.select(col("doc_id")).count()
     assert(nDocs == docs.count(), s"rep labels cover $nDocs of ${docs.count()}")
     assert(nReps <= nDocs, s"reps $nReps exceed corpus $nDocs")
+    val probeSharr = sharrOf(docs.filter(col("doc_id") < 3))
     val repHits = graft.dedup.RepIndex.search(
-      sharrOf(docs.filter(col("doc_id") < 3)), repState, "doc_id").count()
+      probeSharr, repState, "doc_id").count()
     // round 11: the pruned stored-search path must serve the same rows
     // as the canonical read+search (pbucket is a pure function of
     // band_hash — the partition columns only prune the scan)
     val prunedHits = graft.dedup.RepIndex.searchStored(spark,
-      sharrOf(docs.filter(col("doc_id") < 3)), repDir, "doc_id").count()
+      probeSharr, repDir, "doc_id").count()
     assert(prunedHits == repHits,
       s"pruned stored search served $prunedHits rows, canonical $repHits")
     // round 11: rep-index delete over the stored form — tombstoning a

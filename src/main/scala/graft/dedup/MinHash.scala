@@ -454,15 +454,18 @@ object MinHash {
   def nearDuplicatesArraysAgainstBands(shNew: DataFrame, oldBands: DataFrame,
                                        oldSharr: DataFrame, idCol: String,
                                        threshold: Double = 0.7,
-                                       rowsPerBand: Int = RowsPerBand): DataFrame = {
+                                       rowsPerBand: Int = RowsPerBand,
+                                       probeBuckets: Int = ProbeBuckets): DataFrame = {
     // when oldBands comes from the PARTITIONED serving layout (it carries
     // the pbucket partition column), compute the same pure function of
     // band_hash on the probe side and include it in the equi-join keys:
     // filters nothing (pbucket is determined by band_hash) but lets
     // dynamic partition pruning cut the stored scan to the probe's
-    // (band, pbucket) directories
+    // (band, pbucket) directories. `probeBuckets` must be the modulus the
+    // STORED side was written under (RepIndex pins it in the artifact) —
+    // a mismatched modulus would silently drop cross-bucket collisions
     val pruned = oldBands.columns.contains("pbucket")
-    val pb = pmod(col("band_hash"), lit(ProbeBuckets.toLong)).cast("int")
+    val pb = pmod(col("band_hash"), lit(probeBuckets.toLong)).cast("int")
     val bNew0 = bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
     val bNew = if (pruned) bNew0.withColumn("pbucket", pb) else bNew0

@@ -201,16 +201,41 @@ object RepIndex {
     * half of the serving wall-clock story: [[searchStored]] probes join
     * on the partition columns, so dynamic partition pruning reads only
     * the probe's (band, pbucket) directories instead of every band row
-    * (PlanShapeSpec pins the pruned scan). */
+    * (PlanShapeSpec pins the pruned scan). The bucket count is PINNED in
+    * the artifact (`config`) and probes read it from there — a probe
+    * bucketing under a different modulus would silently drop every
+    * cross-bucket collision if the constant is ever retuned. Edge: an
+    * EMPTY band frame (all docs deleted) is written unpartitioned —
+    * partitionBy writes no directories for zero rows and the read-back
+    * would fail schema inference; the plain layout keeps the schema and
+    * [[searchStored]] degrades to the (trivially empty) unpruned join. */
   def write(state: State, dir: String): Unit = {
     state.labels.write.mode("overwrite").parquet(s"$dir/labels")
-    state.bands
-      .withColumn("pbucket",
-        pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int"))
-      .write.mode("overwrite").partitionBy("band", "pbucket")
-      .parquet(s"$dir/bands")
+    if (state.bands.isEmpty)
+      state.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    else
+      state.bands
+        .withColumn("pbucket",
+          pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("band", "pbucket")
+        .parquet(s"$dir/bands")
     state.sharr.write.mode("overwrite").parquet(s"$dir/sharr")
     state.marr.write.mode("overwrite").parquet(s"$dir/marr")
+    val tmp = java.nio.file.Paths.get(dir, "config.tmp")
+    java.nio.file.Files.write(tmp, MinHash.ProbeBuckets.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "config"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The probe-bucket modulus a stored index was written under. */
+  def storedProbeBuckets(dir: String): Int = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "config")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    require(s.nonEmpty && s.forall(_.isDigit), s"torn rep-index config: '$s'")
+    s.toInt
   }
 
   /** Canonical in-memory state (pbucket is a storage detail — dropped so
@@ -241,5 +266,6 @@ object RepIndex {
                    rowsPerBand: Int = MinHash.RowsPerBand): DataFrame =
     MinHash.nearDuplicatesArraysAgainstBands(querySharr,
       spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand)
+      spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
+      probeBuckets = storedProbeBuckets(dir))
 }

@@ -178,9 +178,14 @@ object SimilarityQueries extends QueryPack {
     //      colliding candidates only, per-train max left-joined back
     //      (no collision ⇒ NULL ⇒ kept). Plane count derives from the
     //      EVAL count (autoPlanes holds eval-bucket occupancy ~constant,
-    //      so per-train candidate work is O(nTables·target), not O(|eval|));
-    //      the derived config is stashed so the oracle replays the exact
-    //      same tables — max-of-rounded = rounded-max over the SAME
+    //      so per-train candidate work is O(nTables·probes·target), not
+    //      O(|eval|)), and the train side MULTIPROBES at Hamming radius
+    //      1 (Cosine.probeMasks) — the occupancy-derived plane count
+    //      alone collapses recall at scale (Cosine.srpRecall: 34% at
+    //      sim 0.9 under 15 planes/4 tables), radius 1 buys it back
+    //      (81% there; the spec pins an empirical floor). Config is
+    //      stashed so the oracle replays the exact same tables AND
+    //      probes — max-of-rounded = rounded-max over the SAME
     //      candidate set, so the gate stays engine-exact. Threshold 0.34
     //      sits between the sf corpus's p90 0.338 and p99 0.403, so both
     //      keep outcomes are populated. The sizing count runs on the
@@ -674,11 +679,14 @@ object SimilarityQueries extends QueryPack {
          |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
          |ORDER BY i.query_id""".stripMargin,
     // c12: the engine's bounded plan replayed exactly — the same seeded
-    // multi-table SRP bands on both split sides, DISTINCT colliding
-    // candidates, the x1 dot/norm chain on candidates only, and the
-    // per-train max LEFT-joined over every train id (no collision ⇒ NULL
-    // ⇒ kept). max over ROUND(sim, 6) — identical to Spark's rounded-max
-    // since rounding is monotone and the candidate sets coincide.
+    // multi-table SRP bands on both split sides, the train side
+    // MULTIPROBED (radius-1 Hamming expansion: own bucket + every 1-bit
+    // flip, the same masks Cosine.probeMasks generates), DISTINCT
+    // colliding candidates, the x1 dot/norm chain on candidates only,
+    // and the per-train max LEFT-joined over every train id (no
+    // collision ⇒ NULL ⇒ kept). max over ROUND(sim, 6) — identical to
+    // Spark's rounded-max since rounding is monotone and the candidate
+    // sets coincide.
     "c12_semantic_decontaminate" ->
       s"""WITH $vCte,
          |bk AS (SELECT vec_id,
@@ -687,9 +695,12 @@ object SimilarityQueries extends QueryPack {
          |  FROM embeddings),
          |tb AS (
          |  ${srpMultiBucketSql(lastC12Config._1, lastC12Config._2)}),
+         |pm(m) AS (VALUES ${Cosine.probeMasks(lastC12Config._1, 1)
+           .map(m => s"($m)").mkString(", ")}),
          |cand AS (SELECT DISTINCT a.vec_id AS train_id, e.vec_id AS eval_id
          |  FROM tb a JOIN bk ba ON ba.vec_id = a.vec_id
-         |  JOIN tb e ON e.t = a.t AND e.b = a.b
+         |  CROSS JOIN pm
+         |  JOIN tb e ON e.t = a.t AND e.b = xor(a.b, pm.m)
          |  JOIN bk be ON be.vec_id = e.vec_id
          |  WHERE ba.bucket < 90 AND be.bucket >= 90),
          |m AS (SELECT c.train_id AS vec_id,

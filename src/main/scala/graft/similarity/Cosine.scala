@@ -211,17 +211,68 @@ object Cosine {
     * degrades to shuffled equi-joins instead of OOMing. */
   def semanticDecontaminate(train: DataFrame, evalSplit: DataFrame,
                             idCol: String, vecCol: String, threshold: Double,
-                            nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+                            nPlanes: Int, dim: Int, nTables: Int,
+                            probeRadius: Int = 1): DataFrame =
+    decontaminateTail(train, idCol, threshold,
+      srpBands(evalSplit, idCol, vecCol, nPlanes, dim, nTables)
+        .select(col("t"), col("b"), col(idCol).as("eval_id")),
+      evalSplit.select(col(idCol).as("eval_id"), toDouble(col(vecCol)).as("tv"))
+        .withColumn("tn", normSq(col("tv"))),
+      nPlanes, dim, nTables, vecCol, probeRadius)
+
+  /** All XOR masks of Hamming weight ≤ radius over nPlanes sign bits —
+    * the MULTIPROBE bucket expansion (Lv et al. 2007, "Multi-Probe LSH")
+    * for SRP codes: a probe visits its own bucket plus every bucket
+    * within `radius` flipped planes, so a near neighbor that disagrees
+    * on a few projections still collides. Probe count =
+    * Σ_{r≤radius} C(nPlanes, r). */
+  def probeMasks(nPlanes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= nPlanes)
+    (0 to radius).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
+  }
+
+  /** Analytic candidate recall of the multiprobe SRP gate for a pair at
+    * cosine `sim`: per-plane sign agreement q = 1 − acos(sim)/π, a probe
+    * at radius ρ collides when the two codes differ on ≤ ρ planes
+    * (binomial tail), OR-amplified over tables. This is the honesty
+    * knob the decontamination gate is tuned with: occupancy-derived
+    * plane counts keep COST bounded while radius/tables buy RECALL back
+    * — e.g. (15 planes, 4 tables) at sim 0.9 recalls 34% at radius 0
+    * but 81% at radius 1. SemanticDecontaminateSpec pins the formula
+    * and an EMPIRICAL recall floor against the brute-force gate. */
+  def srpRecall(sim: Double, nPlanes: Int, nTables: Int, radius: Int): Double = {
+    val q = 1.0 - math.acos(math.max(-1.0, math.min(1.0, sim))) / math.Pi
+    def choose(n: Int, k: Int): Double =
+      (1 to k).foldLeft(1.0)((a, i) => a * (n - i + 1) / i)
+    val pTable = (0 to radius).map(r =>
+      choose(nPlanes, r) * math.pow(q, nPlanes - r) * math.pow(1 - q, r)).sum
+    1.0 - math.pow(1.0 - pTable, nTables)
+  }
+
+  /** The shared candidate-join / exact-cosine / left-join-back tail of
+    * [[semanticDecontaminate]] and [[semanticDecontaminateStored]] — the
+    * two forms differ ONLY in where the eval-side bands and normed
+    * vectors come from (computed inline vs read from the artifact), so
+    * the kept/NULL semantics cannot drift between them. The train side
+    * multiprobes ([[probeMasks]]): cost multiplies by the probe count,
+    * recall follows [[srpRecall]]; the eval-side index is untouched by
+    * the radius, so a stored artifact serves any radius. */
+  private def decontaminateTail(train: DataFrame, idCol: String,
+                                threshold: Double, bandsE: DataFrame,
+                                ve: DataFrame, nPlanes: Int, dim: Int,
+                                nTables: Int, vecCol: String,
+                                probeRadius: Int): DataFrame = {
+    val masks = probeMasks(nPlanes, probeRadius)
     val bandsT = srpBands(train, idCol, vecCol, nPlanes, dim, nTables)
-      .select(col("t"), col("b"), col(idCol).as("train_id"))
-    val bandsE = srpBands(evalSplit, idCol, vecCol, nPlanes, dim, nTables)
-      .select(col("t"), col("b"), col(idCol).as("eval_id"))
+      .select(col("t"),
+        explode(array(masks.map(m => col("b").bitwiseXOR(lit(m))): _*)).as("b"),
+        col(idCol).as("train_id"))
     val cand = bandsT.join(bandsE, Seq("t", "b"))
       .select(col("train_id"), col("eval_id")).distinct()
     val vt = train.select(col(idCol).as("train_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("vn", normSq(col("v")))
-    val ve = evalSplit.select(col(idCol).as("eval_id"), toDouble(col(vecCol)).as("tv"))
-      .withColumn("tn", normSq(col("tv")))
     val mx = cand.join(vt, "train_id").join(ve, "eval_id")
       .select(col("train_id"),
         round(cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
@@ -250,15 +301,25 @@ object Cosine {
     df.select(col(idCol), toDouble(col(vecCol)).as("tv"))
       .withColumn("tn", normSq(col("tv")))
       .write.mode("overwrite").parquet(s"$dir/vecs")
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "config"),
+    // the config IS the artifact's commit point (bands/vecs are useless
+    // without it): temp-write + atomic rename so a crash mid-write can
+    // never leave a torn config next to complete parquet
+    val tmp = java.nio.file.Paths.get(dir, "config.tmp")
+    java.nio.file.Files.write(tmp,
       s"$nPlanes,$dim,$nTables".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "config"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** (nPlanes, dim, nTables) a stored SRP index was banded with. */
   def srpIndexConfig(dir: String): (Int, Int, Int) = {
-    val parts = new String(java.nio.file.Files.readAllBytes(
+    val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "config")),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val parts = raw.split(",")
+    require(parts.length == 3 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit)),
+      s"torn SRP index config: '$raw'")
     (parts(0).toInt, parts(1).toInt, parts(2).toInt)
   }
 
@@ -274,25 +335,15 @@ object Cosine {
     * batch's decisions depend only on that batch and the fixed index. */
   def semanticDecontaminateStored(spark: SparkSession, train: DataFrame,
                                   indexDir: String, idCol: String,
-                                  vecCol: String, threshold: Double): DataFrame = {
+                                  vecCol: String, threshold: Double,
+                                  probeRadius: Int = 1): DataFrame = {
     val (nPlanes, dim, nTables) = srpIndexConfig(indexDir)
-    val bandsT = srpBands(train, idCol, vecCol, nPlanes, dim, nTables)
-      .select(col("t"), col("b"), col(idCol).as("train_id"))
-    val bandsE = spark.read.parquet(s"$indexDir/bands")
-      .select(col("t"), col("b"), col(idCol).as("eval_id"))
-    val cand = bandsT.join(bandsE, Seq("t", "b"))
-      .select(col("train_id"), col("eval_id")).distinct()
-    val vt = train.select(col(idCol).as("train_id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("vn", normSq(col("v")))
-    val ve = spark.read.parquet(s"$indexDir/vecs")
-      .select(col(idCol).as("eval_id"), col("tv"), col("tn"))
-    val mx = cand.join(vt, "train_id").join(ve, "eval_id")
-      .select(col("train_id"),
-        round(cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
-      .groupBy(col("train_id")).agg(max(col("sim")).as("max_test_sim"))
-    train.select(col(idCol))
-      .join(mx.withColumnRenamed("train_id", idCol), Seq(idCol), "left")
-      .withColumn("kept", coalesce(col("max_test_sim") < threshold, lit(true)))
+    decontaminateTail(train, idCol, threshold,
+      spark.read.parquet(s"$indexDir/bands")
+        .select(col("t"), col("b"), col(idCol).as("eval_id")),
+      spark.read.parquet(s"$indexDir/vecs")
+        .select(col(idCol).as("eval_id"), col("tv"), col("tn")),
+      nPlanes, dim, nTables, vecCol, probeRadius)
   }
 
   /** IVF-style approximate top-k SEARCH: each query probes only its own

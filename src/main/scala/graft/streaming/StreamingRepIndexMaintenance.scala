@@ -112,22 +112,22 @@ object StreamingRepIndexMaintenance {
         .write.mode("overwrite").parquet(s"$seg/bands")
       next.sharr.join(newRepIds, Seq(idCol), "left_semi")
         .write.mode("overwrite").parquet(s"$seg/sharr")
-      val retired =
-        if (first) next.sharr.select(col(idCol)).limit(0)
-        else prev.sharr.select(col(idCol))
+      // retired reps (their arrays feed the marr delta too — ONE
+      // anti-join plan serves both writes, ids projected for the
+      // tombstone file)
+      val retiredWithArrays =
+        if (first) sharrB.select(col(idCol), col("sharr")).limit(0)
+        else prev.sharr.select(col(idCol), col("sharr"))
           .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti")
-      retired.write.mode("overwrite").parquet(s"$seg/retired")
+      retiredWithArrays.select(col(idCol))
+        .write.mode("overwrite").parquet(s"$seg/retired")
       // cold member-array delta: the batch's non-rep arrays, plus the
       // arrays of reps retired THIS batch (moving from the hot rep store
       // to the cold store so a later delete can promote them)
       val batchNonRep = sharrB.select(col(idCol), col("sharr"))
         .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti")
-      val marrDelta =
-        if (first) batchNonRep
-        else batchNonRep.unionByName(
-          prev.sharr.select(col(idCol), col("sharr"))
-            .join(next.sharr.select(col(idCol)), Seq(idCol), "left_anti"))
-      marrDelta.write.mode("overwrite").parquet(s"$seg/marr")
+      batchNonRep.unionByName(retiredWithArrays)
+        .write.mode("overwrite").parquet(s"$seg/marr")
     } { cmp =>
       compactInto(spark, dir, idCol, cmp)
     } finally caches.foreach(_.unpersist())

@@ -147,6 +147,22 @@ class RepIndexSpec extends SparkSpec {
     assert(st3.marr.collect().map(_.getLong(0)).toSet == Set(5L, 7L, 9L))
   }
 
+  test("emptied index round-trips: delete every doc, write, read, search") {
+    val sp = spark; import sp.implicits._
+    val st0 = RepIndex.build(sharrOf(Seq(5L -> groupA, 7L -> groupA)), "doc_id")
+    val st1 = RepIndex.delete(Seq(5L, 7L).toDF("doc_id"), st0, "doc_id")
+    // partitionBy writes no directories for zero rows — the empty state
+    // must still round-trip (plain-layout fallback) and serve nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft_repidx_e").toString
+    RepIndex.write(st1, dir)
+    val back = RepIndex.read(sp, dir)
+    assert(back.labels.count() == 0 && back.bands.count() == 0
+      && back.sharr.count() == 0 && back.marr.count() == 0)
+    val probe = sharrOf(Seq(100L -> groupA))
+    assert(RepIndex.search(probe, back, "doc_id").count() == 0)
+    assert(RepIndex.searchStored(sp, probe, dir, "doc_id").count() == 0)
+  }
+
   test("appendLabels guard: non-min-rooted stored labels fail loudly") {
     val sp = spark; import sp.implicits._
     val bad = Seq((5L, 9L), (9L, 9L)).toDF("id", "cluster_id") // rooted at MAX

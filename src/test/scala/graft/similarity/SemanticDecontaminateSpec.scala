@@ -33,6 +33,51 @@ class SemanticDecontaminateSpec extends SparkSpec {
     assert(out(2L) == (None, true), out.toString)
   }
 
+  test("multiprobe recall: analytic pins + an empirical floor against brute force") {
+    // the formula's headline numbers (the scaladoc's honesty knob): an
+    // occupancy-derived 15-plane/4-table config recalls ~34% of sim-0.9
+    // pairs at radius 0 — the recall collapse multiprobing exists to fix
+    // — and ~81% at radius 1
+    assert(Cosine.srpRecall(0.9, 15, 4, 0) < 0.4)
+    assert(Cosine.srpRecall(0.9, 15, 4, 1) > 0.75)
+    // monotone in every knob
+    assert(Cosine.srpRecall(0.9, 6, 3, 1) > Cosine.srpRecall(0.9, 6, 3, 0))
+    assert(Cosine.srpRecall(0.9, 6, 4, 1) > Cosine.srpRecall(0.9, 6, 3, 1))
+    assert(Cosine.srpRecall(0.95, 6, 3, 1) > Cosine.srpRecall(0.9, 6, 3, 1))
+    // probe masks: radius-1 over n planes = 1 + n distinct masks
+    assert(Cosine.probeMasks(6, 1) == Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L))
+
+    // EMPIRICAL floor on real embeddings at the gate's own derived
+    // config: of the train docs the brute-force gate flags (max sim ≥
+    // 0.34), what fraction does the bounded gate flag? Deterministic —
+    // fixed data, fixed hyperplanes.
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bucket = graft.text.TextAnalysis.splitBucket(col("vec_id"))
+    val evalSplit = emb.filter(bucket >= 90)
+    val train = emb.filter(bucket < 90)
+    val nPlanes = Cosine.autoPlanes(evalSplit.count(), targetOccupancy = 32)
+    val nTables = Cosine.autoTables(nPlanes)
+    val vt = train.select(col("vec_id"), Cosine.toDouble(col("embedding")).as("v"))
+      .withColumn("vn", Cosine.normSq(col("v")))
+    val ve = evalSplit.select(Cosine.toDouble(col("embedding")).as("tv"))
+      .withColumn("tn", Cosine.normSq(col("tv")))
+    val truth = vt.crossJoin(ve)
+      .select(col("vec_id"),
+        Cosine.cosine(col("v"), col("tv"), col("vn"), col("tn")).as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("m"))
+      .filter(col("m") >= 0.34)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Cosine.semanticDecontaminate(train, evalSplit, "vec_id",
+        "embedding", threshold = 0.34, nPlanes, dim = 64, nTables)
+      .filter(!col("kept"))
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.nonEmpty, "fixture vacuous: brute force flags nothing")
+    assert(flagged.subsetOf(truth), "bounded gate flagged a non-contaminated doc")
+    val recall = flagged.size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall $recall (${flagged.size}/${truth.size})")
+  }
+
   test("stored eval index reproduces the inline form row-for-row on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
