@@ -16,19 +16,52 @@ import org.apache.spark.sql.functions.col
   * commit point, the high-water batch id skips re-delivery. */
 private[streaming] object FrameSegments {
 
+  /** The live frame: one multi-path scan of the DATA segments, minus the
+    * union of live TOMBSTONE segments ([[deleteFold]]) — index rows here
+    * are per-document pure functions, so an id anti-join is an exact
+    * soft delete (the r7 LSH/IVF algebra). A tombstone segment holds
+    * only a `tombstones` subdir, so it is excluded from the frame scan
+    * by existence; the anti-join keys on the tombstone frame's own
+    * column, so no id-column name needs to thread through the read. */
   def readLatest(spark: SparkSession, dir: String): DataFrame = {
     val segs = Segments.latest(dir).map(_.segments).getOrElse(Nil)
       .map(s => s"$dir/$s")
     require(segs.nonEmpty, s"no committed segments under $dir")
-    spark.read.parquet(segs: _*)
+    val (tombSegs, dataSegs) = segs.partition(
+      s => new java.io.File(s, "tombstones").exists())
+    require(dataSegs.nonEmpty,
+      s"store under $dir holds only tombstone segments — nothing to serve")
+    val frame = spark.read.parquet(dataSegs: _*)
+    if (tombSegs.isEmpty) frame
+    else {
+      val tombs = spark.read.parquet(tombSegs.map(_ + "/tombstones"): _*)
+      frame.join(tombs, Seq(tombs.columns.head), "left_anti")
+    }
   }
 
   /** Fold one micro-batch through the shared [[Segments.fold]] protocol:
-    * the segment is the single frame, compaction is the resolved union. */
+    * the segment is the single frame, compaction is the resolved union
+    * (tombstones applied by [[readLatest]] and not re-written). */
   def fold(spark: SparkSession, dir: String, batchId: Long,
            maxSegments: Int)(frame: => DataFrame): Unit =
     Segments.fold(dir, batchId, maxSegments) { seg =>
       frame.write.mode("overwrite").parquet(seg)
+    } { cmp =>
+      readLatest(spark, dir).write.mode("overwrite").parquet(cmp)
+    }
+
+  /** Fold a DELETE batch: the tombstone ids commit as their own segment
+    * (atomically visible, idempotent on re-delivery, resolved by the
+    * next compaction). Same contract as the BM25 delete segments: batch
+    * ids are monotone across data and delete folds, and a tombstoned id
+    * may be re-appended only after a compaction has resolved its
+    * tombstone (the live tombstone union applies to every live data
+    * segment, fresh rows included). */
+  def deleteFold(spark: SparkSession, dir: String, batchId: Long,
+                 maxSegments: Int, tombs: DataFrame, idCol: String): Unit =
+    Segments.fold(dir, batchId, maxSegments) { seg =>
+      tombs.select(org.apache.spark.sql.functions.col(idCol)).distinct()
+        .write.mode("overwrite").parquet(s"$seg/tombstones")
     } { cmp =>
       readLatest(spark, dir).write.mode("overwrite").parquet(cmp)
     }
@@ -62,6 +95,12 @@ object StreamingLshMaintenance {
   def readLatest(spark: SparkSession, dir: String): DataFrame =
     FrameSegments.readLatest(spark, dir)
 
+  /** Tombstone a batch of doc ids ([[FrameSegments.deleteFold]]) — the
+    * streaming form of [[MinHash.deleteFromSnapshotIndex]]. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
   def latestMaxBatch(dir: String): Long =
     Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
 
@@ -90,6 +129,12 @@ object StreamingIvfMaintenance {
 
   def readLatest(spark: SparkSession, dir: String): DataFrame =
     FrameSegments.readLatest(spark, dir)
+
+  /** Tombstone a batch of vector ids ([[FrameSegments.deleteFold]]) —
+    * the streaming form of [[graft.similarity.Cosine.ivfDeleteCells]]. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
 
   def latestMaxBatch(dir: String): Long =
     Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)

@@ -170,7 +170,11 @@ private[streaming] object Segments {
   * Exactly-once across restarts: the manifest's high-water batch id
   * skips re-delivered micro-batches (idempotent), and the manifest
   * rename is the only commit point — a crash mid-segment-write leaves
-  * an unreferenced directory, never a visible partial index. */
+  * an unreferenced directory, never a visible partial index.
+  *
+  * DELETES are segments too ([[deleteSink]]): a tombstone batch commits
+  * like any data batch, [[readLatest]] folds the live tombstone union
+  * through the r7 delete algebra, and compaction resolves them. */
 object StreamingIndexMaintenance {
 
   def latestMaxBatch(dir: String): Long =
@@ -181,18 +185,31 @@ object StreamingIndexMaintenance {
 
   /** The live serving index: one multi-path scan per component across
     * all live segments; dfreq/stats re-aggregate (associative sums),
-    * postings/doclen are disjoint per-document rows (plain union). */
+    * postings/doclen are disjoint per-document rows (plain union).
+    * TOMBSTONE segments ([[deleteSink]]) carry only a `tombstones` id
+    * file — each component's scan lists only the segments that hold it,
+    * and the union of live tombstones is folded through
+    * [[Bm25.deleteFromIndex]] (every deleted contribution recovered
+    * from the index itself, the r7 algebra), so the served index is
+    * rebuild-without-deleted exactly. */
   def readLatest(spark: SparkSession, dir: String): Bm25.Index = {
     val segs = liveSegments(dir).map(s => s"$dir/$s")
     require(segs.nonEmpty, s"no committed segments under $dir")
-    Bm25.Index(
-      spark.read.parquet(segs.map(_ + "/postings"): _*),
-      spark.read.parquet(segs.map(_ + "/doclen"): _*),
-      spark.read.parquet(segs.map(_ + "/dfreq"): _*)
+    def paths(part: String) =
+      segs.map(_ + "/" + part).filter(p => new java.io.File(p).exists())
+    require(paths("postings").nonEmpty,
+      s"store under $dir holds only tombstone segments — nothing to serve")
+    val merged = Bm25.Index(
+      spark.read.parquet(paths("postings"): _*),
+      spark.read.parquet(paths("doclen"): _*),
+      spark.read.parquet(paths("dfreq"): _*)
         .groupBy(col("term")).agg(sum(col("df")).as("df")),
-      spark.read.parquet(segs.map(_ + "/stats"): _*)
+      spark.read.parquet(paths("stats"): _*)
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("total_len")).as("total_len")))
+    val tombs = paths("tombstones")
+    if (tombs.isEmpty) merged
+    else Bm25.deleteFromIndex(spark.read.parquet(tombs: _*), merged, "did")
   }
 
   def prune(dir: String, keepManifests: Int = 2): Unit =
@@ -210,9 +227,37 @@ object StreamingIndexMaintenance {
       Bm25.writeIndex(bIdx, seg)
       bIdx.postings.unpersist() // buildIndex's caller-owned cache, per batch
     } { cmp =>
-      // merge every live segment into one compacted segment; retired
-      // directories stay on disk for readers of the previous manifest
-      // until [[prune]]
+      // merge every live segment into one compacted segment (tombstones
+      // RESOLVED — readLatest applies them, and the compacted dir writes
+      // none); retired directories stay on disk for readers of the
+      // previous manifest until [[prune]]
+      Bm25.writeIndex(readLatest(spark, dir), cmp)
+    }
+
+  /** DELETE events through the same segment protocol — tombstoning as a
+    * first-class stream transition, not an out-of-band compaction: the
+    * batch's ids land as a `tombstones`-only segment, the manifest
+    * commit makes them visible atomically, and every [[readLatest]]
+    * serves rebuild-without-deleted from then on (soft delete — stored
+    * segments untouched). Re-delivery is idempotent (the high-water
+    * skip, same as data batches) and a compaction resolves the
+    * tombstones away.
+    *
+    * CONTRACT (the one asymmetry vs the batch r7 API): batch ids are
+    * monotone across BOTH sinks — drive data and delete events through
+    * one serialized stream (e.g. a union with an op column fanned to
+    * the two sinks) — and a tombstoned id may be RE-APPENDED only after
+    * a compaction has resolved its tombstone: the live tombstone union
+    * applies to every live segment, so fresh rows for a still-tombstoned
+    * id would be filtered too (spec-pinned: delete → gone, append others
+    * → still gone, compact → re-append → served again). */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(
+                 tombs: DataFrame, batchId: Long): Unit =
+    Segments.fold(dir, batchId, maxSegments) { seg =>
+      tombs.select(col(idCol).as("did")).distinct()
+        .write.mode("overwrite").parquet(s"$seg/tombstones")
+    } { cmp =>
       Bm25.writeIndex(readLatest(spark, dir), cmp)
     }
 }

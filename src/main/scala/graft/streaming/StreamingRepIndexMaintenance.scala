@@ -136,14 +136,47 @@ object StreamingRepIndexMaintenance {
   /** Rewrite the RESOLVED state as one compacted segment (tombstones
     * empty — retirements are already applied by the resolved read). */
   private def compactInto(spark: SparkSession, dir: String, idCol: String,
-                          seg: String): Unit = {
-    val st = readLatest(spark, dir, idCol)
+                          seg: String): Unit =
+    writeFull(readLatest(spark, dir, idCol), idCol, seg)
+
+  private def writeFull(st: RepIndex.State, idCol: String, seg: String): Unit = {
     st.labels.write.mode("overwrite").parquet(s"$seg/labels")
     st.bands.write.mode("overwrite").parquet(s"$seg/bands")
     st.sharr.write.mode("overwrite").parquet(s"$seg/sharr")
     st.sharr.select(col(idCol)).limit(0)
       .write.mode("overwrite").parquet(s"$seg/retired")
     st.marr.write.mode("overwrite").parquet(s"$seg/marr")
+  }
+
+  /** DELETE a tombstone batch from the streamed state. Rep deletes
+    * cannot ride the O(delta) label segments: the segment read resolves
+    * each doc's label by MIN across segments (labels only decrease under
+    * appends), but a delete RE-ROOTS survivors at a LARGER id — a stale
+    * smaller label in an old segment would win the min-merge and
+    * resurrect the deleted root. So a delete commits as a full
+    * COMPACTION: resolve the live state, apply [[RepIndex.delete]]
+    * (promotion from the cold member store included), write ONE
+    * `cmp<batchId>` segment, and commit it as the only live segment —
+    * O(state) per delete batch, the price of the min-merge invariant;
+    * appends stay O(delta), and deletes are the rare transition.
+    * Re-delivery is idempotent via the same high-water skip; the
+    * cmp-before-commit write order is exactly the case
+    * [[Segments.prune]]'s strict-below guard protects. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 threshold: Double = 0.7,
+                 rowsPerBand: Int = MinHash.RowsPerBand)(
+                 tombs: DataFrame, batchId: Long): Unit = {
+    if (batchId <= latestMaxBatch(dir)) return // re-delivered: no-op
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val st0 = readLatest(spark, dir, idCol)
+    val st = RepIndex.State(st0.labels.persist(lvl), st0.bands, st0.sharr,
+      st0.marr)
+    val d0 = RepIndex.delete(tombs, st, idCol, rowsPerBand)
+    val d = RepIndex.State(d0.labels.persist(lvl), d0.bands, d0.sharr, d0.marr)
+    try {
+      writeFull(d, idCol, s"$dir/cmp$batchId")
+      Segments.commit(dir, batchId, Seq(s"cmp$batchId"))
+    } finally { st.labels.unpersist(); d.labels.unpersist() }
   }
 
   def prune(dir: String, keepManifests: Int = 2): Unit =

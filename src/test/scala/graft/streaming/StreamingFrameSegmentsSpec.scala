@@ -62,6 +62,57 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
         MinHash.hashedShingleArray(all, "doc_id", "text", 2), "doc_id").count())
   }
 
+  test("LSH delete segments: tombstones vanish on read, compaction resolves, re-append after") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh_del").toString
+    val sink = StreamingLshMaintenance
+      .indexSink(sp, dir, "doc_id", "text", maxSegments = 3) _
+    val del = StreamingLshMaintenance.deleteSink(sp, dir, "doc_id",
+      maxSegments = 3) _
+    val probe = Seq(Doc(10L,
+      "the quick brown fox jumps over the lazy dog near the river bank sometimes")).toDF()
+    def hits(): Set[Long] = MinHash.nearDuplicatesAgainstIndex(probe,
+        StreamingLshMaintenance.readLatest(sp, dir), "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .collect().map(_.getLong(1)).toSet
+    sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L)
+    assert(hits() == Set(1L, 4L))
+    // tombstone doc 1 THROUGH the protocol: gone from the served index
+    // (rows anti-joined — per-doc pure, so exact), stored segments intact
+    del(Seq(1L).map(Tuple1(_)).toDF("doc_id"), 2L)
+    assert(hits() == Set(4L))
+    // appends continue while the tombstone is live; the 4th segment
+    // trips compaction, which RESOLVES the tombstone
+    sink(wave3.toDF(), 3L)
+    assert(Segments.latest(dir).get.segments == Seq("cmp3"))
+    assert(hits() == Set(4L, 5L))
+    // post-compaction the id may re-enter (the documented contract)
+    sink(Seq(Doc(1L,
+      "the quick brown fox jumps over the lazy dog near the river bank today")).toDF(), 4L)
+    assert(hits() == Set(1L, 4L, 5L))
+    // re-delivered delete batch: below the high water, no-op
+    del(Seq(1L).map(Tuple1(_)).toDF("doc_id"), 2L)
+    assert(hits() == Set(1L, 4L, 5L))
+  }
+
+  test("IVF delete segments share the fold: tombstoned vector leaves the cell rows") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val cents = Cosine.cellCentroids(emb.select(col("label"),
+      Cosine.toDouble(col("embedding")).as("v")), "label", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sivf_del").toString
+    val sink = StreamingIvfMaintenance.cellSink(sp, dir, "vec_id", "embedding",
+      cents, "label") _
+    sink(emb.filter(col("vec_id") < 100), 0L)
+    assert(StreamingIvfMaintenance.readLatest(sp, dir)
+      .filter(col("vec_id") === 7).count() == 1)
+    StreamingIvfMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 1L)
+    val live = StreamingIvfMaintenance.readLatest(sp, dir)
+    assert(live.filter(col("vec_id") === 7).count() == 0)
+    assert(live.count() == emb.filter(col("vec_id") < 100).count() - 1)
+  }
+
   test("IVF: streamed cell segments == one-pass assignment; compaction exact") {
     val sp = spark
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")

@@ -189,6 +189,51 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
       .stats.collect().head.getLong(0) == 5L)
   }
 
+  test("delete segments: gone on read, rebuild-exact, resolved by compaction, re-append after") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_del").toString
+    val sink = StreamingIndexMaintenance
+      .indexSink(sp, dir, "doc_id", "text", maxSegments = 3) _
+    val del = StreamingIndexMaintenance
+      .deleteSink(sp, dir, "doc_id", maxSegments = 3) _
+    def served(): Set[(Long, Long)] = Bm25.searchIndex(
+        Seq(Doc(999L, "quick brown fox")).toDF(),
+        StreamingIndexMaintenance.readLatest(sp, dir), "doc_id", "text",
+        k = 5, minIdfMicro = 0L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    sink(wave1.toDF(), 0L); sink(wave2.toDF(), 1L)
+    assert(served().map(_._1).contains(1L))
+
+    // the delete event flows through the SAME protocol: one tombstone
+    // segment, atomically visible, and the served index equals the
+    // batch rebuild over the corpus WITHOUT the deleted doc — scores
+    // included (the r7 algebra applied to the merged segments)
+    del(Seq(1L).toDF("doc_id"), 2L)
+    val after = served()
+    assert(!after.map(_._1).contains(1L), s"tombstoned doc still served: $after")
+    val rebuilt = Bm25.topK(Seq(Doc(999L, "quick brown fox")).toDF(),
+        (wave1.filter(_.doc_id != 1L) ++ wave2).toDF(), "doc_id", "text",
+        k = 5, minIdfMicro = 0L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(after == rebuilt, s"$after vs rebuild-without-deleted $rebuilt")
+    assert(StreamingIndexMaintenance.readLatest(sp, dir)
+      .stats.collect().head.getLong(0) == 3L) // 4 docs - 1 tombstoned
+
+    // appending MORE docs while the tombstone is live keeps it dead
+    sink(wave3.toDF(), 3L) // live would be 4 > maxSegments → compacts
+    assert(Segments.latest(dir).get.segments == Seq("cmp3"))
+    assert(!served().map(_._1).contains(1L))
+
+    // the compaction resolved the tombstone, so re-appending the id is
+    // now legal (the documented contract) and it serves again
+    sink(Seq(Doc(1L, "quick brown fox jumps over lazy dog")).toDF(), 4L)
+    assert(served().map(_._1).contains(1L))
+
+    // re-delivered delete batch id is a no-op (below the high water)
+    del(Seq(1L).toDF("doc_id"), 2L)
+    assert(served().map(_._1).contains(1L))
+  }
+
   test("a re-delivered batch id is a no-op (restart idempotence)") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sidx2").toString

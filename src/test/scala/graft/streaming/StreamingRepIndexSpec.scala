@@ -97,6 +97,29 @@ class StreamingRepIndexSpec extends SparkSpec {
     val hits2 = RepIndex.search(sharrOf(Seq(Doc(101L, groupA))), del, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits2 == Set((101L, 1L)), hits2.toString)
+
+    // the IN-PROTOCOL delete: commits the re-rooted state as a full
+    // compaction (min-merge would resurrect the deleted root from old
+    // label segments otherwise), serves the promoted rep, no-ops on
+    // re-delivery, and keeps accepting appends afterwards
+    StreamingRepIndexMaintenance.deleteSink(sp, dir, "doc_id")(
+      Seq(0L).map(Tuple1(_)).toDF("doc_id"), 3L)
+    assert(Segments.latest(dir).get.segments == Seq("cmp3"))
+    val got2 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
+    assert(labelMap(got2) == labelMap(del))
+    val hits3 = RepIndex.search(sharrOf(Seq(Doc(102L, groupA))), got2, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits3 == Set((102L, 1L)), hits3.toString)
+    StreamingRepIndexMaintenance.deleteSink(sp, dir, "doc_id")(
+      Seq(1L).map(Tuple1(_)).toDF("doc_id"), 3L) // re-delivery: skipped
+    assert(labelMap(StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id"))
+      == labelMap(del))
+    // appends continue after the delete; the deleted id may return (its
+    // tombstone is resolved — the state simply no longer contains it)
+    sink(Seq(Doc(0L, groupA)).toDF(), 4L)
+    val got3 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
+    assert(labelMap(got3)(0L) == 0L && labelMap(got3)(1L) == 0L,
+      labelMap(got3).toString) // 0 re-enters and re-takes the min root
   }
 
   test("compaction resolves tombstones and keeps the state identical") {
