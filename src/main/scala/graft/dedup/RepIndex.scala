@@ -211,32 +211,31 @@ object RepIndex {
     * [[searchStored]] degrades to the (trivially empty) unpruned join. */
   def write(state: State, dir: String): Unit = {
     state.labels.write.mode("overwrite").parquet(s"$dir/labels")
-    if (state.bands.isEmpty)
-      state.bands.write.mode("overwrite").parquet(s"$dir/bands")
-    else
-      state.bands
-        .withColumn("pbucket",
-          pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("band", "pbucket")
-        .parquet(s"$dir/bands")
+    // persisted around the emptiness probe so the band lineage (a
+    // signature pass + joins at corpus scale) is not evaluated twice
+    val b = state.bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (b.isEmpty)
+        b.write.mode("overwrite").parquet(s"$dir/bands")
+      else
+        b.withColumn("pbucket",
+            pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int"))
+          .write.mode("overwrite").partitionBy("band", "pbucket")
+          .parquet(s"$dir/bands")
+    } finally b.unpersist()
     state.sharr.write.mode("overwrite").parquet(s"$dir/sharr")
     state.marr.write.mode("overwrite").parquet(s"$dir/marr")
-    val tmp = java.nio.file.Paths.get(dir, "config.tmp")
-    java.nio.file.Files.write(tmp, MinHash.ProbeBuckets.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "config"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.ConfigFile.writeAtomic(dir, "config", Seq(MinHash.ProbeBuckets))
   }
 
-  /** The probe-bucket modulus a stored index was written under. */
-  def storedProbeBuckets(dir: String): Int = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "config")),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    require(s.nonEmpty && s.forall(_.isDigit), s"torn rep-index config: '$s'")
-    s.toInt
-  }
+  /** The probe-bucket modulus a stored index was written under.
+    * Artifacts persisted before the config sidecar existed were all
+    * written under the then-constant [[MinHash.ProbeBuckets]] — absence
+    * falls back to it rather than failing every pre-existing index. */
+  def storedProbeBuckets(dir: String): Int =
+    if (graft.ops.ConfigFile.exists(dir, "config"))
+      graft.ops.ConfigFile.readInts(dir, "config", 1).head
+    else MinHash.ProbeBuckets
 
   /** Canonical in-memory state (pbucket is a storage detail — dropped so
     * maintenance unions stay schema-stable). Serving probes that want
@@ -263,9 +262,24 @@ object RepIndex {
     * the equi-join keys filters nothing. */
   def searchStored(spark: SparkSession, querySharr: DataFrame, dir: String,
                    idCol: String, threshold: Double = 0.7,
-                   rowsPerBand: Int = MinHash.RowsPerBand): DataFrame =
-    MinHash.nearDuplicatesArraysAgainstBands(querySharr,
-      spark.read.parquet(s"$dir/bands"),
+                   rowsPerBand: Int = MinHash.RowsPerBand): DataFrame = {
+    val mod = storedProbeBuckets(dir)
+    val bands = spark.read.parquet(s"$dir/bands")
+    // torn-artifact guard: an in-place rewrite that crashed between the
+    // bands write and the config rename leaves bands bucketed under a
+    // DIFFERENT modulus than the config claims — the pruned equi-join
+    // would then silently drop cross-bucket collisions. One sampled row
+    // turns that into a loud failure (tiny job; serving calls are rare
+    // relative to what they scan)
+    if (bands.columns.contains("pbucket"))
+      bands.select(col("band_hash"), col("pbucket").cast("long"))
+        .limit(1).collect().foreach { r =>
+          require(r.getLong(0) % mod == r.getLong(1),
+            s"stored bands under $dir bucketed with a modulus other than " +
+              s"the config's $mod — torn artifact, rewrite it")
+        }
+    MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands,
       spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
-      probeBuckets = storedProbeBuckets(dir))
+      probeBuckets = mod)
+  }
 }

@@ -200,9 +200,11 @@ object SimilarityQueries extends QueryPack {
       val train = emb.filter(bucket < 90)
       val nPlanes = Cosine.autoPlanes(test.count(), targetOccupancy = 32)
       val nTables = Cosine.autoTables(nPlanes)
-      lastC12Config = (nPlanes, nTables)
+      val radius = 1
+      lastC12Config = (nPlanes, nTables, radius)
       Cosine.semanticDecontaminate(train, test, "vec_id", "embedding",
-          threshold = 0.34, nPlanes = nPlanes, dim = 64, nTables = nTables)
+          threshold = 0.34, nPlanes = nPlanes, dim = 64, nTables = nTables,
+          probeRadius = radius)
         .orderBy(col("vec_id"))
     }),
 
@@ -433,9 +435,12 @@ object SimilarityQueries extends QueryPack {
     * run) so the DuckDB replay buckets with the exact same tables. */
   @volatile private var lastX8Config: (Int, Int) = (1, 1)
 
-  /** c12's derived SRP configuration, stashed the same way as
-    * [[lastX8Config]] so the DuckDB replay bands with identical tables. */
-  @volatile private var lastC12Config: (Int, Int) = (1, 1)
+  /** c12's derived SRP configuration (planes, tables, probe radius),
+    * stashed the same way as [[lastX8Config]] so the DuckDB replay bands
+    * with identical tables AND expands identical probes — leaving the
+    * radius out would silently half-cover the drift this stash exists
+    * to prevent. */
+  @volatile private var lastC12Config: (Int, Int, Int) = (1, 1, 1)
 
   /** Multi-table SRP bucketing as a UNION ALL of per-table sign-bit rows
     * — generated from the same seeded hyperplanes as
@@ -695,7 +700,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM embeddings),
          |tb AS (
          |  ${srpMultiBucketSql(lastC12Config._1, lastC12Config._2)}),
-         |pm(m) AS (VALUES ${Cosine.probeMasks(lastC12Config._1, 1)
+         |pm(m) AS (VALUES ${Cosine.probeMasks(lastC12Config._1, lastC12Config._3)
            .map(m => s"($m)").mkString(", ")}),
          |cand AS (SELECT DISTINCT a.vec_id AS train_id, e.vec_id AS eval_id
          |  FROM tb a JOIN bk ba ON ba.vec_id = a.vec_id

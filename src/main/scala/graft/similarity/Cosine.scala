@@ -302,25 +302,14 @@ object Cosine {
       .withColumn("tn", normSq(col("tv")))
       .write.mode("overwrite").parquet(s"$dir/vecs")
     // the config IS the artifact's commit point (bands/vecs are useless
-    // without it): temp-write + atomic rename so a crash mid-write can
-    // never leave a torn config next to complete parquet
-    val tmp = java.nio.file.Paths.get(dir, "config.tmp")
-    java.nio.file.Files.write(tmp,
-      s"$nPlanes,$dim,$nTables".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "config"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // without it): atomic rename, parse-validated on read
+    graft.ops.ConfigFile.writeAtomic(dir, "config", Seq(nPlanes, dim, nTables))
   }
 
   /** (nPlanes, dim, nTables) a stored SRP index was banded with. */
   def srpIndexConfig(dir: String): (Int, Int, Int) = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "config")),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    val parts = raw.split(",")
-    require(parts.length == 3 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit)),
-      s"torn SRP index config: '$raw'")
-    (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+    val Seq(p, d, t) = graft.ops.ConfigFile.readInts(dir, "config", 3)
+    (p, d, t)
   }
 
   /** [[semanticDecontaminate]] against a STORED eval index: bands the

@@ -163,7 +163,6 @@ object StreamingRepIndexMaintenance {
     * cmp-before-commit write order is exactly the case
     * [[Segments.prune]]'s strict-below guard protects. */
   def deleteSink(spark: SparkSession, dir: String, idCol: String,
-                 threshold: Double = 0.7,
                  rowsPerBand: Int = MinHash.RowsPerBand)(
                  tombs: DataFrame, batchId: Long): Unit = {
     if (batchId <= latestMaxBatch(dir)) return // re-delivered: no-op
