@@ -362,10 +362,17 @@ object MinHash {
 
   /** The persisted form of a snapshot's dedup index: one row per document
     * with its shingle array AND its LSH band rows exploded alongside —
-    * `(id, sharr, band, band_hash)`. Write this frame as parquet
-    * (partitioned/bucketed by `band, band_hash` at scale) when a crawl
-    * snapshot is finalized; every later batch dedups against the stored
-    * index without touching the snapshot's text again. */
+    * `(id, sharr, band, band_hash)`. Write this frame as parquet when a
+    * crawl snapshot is finalized; every later batch dedups against the
+    * stored index without touching the snapshot's text again.
+    *
+    * This is a PIPELINE-INTERNAL frame, not the serving tier: it is
+    * denormalized (each doc's array repeated once per band) and its
+    * stored form has no partition-pruned probe layout. Long-lived
+    * SERVING goes through [[graft.dedup.RepIndex]], which owns the
+    * normalized layout, the (band, pbucket)-partitioned store with the
+    * modulus pinned in the artifact, and the pruned `searchStored`
+    * probe — use that when probes outlive the pipeline run. */
   def snapshotIndex(oldSharr: DataFrame, idCol: String,
                     rowsPerBand: Int = RowsPerBand): DataFrame =
     bandRows(signaturesFromArray(oldSharr, idCol), idCol, rowsPerBand)

@@ -159,24 +159,16 @@ object RepIndex {
     * from scratch in SQL).
     *
     * Cost shape: anti joins on the tombstone ids + one min per TOUCHED
-    * cluster + a signature pass over PROMOTED members only — nothing
-    * proportional to the corpus or the index. Idempotent: re-deleting
-    * the same ids is a no-op. */
+    * cluster (clusters that lost no member pass through un-aggregated —
+    * [[deleteDelta]] semi-joins the tombstoned ids' cluster_ids first,
+    * and every join against the tombstone set broadcasts) + a signature
+    * pass over PROMOTED members only — nothing shuffled proportional to
+    * the corpus or the index. Idempotent: re-deleting the same ids is a
+    * no-op. */
   def delete(tombstones: DataFrame, state: State, idCol: String,
              rowsPerBand: Int = MinHash.RowsPerBand): State = {
-    val t = tombstones.select(col(idCol).as("id"))
     val tId = tombstones.select(col(idCol))
-    val surv = state.labels.join(t, Seq("id"), "left_anti")
-    // re-root each surviving cluster at its new minimum (the old root
-    // stays root unless it was deleted — members can only raise the min)
-    val labels = surv
-      .join(surv.groupBy(col("cluster_id")).agg(min(col("id")).as("new_root")),
-        Seq("cluster_id"))
-      .select(col("id"), col("new_root").as("cluster_id"))
-    val repIds = labels.filter(col("id") === col("cluster_id"))
-      .select(col("id").as(idCol))
-    // promoted reps were non-reps: their arrays come from the cold store
-    val promoted = state.marr.join(repIds, Seq(idCol), "left_semi")
+    val (labels, promoted) = deleteDelta(tombstones, state, idCol)
     State(labels,
       state.bands.join(tId, Seq(idCol), "left_anti")
         .unionByName(MinHash.bandRows(
@@ -184,7 +176,40 @@ object RepIndex {
       state.sharr.join(tId, Seq(idCol), "left_anti")
         .unionByName(promoted.select(col(idCol), col("sharr"))),
       state.marr.join(tId, Seq(idCol), "left_anti")
-        .join(repIds, Seq(idCol), "left_anti"))
+        .join(promoted.select(col(idCol)), Seq(idCol), "left_anti"))
+  }
+
+  /** The delete's two NEW frames — the full re-rooted label set and the
+    * PROMOTED members' arrays — shared by [[delete]] (which composes the
+    * whole State) and the streaming delete sink (which writes the labels
+    * as its new labels base and the promoted rows as segment additions),
+    * so the batch and streamed forms cannot drift. Re-rooting touches
+    * ONLY clusters that actually lost a member: the tombstoned ids'
+    * cluster_ids are semi-joined out first (a cluster's minimum can only
+    * change when a member leaves), so untouched labels pass through with
+    * no aggregation — the one groupBy runs over touched clusters alone. */
+  private[graft] def deleteDelta(tombstones: DataFrame, state: State,
+                                 idCol: String): (DataFrame, DataFrame) = {
+    val t = tombstones.select(col(idCol).as("id"))
+    val touched = state.labels.join(t, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val surv = state.labels.join(t, Seq("id"), "left_anti")
+    // one min per TOUCHED cluster (a minimum can only change when a
+    // member leaves): the aggregate runs over touched clusters'
+    // survivors only, and the tiny root map broadcasts back over the
+    // label scan — untouched rows keep their root through the coalesce.
+    // (One left join, not a split-and-union: delete plans compose, and
+    // every extra reference to `labels` here multiplies the analyzed
+    // tree of chained lifecycles.)
+    val newRoots = surv.join(touched, Seq("cluster_id"), "left_semi")
+      .groupBy(col("cluster_id")).agg(min(col("id")).as("new_root"))
+    val labels = surv.join(newRoots, Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+    val repIds = labels.filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    // promoted reps were non-reps: their arrays come from the cold store
+    (labels, state.marr.join(repIds, Seq(idCol), "left_semi"))
   }
 
   /** Serving search: near-dup CLUSTERS of each query doc — (id_new,
@@ -239,17 +264,30 @@ object RepIndex {
 
   /** Canonical in-memory state (pbucket is a storage detail — dropped so
     * maintenance unions stay schema-stable). Serving probes that want
-    * partition pruning go through [[searchStored]] instead. */
+    * partition pruning go through [[searchStored]] instead.
+    *
+    * Artifacts persisted before the cold member store existed have no
+    * `marr` directory — those stay readable (empty-frame fallback,
+    * mirroring the `config` fallback) and serve/append exactly as they
+    * always did; only delete-time rep PROMOTION needs marr rows, and a
+    * pre-marr state holds none to promote from — a delete over one
+    * drops a tombstoned rep's cluster from the index instead of
+    * promoting (rebuild the artifact to regain promotion). */
   def read(spark: SparkSession, dir: String): State = {
     // the partitioned layout appends (band, pbucket) after the data
     // columns and infers their types from directory names — restore the
     // canonical (id, band, band_hash) order and band's int type
     val b0 = spark.read.parquet(s"$dir/bands")
     val idName = b0.columns.filterNot(Set("band", "band_hash", "pbucket")).head
+    val sharr = spark.read.parquet(s"$dir/sharr")
+    val marrPath = new org.apache.hadoop.fs.Path(s"$dir/marr")
+    val marr =
+      if (marrPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(marrPath)) spark.read.parquet(s"$dir/marr")
+      else sharr.limit(0)
     State(spark.read.parquet(s"$dir/labels"),
       b0.select(col(idName), col("band").cast("int"), col("band_hash")),
-      spark.read.parquet(s"$dir/sharr"),
-      spark.read.parquet(s"$dir/marr"))
+      sharr, marr)
   }
 
   /** Serving search over the PERSISTED layout: the band frame keeps its
@@ -260,6 +298,11 @@ object RepIndex {
     * reading the full index. Value-identical to [[search]] over
     * [[read]]: pbucket is a pure function of band_hash, so adding it to
     * the equi-join keys filters nothing. */
+  // (dir, modulus) pairs whose torn-artifact check already passed — the
+  // guard is an index-open validation, not a per-probe cost
+  private val validatedBands =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
   def searchStored(spark: SparkSession, querySharr: DataFrame, dir: String,
                    idCol: String, threshold: Double = 0.7,
                    rowsPerBand: Int = MinHash.RowsPerBand): DataFrame = {
@@ -269,15 +312,18 @@ object RepIndex {
     // bands write and the config rename leaves bands bucketed under a
     // DIFFERENT modulus than the config claims — the pruned equi-join
     // would then silently drop cross-bucket collisions. One sampled row
-    // turns that into a loud failure (tiny job; serving calls are rare
-    // relative to what they scan)
-    if (bands.columns.contains("pbucket"))
+    // turns that into a loud failure — paid ONCE per (dir, modulus) in
+    // this process, not per probe (a rewrite under a new modulus changes
+    // the config, so it re-validates under the new key)
+    if (bands.columns.contains("pbucket") && !validatedBands.contains((dir, mod))) {
       bands.select(col("band_hash"), col("pbucket").cast("long"))
         .limit(1).collect().foreach { r =>
           require(r.getLong(0) % mod == r.getLong(1),
             s"stored bands under $dir bucketed with a modulus other than " +
               s"the config's $mod — torn artifact, rewrite it")
         }
+      validatedBands.add((dir, mod))
+    }
     MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands,
       spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
       probeBuckets = mod)

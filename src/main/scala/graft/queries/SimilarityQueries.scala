@@ -200,7 +200,11 @@ object SimilarityQueries extends QueryPack {
       val train = emb.filter(bucket < 90)
       val nPlanes = Cosine.autoPlanes(test.count(), targetOccupancy = 32)
       val nTables = Cosine.autoTables(nPlanes)
-      val radius = 1
+      // radius DERIVED from a recall target, like planes from occupancy:
+      // 90% analytic recall for the sim-0.9 paraphrase class — a 1M-eval
+      // config (more planes) probes wider automatically instead of
+      // silently sitting at radius 1's recall
+      val radius = Cosine.radiusFor(0.9, sim = 0.9, nPlanes, nTables)
       lastC12Config = (nPlanes, nTables, radius)
       Cosine.semanticDecontaminate(train, test, "vec_id", "embedding",
           threshold = 0.34, nPlanes = nPlanes, dim = 64, nTables = nTables,

@@ -251,6 +251,26 @@ object Cosine {
     1.0 - math.pow(1.0 - pTable, nTables)
   }
 
+  /** Smallest multiprobe radius whose analytic recall ([[srpRecall]])
+    * clears `targetRecall` for a pair at cosine `sim` under the given
+    * (planes, tables) — the last knob of the fully-derived config:
+    * planes from occupancy ([[autoPlanes]]), tables from planes
+    * ([[autoTables]]), radius from the recall TARGET. Deriving it keeps
+    * a large-eval deployment from silently sitting at 34% recall (the
+    * occupancy-derived 15-plane/4-table config at radius 0) when one
+    * more probe ring would clear the target — and from over-probing a
+    * small config whose radius 0 already does. Monotone non-decreasing
+    * in targetRecall and capped at nPlanes (radius = nPlanes probes
+    * every bucket, recall = the all-tables ceiling of 1); both
+    * spec-pinned, and c12 gates on a radius derived by this. */
+  def radiusFor(targetRecall: Double, sim: Double, nPlanes: Int,
+                nTables: Int): Int = {
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    (0 to nPlanes).find(r => srpRecall(sim, nPlanes, nTables, r) >= targetRecall)
+      .getOrElse(nPlanes)
+  }
+
   /** The shared candidate-join / exact-cosine / left-join-back tail of
     * [[semanticDecontaminate]] and [[semanticDecontaminateStored]] — the
     * two forms differ ONLY in where the eval-side bands and normed

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * [[StreamingLshMaintenance]], [[StreamingIvfMaintenance]]).
   *
   * Layout: `dir/seg<batchId>/…` (one immutable directory per folded
-  * micro-batch), `dir/cmp<batchId>/…` (a compaction's merged segment),
-  * and `dir/manifest/m<seq>` — the COMMIT POINT. A manifest file lists
+  * micro-batch), `dir/del<batchId>/…` (a delete batch's segment, where a
+  * sink distinguishes them), `dir/cmp<batchId>/…` (a compaction's merged
+  * segment), and `dir/manifest/m<seq>` — the COMMIT POINT. A manifest file lists
   * the live segment names plus the highest folded batch id; it is
   * written to a temp name and renamed into place, so readers only ever
   * see fully-written manifests, and a crash mid-segment-write leaves an
@@ -51,15 +52,25 @@ private[streaming] object Segments {
   }
 
   /** fsync a directory so a rename inside it is durable (the Lucene
-    * commit-point recipe). Directories cannot be force()d on every
-    * platform/filesystem — there the call degrades to the pre-round-11
-    * no-sync behavior, covered by [[latest]]'s torn-manifest fallback. */
-  private def fsyncDir(d: java.io.File): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(d.toPath,
+    * commit-point recipe). Directories cannot be OPENED for force() on
+    * every platform/filesystem (e.g. Windows) — there the call degrades
+    * to the pre-round-11 no-sync behavior, covered by [[latest]]'s
+    * torn-manifest fallback. But once the open SUCCEEDED, a force()
+    * failure is a real I/O error on a filesystem that claims to support
+    * the operation — swallowing it would make commit()'s durability
+    * claim silently false (enabling exactly the tombstone-resurrection
+    * hazard [[latest]]'s caveat warns about), so it propagates. */
+  private def fsyncDir(d: java.io.File): Unit = {
+    val ch =
+      try java.nio.channels.FileChannel.open(d.toPath,
         java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    } catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
+      catch {
+        // platform/filesystem cannot open a directory channel: fsync
+        // unsupported here, not an I/O fault
+        case _: java.io.IOException | _: UnsupportedOperationException => return
+      }
+    try ch.force(true) finally ch.close()
+  }
 
   /** Rename-commit the next manifest: write `m<seq+1>.tmp`, force its
     * bytes to disk, rename into place, then fsync the manifest directory
@@ -91,10 +102,10 @@ private[streaming] object Segments {
     * before a compaction still has its segments on disk — the
     * pruneVersions keep≥2 contract). Unreferenced directories include
     * crashed partial segment writes — but ONLY those safely below the
-    * writer's frontier: a `seg` directory is sweepable at/below the kept
-    * high-water batch id (a segment is always written BEFORE the commit
-    * that raises maxBatch to its id, so an unreferenced seg at the high
-    * water is a retired-by-compaction one, never in-flight), while a
+    * writer's frontier: a `seg` or `del` directory is sweepable at/below
+    * the kept high-water batch id (both are written BEFORE the commit
+    * that raises maxBatch to their id, so an unreferenced one at the
+    * high water is retired-by-compaction, never in-flight), while a
     * `cmp` directory is sweepable only STRICTLY below it — a compaction
     * writes `cmp<batchId>` AFTER committing maxBatch = batchId, so an
     * unreferenced cmp at exactly the high water may be mid-write by a
@@ -121,7 +132,7 @@ private[streaming] object Segments {
     manifests.dropRight(keepManifests).foreach(_.delete())
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        val sweepable = f.isDirectory && f.getName.matches("(seg|cmp)\\d+") &&
+        val sweepable = f.isDirectory && f.getName.matches("(seg|cmp|del)\\d+") &&
           !live(f.getName)
         val id = if (sweepable) f.getName.dropWhile(!_.isDigit).toLong
                  else Long.MaxValue

@@ -88,6 +88,43 @@ object RepIndexBench {
     val nReps = st.sharr.select(col("doc_id")).count()
     val nDocs = st.labels.count()
     reset()
+    // ---- stored-search pruning payoff (round 12): the same ≥80 probe
+    // through the PERSISTED layout with the pruned join (searchStored
+    // keys on the (band, pbucket) partition columns → dynamic partition
+    // pruning) vs the unpruned read+search above (repSearch — it scans
+    // every band row of rep1). Scan bytes from the task input metrics,
+    // settled after the listener bus drains, give the plan-shape pin
+    // (PlanShapeSpec's dynamicpruning assert) its measured payoff.
+    val scanBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          scanBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    })
+    def settledBytes(): Long = {
+      var prev = -1L; var cur = scanBytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(250); prev = cur; cur = scanBytes.get(); spins += 1
+      }
+      cur
+    }
+    def bytesOf(f: => Unit): Long = {
+      val b0 = settledBytes(); f; settledBytes() - b0
+    }
+    val q80 = sharrOf(bucket >= 80)
+    val (nPruned, prunedSearch) = timed {
+      RepIndex.searchStored(spark, q80, s"$tmp/rep1", "doc_id").count()
+    }
+    reset()
+    val prunedBytes = bytesOf {
+      RepIndex.searchStored(spark, q80, s"$tmp/rep1", "doc_id").count(); ()
+    }
+    reset()
+    val unprunedBytes = bytesOf {
+      RepIndex.search(q80, RepIndex.read(spark, s"$tmp/rep1"), "doc_id").count(); ()
+    }
+    reset()
     // ---- delete phase (round 11): tombstone 1% of the indexed docs,
     // reps included — promotion from the cold store, re-root, and the
     // index anti-joins; cost must track the tombstone/touched-cluster
@@ -104,6 +141,8 @@ object RepIndexBench {
     println(s"""{"bench":"rep_index_phases","dir":"$dir",""" +
       s""""raw":{"build":${ms(rawBuild)},"append":${ms(rawAppend)},"search":${ms(rawSearch)},"pairs":$nRaw},""" +
       s""""rep":{"build":${ms(repBuild)},"append":${ms(repAppend)},"search":${ms(repSearch)},"pairs":$nRep,"delete":${ms(repDelete)}},""" +
+      s""""stored_probe":{"pruned_sec":${ms(prunedSearch)},"pruned_bytes":$prunedBytes,""" +
+      s""""unpruned_sec":${ms(repSearch)},"unpruned_bytes":$unprunedBytes,"pairs":$nPruned},""" +
       s""""reps":$nReps,"docs":$nDocs,"docsAfterDelete":$nAfterDel}""")
     spark.stop()
   }

@@ -47,6 +47,17 @@ class SemanticDecontaminateSpec extends SparkSpec {
     // probe masks: radius-1 over n planes = 1 + n distinct masks
     assert(Cosine.probeMasks(6, 1) == Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L))
 
+    // radiusFor: the derived radius is the smallest clearing the target —
+    // monotone non-decreasing in the target, capped at nPlanes (recall 1)
+    assert(Cosine.radiusFor(0.9, 0.9, 15, 4) == 2) // the 1M-eval config:
+    // radius 1 sits at 81%, the derivation probes one ring wider
+    assert(Cosine.radiusFor(0.9, 0.9, 4, 2) == 1)  // small config: 1 is enough
+    assert((1 to 9).map(t => Cosine.radiusFor(t / 10.0, 0.9, 15, 4))
+      .sliding(2).forall(p => p.head <= p.last))
+    assert(Cosine.radiusFor(1.0, 0.9, 3, 1) == 3)  // cap: probe every bucket
+    assert(Cosine.srpRecall(0.9, 15, 4,
+      Cosine.radiusFor(0.9, 0.9, 15, 4)) >= 0.9)
+
     // EMPIRICAL floor on real embeddings at the gate's own derived
     // config: of the train docs the brute-force gate flags (max sim ≥
     // 0.34), what fraction does the bounded gate flag? Deterministic —
@@ -63,8 +74,12 @@ class SemanticDecontaminateSpec extends SparkSpec {
     val ve = evalSplit.select(Cosine.toDouble(col("embedding")).as("tv"))
       .withColumn("tn", Cosine.normSq(col("tv")))
     val truth = vt.crossJoin(ve)
+      // round(sim, 6) BEFORE the max, same as the gate's tail — else a
+      // pair with true sim in [0.3399995, 0.34) is flagged by the gate
+      // (rounded up to the threshold) but excluded from truth, and the
+      // subset assertion fails spuriously
       .select(col("vec_id"),
-        Cosine.cosine(col("v"), col("tv"), col("vn"), col("tn")).as("sim"))
+        round(Cosine.cosine(col("v"), col("tv"), col("vn"), col("tn")), 6).as("sim"))
       .groupBy(col("vec_id")).agg(max(col("sim")).as("m"))
       .filter(col("m") >= 0.34)
       .collect().map(_.getLong(0)).toSet

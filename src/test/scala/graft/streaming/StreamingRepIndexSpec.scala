@@ -98,15 +98,25 @@ class StreamingRepIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits2 == Set((101L, 1L)), hits2.toString)
 
-    // the IN-PROTOCOL delete: commits the re-rooted state as a full
-    // compaction (min-merge would resurrect the deleted root from old
-    // label segments otherwise), serves the promoted rep, no-ops on
-    // re-delivery, and keeps accepting appends afterwards
+    // the IN-PROTOCOL delete: commits an o(state) `del` segment — a full
+    // re-rooted LABELS BASE (the one store the min-merge invariant
+    // forces to compact; 2 longs/doc) plus ONLY the promoted rep's
+    // band/array rows and the tombstone ids. The member-array stores are
+    // NOT rewritten.
     StreamingRepIndexMaintenance.deleteSink(sp, dir, "doc_id")(
       Seq(0L).map(Tuple1(_)).toDF("doc_id"), 3L)
-    assert(Segments.latest(dir).get.segments == Seq("cmp3"))
+    assert(Segments.latest(dir).get.segments.last == "del3")
+    // o(state) write shape: no marr rewrite; sharr/bands hold only the
+    // PROMOTED rep (1 doc of the 7 indexed), deleted holds the tombstone
+    assert(!new java.io.File(s"$dir/del3/marr").exists())
+    assert(sp.read.parquet(s"$dir/del3/sharr")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(sp.read.parquet(s"$dir/del3/deleted")
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(sp.read.parquet(s"$dir/del3/labels").count() == 6L) // all survivors
     val got2 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
     assert(labelMap(got2) == labelMap(del))
+    assert(repIds(got2) == Set(1L, 2L, 3L))
     val hits3 = RepIndex.search(sharrOf(Seq(Doc(102L, groupA))), got2, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits3 == Set((102L, 1L)), hits3.toString)
@@ -114,12 +124,78 @@ class StreamingRepIndexSpec extends SparkSpec {
       Seq(1L).map(Tuple1(_)).toDF("doc_id"), 3L) // re-delivery: skipped
     assert(labelMap(StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id"))
       == labelMap(del))
-    // appends continue after the delete; the deleted id may return (its
-    // tombstone is resolved — the state simply no longer contains it)
-    sink(Seq(Doc(0L, groupA)).toDF(), 4L)
+    // appends continue with the tombstone live: a NEW doc joins group A
+    // under the promoted rep (labels min-merge from the del base onward)
+    sink(Seq(Doc(11L, groupA)).toDF(), 4L)
     val got3 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
-    assert(labelMap(got3)(0L) == 0L && labelMap(got3)(1L) == 0L,
-      labelMap(got3).toString) // 0 re-enters and re-takes the min root
+    assert(labelMap(got3)(11L) == 1L && labelMap(got3)(5L) == 1L,
+      labelMap(got3).toString)
+    assert(!labelMap(got3).contains(0L)) // the deleted root did not resurrect
+    // a tombstoned id re-appends only AFTER a compaction resolves its
+    // tombstone (the BM25/LSH/IVF segment contract)
+    StreamingRepIndexMaintenance.compact(sp, dir, "doc_id")
+    assert(Segments.latest(dir).get.segments == Seq("cmp4"))
+    StreamingRepIndexMaintenance.compact(sp, dir, "doc_id") // no-op when compacted
+    assert(Segments.latest(dir).get.segments == Seq("cmp4"))
+    sink(Seq(Doc(0L, groupA)).toDF(), 5L)
+    val got4 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
+    assert(labelMap(got4)(0L) == 0L && labelMap(got4)(1L) == 0L,
+      labelMap(got4).toString) // 0 re-enters and re-takes the min root
+  }
+
+  test("delete re-promotes a RETIRED rep: older retirement tombstones spare newer promotion rows") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_srep_p").toString
+    val sink = StreamingRepIndexMaintenance.sink(sp, dir, "doc_id", "text") _
+    val del = StreamingRepIndexMaintenance.deleteSink(sp, dir, "doc_id") _
+    def sharrOf(rows: Seq[Doc]) =
+      MinHash.hashedShingleArray(rows.toDF(), "doc_id", "text", 2)
+    // batch 0: {5, 7} in group A (rep 5); batch 1: {1} joins A — rep 5
+    // RETIRES (retired tombstone in seg1, 5's array moves to marr)
+    sink(Seq(Doc(5L, groupA), Doc(7L, groupA)).toDF(), 0L)
+    sink(Seq(Doc(1L, groupA)).toDF(), 1L)
+    // delete 1 (del2): A re-roots at 5 — the RETIRED rep is PROMOTED
+    // back; seg1's retired={5} must kill only seg0's row for 5, not
+    // del2's fresh promotion row
+    del(Seq(1L).map(Tuple1(_)).toDF("doc_id"), 2L)
+    val st2 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
+    assert(repIds(st2) == Set(5L), repIds(st2))
+    assert(labelMap(st2) == Map(5L -> 5L, 7L -> 5L), labelMap(st2))
+    val hits = RepIndex.search(sharrOf(Seq(Doc(100L, groupA))), st2, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 5L)), hits.toString)
+    // batch 3: {0} takes the min — 5 retires a SECOND time; its array
+    // re-enters marr (duplicate addition rows, deduped on read)
+    sink(Seq(Doc(0L, groupA)).toDF(), 3L)
+    val st3 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
+    assert(repIds(st3) == Set(0L))
+    assert(st3.marr.filter(col("doc_id") === 5L).count() == 1L) // deduped
+    // delete 0 (del4): 5 promotes AGAIN — retired@1 and retired@3 both
+    // precede del4, so neither kills the newest promotion row
+    del(Seq(0L).map(Tuple1(_)).toDF("doc_id"), 4L)
+    val st4 = StreamingRepIndexMaintenance.readLatest(sp, dir, "doc_id")
+    assert(repIds(st4) == Set(5L), repIds(st4))
+    assert(labelMap(st4) == Map(5L -> 5L, 7L -> 5L), labelMap(st4))
+    // the streamed state equals the batch path over the same lifecycle.
+    // Materialize between steps (what production does via parquet) —
+    // delete/append reference the prior state's frames several times
+    // each, so a fully-lazy 5-step composition explodes the analyzed
+    // plan tree combinatorially
+    def mat(st: RepIndex.State): RepIndex.State =
+      RepIndex.State(st.labels.localCheckpoint(), st.bands.localCheckpoint(),
+        st.sharr.localCheckpoint(), st.marr.localCheckpoint())
+    val want = RepIndex.delete(Seq(0L).map(Tuple1(_)).toDF("doc_id"),
+      mat(RepIndex.append(sharrOf(Seq(Doc(0L, groupA))),
+        mat(RepIndex.delete(Seq(1L).map(Tuple1(_)).toDF("doc_id"),
+          mat(RepIndex.append(sharrOf(Seq(Doc(1L, groupA))),
+            mat(RepIndex.build(sharrOf(Seq(Doc(5L, groupA), Doc(7L, groupA))),
+              "doc_id")), "doc_id")), "doc_id")), "doc_id")), "doc_id")
+    assert(labelMap(st4) == labelMap(want))
+    val gb = st4.bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val wb = want.bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gb == wb)
+    assert(st4.marr.collect().map(_.getLong(0)).toSet ==
+      want.marr.collect().map(_.getLong(0)).toSet)
   }
 
   test("compaction resolves tombstones and keeps the state identical") {
