@@ -334,6 +334,29 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X19: SQ8 scalar-quantized two-stage top-k — stage 1 ranks
+    //      exact queries against reconstructions decoded from PACKED
+    //      byte codes (8 codes/long: dim BYTES per vector, a 4× scan cut
+    //      vs raw float32), stage 2 re-ranks the 20-shortlist by exact
+    //      cosine over raw vectors (|q|·20 rows, shortlist broadcast)
+    "x19_sq8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.sq8TopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", dim = 64, k = 5, kShort = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- X20: Matryoshka prefix two-stage top-k — stage 1 cosine over
+    //      the first 16 of 64 dims (the stored layout reads ONLY the
+    //      prefix column for this stage — PlanShapeSpec), stage 2 exact
+    //      re-rank of the 20-shortlist
+    "x20_prefix_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.prefixTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+          "embedding", p = 16, k = 5, kShort = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- X17: per-dim whitening — the normalization run before PQ/IVF
     //      training so no dimension dominates the codebook. Stats side is
     //      ONE row of dim-sized arrays broadcast map-side; gate runs the
@@ -740,6 +763,74 @@ object SimilarityQueries extends QueryPack {
          |  SELECT query_id, neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x19: per-dim min/max ranges (exact, no summation), explicit
+    // half-up quantization floor(u·255 + 0.5), reconstruction
+    // vmin + code/255·span with the same parenthesization as the engine;
+    // shortlist ranks on ROUND(sq_sim, 6), final rank on ROUND(sim, 6) —
+    // both with the neighbor_id tie-break
+    "x19_sq8_topk" ->
+      s"""WITH $vCte,
+         |e AS (SELECT vec_id, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |s AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e GROUP BY dim),
+         |c AS (SELECT e.vec_id, e.dim, s.vmin, s.vmax,
+         |    COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
+         |      0.0) AS code
+         |  FROM e JOIN s USING (dim)),
+         |r AS (SELECT vec_id, list(vmin + code / 255.0 * (vmax - vmin) ORDER BY dim) AS rv
+         |  FROM c GROUP BY vec_id),
+         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS sq_sim
+         |  FROM v q JOIN r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, sq_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq_sim DESC, neighbor_id ASC) AS srank
+         |  FROM sq),
+         |ex AS (SELECT sh.query_id, sh.neighbor_id, sh.sq_sim,
+         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+         |  FROM short sh
+         |  JOIN v q ON q.vec_id = sh.query_id
+         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+         |  JOIN n qn ON qn.vec_id = sh.query_id
+         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+         |  WHERE sh.srank <= 20)
+         |SELECT query_id, rank, neighbor_id, sq_sim, sim FROM (
+         |  SELECT query_id, neighbor_id, sq_sim, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x20: stage-1 cosine over emb[1:16] (DuckDB list slice is 1-based
+    // inclusive = the engine's slice(v, 1, 16)), stage-2 full cosine
+    "x20_prefix_topk" ->
+      s"""WITH $vCte,
+         |pv AS (SELECT vec_id, emb[1:16] AS pemb FROM v),
+         |pn AS (SELECT vec_id, list_dot_product(pemb, pemb) AS pnsq FROM pv),
+         |s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.pemb, c.pemb) / (sqrt(qn.pnsq) * sqrt(cn.pnsq)), 6) AS psim
+         |  FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+         |  JOIN pn qn ON qn.vec_id = q.vec_id
+         |  JOIN pn cn ON cn.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, psim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY psim DESC, neighbor_id ASC) AS srank
+         |  FROM s1),
+         |ex AS (SELECT sh.query_id, sh.neighbor_id, sh.psim,
+         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+         |  FROM short sh
+         |  JOIN v q ON q.vec_id = sh.query_id
+         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+         |  JOIN n qn ON qn.vec_id = sh.query_id
+         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+         |  WHERE sh.srank <= 20)
+         |SELECT query_id, rank, neighbor_id, psim, sim FROM (
+         |  SELECT query_id, neighbor_id, psim, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM ex)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x2_cosine_cell_pairs" ->
       s"""WITH $vCte

@@ -683,6 +683,238 @@ object Cosine {
           (d, s) => when(s === 0.0, lit(0.0)).otherwise(d / s)).as("white"))
   }
 
+  // ---- Scalar quantization (SQ8) ---------------------------------------
+
+  /** SQ8 training stats: per-dimension (min, max) over the corpus, packed
+    * into ONE row of dim-sized arrays — the whole "codebook" of scalar
+    * quantization is 2·dim doubles, broadcastable at any corpus size
+    * (FAISS `ScalarQuantizer QT_8bit` trains the same per-dim range).
+    * One combine-enabled aggregate (min/max are mergeable), then the
+    * dim-sized reshape; no summation anywhere, so the trained range is
+    * bit-exact across engines. */
+  def sq8Stats(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .select(struct(col("pos"), col("vmin"), col("vmax")).as("t"))
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(transform(col("ts"), t => t("vmin")).as("vmins"),
+        transform(col("ts"), t => t("vmax")).as("vmaxs"))
+
+  /** code_d = floor((x_d − vmin_d) / (vmax_d − vmin_d) · 255 + 0.5), an
+    * int in [0, 255]; a constant dimension (span 0) codes to 0 and
+    * reconstructs to vmin exactly. Expects the stats row's `vmins` /
+    * `vmaxs` columns in scope (one broadcast crossJoin). Explicit
+    * round-half-up (`floor(u·255 + 0.5)`) rather than an engine `round`
+    * so both engines quantize the boundary identically. */
+  private def sq8CodeExpr(v: Column): Column = {
+    val d = zip_with(v, col("vmins"), (x, m) => x - m)
+    val span = zip_with(col("vmaxs"), col("vmins"), (a, b) => a - b)
+    zip_with(d, span, (x, s) =>
+      coalesce(floor(x / nullif(s, lit(0.0)) * 255.0 + 0.5), lit(0.0))
+        .cast("int"))
+  }
+
+  /** Per-vector SQ8 codes (array<int> of dim entries in [0, 255]); the
+    * packed serving form is [[sq8Pack]]. */
+  def sq8Codes(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.crossJoin(broadcast(sq8Stats(corpus, vecCol)))
+      .select(col(idCol), sq8CodeExpr(toDouble(col(vecCol))).as("codes"))
+
+  /** Packs 8 one-byte codes per long, little-endian — the true SQ8
+    * serving layout: exactly `dim` BYTES per vector (a 64-dim float
+    * vector stores as 8 longs = 64 B vs 256 B raw float32 / 512 B
+    * double), a 4× scan-byte cut on the ANN hot path. Static unroll over
+    * word/byte positions: pure shift/or column arithmetic, fully inside
+    * whole-stage codegen. The top byte of a word may set the sign bit —
+    * [[sq8Unpack]] masks after the arithmetic shift, so the round trip
+    * is exact for all 256 values (spec-pinned). */
+  def sq8Pack(codes: Column, dim: Int): Column = {
+    require(dim % 8 == 0, s"sq8Pack: dim $dim not a multiple of 8")
+    array((0 until dim / 8).map { w =>
+      (0 until 8).map { j =>
+        shiftleft(element_at(codes, w * 8 + j + 1).cast("long"), 8 * j)
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Inverse of [[sq8Pack]]: code_d = (word(d/8) >> 8·(d mod 8)) & 255. */
+  def sq8Unpack(packed: Column, dim: Int): Column =
+    array((0 until dim).map { d =>
+      shiftright(element_at(packed, d / 8 + 1), 8 * (d % 8))
+        .bitwiseAND(lit(255L)).cast("int")
+    }: _*)
+
+  /** recon_d = vmin_d + (code_d / 255) · (vmax_d − vmin_d); expects the
+    * stats row in scope like [[sq8CodeExpr]]. */
+  private def sq8ReconExpr(codes: Column): Column = {
+    val span = zip_with(col("vmaxs"), col("vmins"), (a, b) => a - b)
+    val scaled = zip_with(codes, span, (c, s) => c.cast("double") / 255.0 * s)
+    zip_with(col("vmins"), scaled, (m, x) => m + x)
+  }
+
+  /** SQ8 two-stage top-k: stage 1 scores EXACT queries against the
+    * reconstruction of each corpus vector from its PACKED codes
+    * (asymmetric distance, the [[pqAdcTopK]] trade at byte granularity)
+    * and shortlists `kShort` per query; stage 2 re-ranks the shortlist by
+    * exact cosine against the raw vectors and keeps `k`.
+    *
+    * Scale shape: the scored corpus representation is dim bytes/vector
+    * plus one broadcast 2·dim-double stats row — the stage-1 scan reads
+    * codes, never floats; the exact re-rank touches raw vectors for only
+    * |queries|·kShort rows (the shortlist broadcasts to the corpus scan,
+    * never the reverse). Both rank windows partition by query. Output:
+    * (query_id, rank, neighbor_id, sq_sim, sim) — sq_sim is the
+    * quantized-space score the shortlist ranked on, sim the exact score
+    * the final rank ranked on, both rounded to 6. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, kShort: Int = 20): DataFrame = {
+    val stats = sq8Stats(corpus, vecCol)
+    val packed = corpus.crossJoin(broadcast(stats))
+      .select(col(idCol).as("neighbor_id"),
+        sq8Pack(sq8CodeExpr(toDouble(col(vecCol))), dim).as("pcode"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val sq = packed.crossJoin(broadcast(stats))
+      .withColumn("recon", sq8ReconExpr(sq8Unpack(col("pcode"), dim)))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq_sim", round(dot(col("qv"), col("recon")), 6))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_sim").desc, col("neighbor_id").asc)
+    val short = sq.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= kShort)
+      .select(col("query_id"), col("neighbor_id"), col("sq_sim"), col("qv"))
+    val raw = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv")).withColumn("cn", normSq(col("cv")))
+    val ex = raw.join(broadcast(short), "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv"),
+        normSq(col("qv")), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    ex.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sq_sim"), col("sim"))
+  }
+
+  // ---- Matryoshka prefix search ----------------------------------------
+
+  /** Matryoshka-style two-stage search (Kusupati et al. 2022, MRL):
+    * stage 1 ranks by cosine over the FIRST `p` dimensions only and
+    * shortlists `kShort` per query; stage 2 re-ranks the shortlist by
+    * full-dimension cosine and keeps `k`. With MRL-trained embeddings the
+    * prefix carries most of the signal, so the shortlist loses little
+    * recall while stage 1 touches p/dim of the bytes.
+    *
+    * Scale shape: identical skeleton to [[sq8TopK]] — broadcast query
+    * side, per-query windows, shortlist-broadcast re-rank. The real win
+    * needs the STORED layout ([[writePrefixIndex]]): prefix as its own
+    * column so stage 1's scan READS only it (column pruning), full
+    * vectors read only for the shortlist (partition-pruned). Output:
+    * (query_id, rank, neighbor_id, psim, sim). */
+  def prefixTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, p: Int, k: Int, kShort: Int = 20): DataFrame = {
+    val cPref = corpus.select(col(idCol).as("neighbor_id"),
+      slice(toDouble(col(vecCol)), 1, p).as("cp"))
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    prefixStages(queries, cPref, full, idCol, vecCol, p, k, kShort)
+  }
+
+  /** Shared stage-1/stage-2 tail of the inline and stored prefix search —
+    * one body so the two forms cannot drift. `cPref`: (neighbor_id, cp);
+    * `full`: (neighbor_id, cv) plus any partition columns the stored
+    * layout wants pruned on. */
+  private def prefixStages(queries: DataFrame, cPref: DataFrame,
+                           full: DataFrame, idCol: String, vecCol: String,
+                           p: Int, k: Int, kShort: Int,
+                           fullJoinBuckets: Option[Int] = None): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qp", slice(col("qv"), 1, p))
+      .withColumn("qpn", normSq(col("qp")))
+    val stage1 = cPref.withColumn("cpn", normSq(col("cp")))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("psim", round(cosine(col("qp"), col("cp"),
+        col("qpn"), col("cpn")), 6))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("neighbor_id").asc)
+    val short = stage1.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= kShort)
+      .select(col("query_id"), col("neighbor_id"), col("psim"), col("qv"))
+    // the stored layout partitions full vectors by pbucket(id): the
+    // shortlist side computes the same bucket and the join carries it as
+    // a key, so the full-vector scan dynamic-partition-prunes to the
+    // shortlist's buckets (pbucket is a pure function of the id — the
+    // extra key filters nothing; the RepIndex.searchStored pattern)
+    val shortKeyed = fullJoinBuckets.fold(short)(b => short.withColumn(
+      "pbucket", pmod(col("neighbor_id"), lit(b.toLong)).cast("int")))
+    val joinKeys = fullJoinBuckets
+      .map(_ => Seq("pbucket", "neighbor_id")).getOrElse(Seq("neighbor_id"))
+    val ex = full.withColumn("cn", normSq(col("cv")))
+      .join(broadcast(shortKeyed), joinKeys)
+      .withColumn("sim", round(cosine(col("qv"), col("cv"),
+        normSq(col("qv")), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    ex.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("psim"), col("sim"))
+  }
+
+  /** Id-hash partition count of the stored prefix layout; pinned in the
+    * artifact's config sidecar like [[graft.dedup.MinHash.ProbeBuckets]]. */
+  val PrefixBuckets = 16
+
+  /** Stored Matryoshka layout: ONE parquet table (id, prefix, full),
+    * partitioned by pbucket = id mod [[PrefixBuckets]], with (p, buckets)
+    * pinned in an atomic config sidecar. The two scans a stored search
+    * makes are each bounded by a different pruning axis:
+    *  - stage 1 selects only (id, prefix) → parquet COLUMN pruning reads
+    *    p/dim of the vector bytes corpus-wide;
+    *  - stage 2 joins the shortlist on (pbucket, id) → dynamic PARTITION
+    *    pruning reads full vectors from the shortlist's buckets only.
+    * Both plan shapes pinned in PlanShapeSpec; stored ≡ inline
+    * value-identity spec-pinned. Empty corpus writes unpartitioned
+    * (partitionBy writes no dirs for zero rows — the RepIndex.write
+    * edge), and [[prefixTopKStored]] degrades to the unpruned join. */
+  def writePrefixIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       p: Int, dir: String): Unit = {
+    val rows = corpus.select(col(idCol),
+      slice(col(vecCol), 1, p).as("prefix"), col(vecCol).as("full"))
+    if (rows.isEmpty)
+      rows.write.mode("overwrite").parquet(s"$dir/vectors")
+    else
+      rows.withColumn("pbucket",
+          pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$dir/vectors")
+    graft.ops.ConfigFile.writeAtomic(dir, "prefix_config",
+      Seq(p, PrefixBuckets))
+  }
+
+  /** [[prefixTopK]] over the persisted layout — value-identical, with
+    * the stage-1 column-pruned scan and the stage-2 partition-pruned
+    * re-rank described on [[writePrefixIndex]]. `p` comes from the
+    * artifact, never the caller: a probe sliced at a different p would
+    * silently rank stage 1 under a different geometry. */
+  def prefixTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
+                       idCol: String, vecCol: String, k: Int,
+                       kShort: Int = 20): DataFrame = {
+    val cfg = graft.ops.ConfigFile.readInts(dir, "prefix_config", 2)
+    val (p, buckets) = (cfg(0), cfg(1))
+    val stored = spark.read.parquet(s"$dir/vectors")
+    val partitioned = stored.columns.contains("pbucket")
+    val cPref = stored.select(col(idCol).as("neighbor_id"),
+      toDouble(col("prefix")).as("cp"))
+    val full =
+      if (partitioned) stored.select(col("pbucket"),
+        col(idCol).as("neighbor_id"), toDouble(col("full")).as("cv"))
+      else stored.select(col(idCol).as("neighbor_id"),
+        toDouble(col("full")).as("cv"))
+    prefixStages(queries, cPref, full, idCol, vecCol, p, k, kShort,
+      if (partitioned) Some(buckets) else None)
+  }
+
   /** Product-quantization CODES (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): the vector is split into `nSub`
     * contiguous subvectors of `subDim` dims; each subvector is quantized
