@@ -481,7 +481,17 @@ object MinHash {
     val bOld = oldBands.select(oldCols: _*)
     val keys = if (pruned) Seq("band", "pbucket", "band_hash")
                else Seq("band", "band_hash")
-    val pairs = bNew.join(bOld, keys)
+    // serving probes (the pruned/stored path) are small by contract —
+    // broadcast them EXPLICITLY so the partitioned stored scan streams
+    // (at corpus scale it could never be the broadcast side) and dynamic
+    // partition pruning can REUSE the probe-band broadcast: without the
+    // hint, the planner may broadcast the (locally small) stored side,
+    // and the DPP subquery — reuse-only by default — degrades to a
+    // true-literal, reading every (band, pbucket) directory (measured:
+    // 64/64 partitions scanned at sf1 before the hint). Batch-scale
+    // analytical probes go through RepIndex.read + search (unpruned),
+    // which leaves the build side to the planner.
+    val pairs = (if (pruned) broadcast(bNew) else bNew).join(bOld, keys)
       .filter(col("id_new") =!= col("id_old"))
       .select(col("id_new"), col("id_old")).distinct()
     pairs

@@ -223,10 +223,10 @@ object RepIndex {
 
   /** Persist the state. `bands` is written PARTITIONED by (band,
     * pbucket = band_hash mod [[MinHash.ProbeBuckets]]) — the stored-side
-    * half of the serving wall-clock story: [[searchStored]] probes join
-    * on the partition columns, so dynamic partition pruning reads only
-    * the probe's (band, pbucket) directories instead of every band row
-    * (PlanShapeSpec pins the pruned scan). The bucket count is PINNED in
+    * half of the serving wall-clock story: [[searchStored]] collects the
+    * probe's (band, pbucket) pairs and applies them as STATIC partition
+    * filters, so the listing reads only the probe's directories instead
+    * of every band row (PlanShapeSpec pins the pruned scan). The bucket count is PINNED in
     * the artifact (`config`) and probes read it from there — a probe
     * bucketing under a different modulus would silently drop every
     * cross-bucket collision if the constant is ever retuned. Edge: an
@@ -290,14 +290,16 @@ object RepIndex {
       sharr, marr)
   }
 
-  /** Serving search over the PERSISTED layout: the band frame keeps its
-    * (band, pbucket) partition columns, the probe side computes the same
-    * pbucket, and the band join carries both as keys — so the scan
-    * prunes to the probe's partitions (≤ bandCount × |probe-hashes|
-    * directories of [[MinHash.ProbeBuckets]] × bandCount) instead of
-    * reading the full index. Value-identical to [[search]] over
-    * [[read]]: pbucket is a pure function of band_hash, so adding it to
-    * the equi-join keys filters nothing. */
+  /** Serving search over the PERSISTED layout: the probe's distinct
+    * (band, pbucket) pairs become STATIC partition filters on the band
+    * scan — the listing reads ≤ bandCount × |probe-hashes| of the
+    * [[MinHash.ProbeBuckets]] × bandCount directories instead of the
+    * full index — and the probe side still computes pbucket as an
+    * equi-join key. Value-identical to [[search]] over [[read]]: pbucket
+    * is a pure function of band_hash, so neither the filter nor the
+    * extra key drops a collision. Intended for point/serving probes (the
+    * pair collect is a small driver job per call); batch-scale
+    * analytical probes go through [[read]] + [[search]]. */
   // (dir, modulus) pairs whose torn-artifact check already passed — the
   // guard is an index-open validation, not a per-probe cost
   private val validatedBands =
@@ -324,7 +326,32 @@ object RepIndex {
         }
       validatedBands.add((dir, mod))
     }
-    MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands,
+    // STATIC partition pruning: collect the probe's distinct
+    // (band, pbucket) pairs — at most bandCount × min(mod, |probe
+    // hashes|) ints, a handful for a point probe — and apply them as
+    // literal partition filters, so the file LISTING itself skips every
+    // other directory. Deliberately not dynamic partition pruning: DPP's
+    // optimizer insertion needs a visible selective Filter on the probe
+    // lineage and its runtime execution needs a reusable broadcast — a
+    // cached/persisted probe (the common serving shape) has neither, and
+    // the dynamic filter silently degrades to a full scan (measured at
+    // sf1: 64/64 partitions read, zero byte savings, while the initial
+    // plan still printed the dynamicpruning expression). The pair
+    // collect is one tiny job over the probe's band rows — the same
+    // serving-latency class as the probe itself.
+    val prunedBands =
+      if (bands.columns.contains("pbucket")) {
+        val pairs = MinHash.bandRows(
+            MinHash.signaturesFromArray(querySharr, idCol), idCol, rowsPerBand)
+          .select(col("band"),
+            pmod(col("band_hash"), lit(mod.toLong)).cast("int").as("pbucket"))
+          .distinct().collect()
+        val pred = pairs.map { r =>
+          col("band") === r.getInt(0) && col("pbucket") === r.getInt(1)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        bands.filter(pred)
+      } else bands
+    MinHash.nearDuplicatesArraysAgainstBands(querySharr, prunedBands,
       spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
       probeBuckets = mod)
   }

@@ -346,6 +346,23 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X21: SQ8 index APPEND under pinned stats — range trained on
+    //      80% of the corpus, the other 20% appended as a later batch
+    //      quantized under the STORED stats (values past the trained
+    //      range SATURATE — the clamp is live here, not decorative);
+    //      quantized-only serving search over the unioned code frame
+    "x21_sq8_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      val stats = Cosine.sq8Stats(base, "embedding")
+      val codes = Cosine.sq8PackedCodes(base, stats, "vec_id", "embedding", 64)
+      val appended = Cosine.sq8Append(batch, codes, stats, "vec_id", "embedding", 64)
+      Cosine.sq8SearchCodes(emb.filter(col("vec_id") < 10), appended, stats,
+          "vec_id", "embedding", 64, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- X20: Matryoshka prefix two-stage top-k — stage 1 cosine over
     //      the first 16 of 64 dims (the stored layout reads ONLY the
     //      prefix column for this stage — PlanShapeSpec), stage 2 exact
@@ -775,8 +792,9 @@ object SimilarityQueries extends QueryPack {
          |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
          |s AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e GROUP BY dim),
          |c AS (SELECT e.vec_id, e.dim, s.vmin, s.vmax,
-         |    COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
-         |      0.0) AS code
+         |    GREATEST(LEAST(
+         |      COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
+         |        0.0), 255.0), 0.0) AS code
          |  FROM e JOIN s USING (dim)),
          |r AS (SELECT vec_id, list(vmin + code / 255.0 * (vmax - vmin) ORDER BY dim) AS rv
          |  FROM c GROUP BY vec_id),
@@ -801,6 +819,32 @@ object SimilarityQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, neighbor_id ASC) AS rank
          |  FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x21: stats CTE trains min/max on the 80% base only (vec_id%5<>4);
+    // every vector — appended batch included — codes under THOSE stats
+    // with the saturating clamp; quantized-only rank
+    "x21_sq8_append" ->
+      s"""WITH $vCte,
+         |e AS (SELECT vec_id, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |s AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e
+         |      WHERE vec_id % 5 <> 4 GROUP BY dim),
+         |c AS (SELECT e.vec_id, e.dim, s.vmin, s.vmax,
+         |    GREATEST(LEAST(
+         |      COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
+         |        0.0), 255.0), 0.0) AS code
+         |  FROM e JOIN s USING (dim)),
+         |r AS (SELECT vec_id, list(vmin + code / 255.0 * (vmax - vmin) ORDER BY dim) AS rv
+         |  FROM c GROUP BY vec_id),
+         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS sq_sim
+         |  FROM v q JOIN r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id, rank, neighbor_id, sq_sim FROM (
+         |  SELECT query_id, neighbor_id, sq_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq_sim DESC, neighbor_id ASC) AS rank
+         |  FROM sq)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // x20: stage-1 cosine over emb[1:16] (DuckDB list slice is 1-based
     // inclusive = the engine's slice(v, 1, 16)), stage-2 full cosine

@@ -701,18 +701,24 @@ object Cosine {
       .select(transform(col("ts"), t => t("vmin")).as("vmins"),
         transform(col("ts"), t => t("vmax")).as("vmaxs"))
 
-  /** code_d = floor((x_d − vmin_d) / (vmax_d − vmin_d) · 255 + 0.5), an
-    * int in [0, 255]; a constant dimension (span 0) codes to 0 and
-    * reconstructs to vmin exactly. Expects the stats row's `vmins` /
-    * `vmaxs` columns in scope (one broadcast crossJoin). Explicit
-    * round-half-up (`floor(u·255 + 0.5)`) rather than an engine `round`
-    * so both engines quantize the boundary identically. */
+  /** code_d = floor((x_d − vmin_d) / (vmax_d − vmin_d) · 255 + 0.5)
+    * CLAMPED to [0, 255]; a constant dimension (span 0) codes to 0 and
+    * reconstructs to vmin exactly. The clamp is a no-op for the corpus
+    * the range was trained on but load-bearing for values quantized
+    * under PINNED stats (an appended batch exceeding the trained range —
+    * the FAISS saturation rule): an unclamped code outside [0, 255]
+    * would silently corrupt neighboring bytes in [[sq8Pack]]'s words.
+    * Expects the stats row's `vmins` / `vmaxs` columns in scope (one
+    * broadcast crossJoin). Explicit round-half-up (`floor(u·255 + 0.5)`)
+    * rather than an engine `round` so both engines quantize the
+    * boundary identically. */
   private def sq8CodeExpr(v: Column): Column = {
     val d = zip_with(v, col("vmins"), (x, m) => x - m)
     val span = zip_with(col("vmaxs"), col("vmins"), (a, b) => a - b)
     zip_with(d, span, (x, s) =>
-      coalesce(floor(x / nullif(s, lit(0.0)) * 255.0 + 0.5), lit(0.0))
-        .cast("int"))
+      greatest(least(
+        coalesce(floor(x / nullif(s, lit(0.0)) * 255.0 + 0.5), lit(0.0)),
+        lit(255.0)), lit(0.0)).cast("int"))
   }
 
   /** Per-vector SQ8 codes (array<int> of dim entries in [0, 255]); the
@@ -720,6 +726,54 @@ object Cosine {
   def sq8Codes(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.crossJoin(broadcast(sq8Stats(corpus, vecCol)))
       .select(col(idCol), sq8CodeExpr(toDouble(col(vecCol))).as("codes"))
+
+  /** Quantizes `df` to PACKED codes under a GIVEN stats row — the
+    * serving/maintenance form: an index's stats are pinned at build (the
+    * artifact's contract, like the SRP index's hyperplanes), appended
+    * batches quantize under them (saturating at the trained range — the
+    * [[sq8CodeExpr]] clamp), and code rows become per-document pure
+    * functions, so appends are unions and deletes are anti-joins (the
+    * LSH/IVF segment algebra). Output: (idCol, pcode). */
+  def sq8PackedCodes(df: DataFrame, stats: DataFrame, idCol: String,
+                     vecCol: String, dim: Int): DataFrame =
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        sq8Pack(sq8CodeExpr(toDouble(col(vecCol))), dim).as("pcode"))
+
+  /** Append a batch to an SQ8 code frame under the index's pinned stats:
+    * union of per-doc-pure rows (≡ re-coding the combined corpus under
+    * the SAME stats — spec-pinned; a REBUILD retrains the range, which
+    * is a different, deliberate operation). */
+  def sq8Append(batch: DataFrame, codes: DataFrame, stats: DataFrame,
+                idCol: String, vecCol: String, dim: Int): DataFrame =
+    codes.unionByName(sq8PackedCodes(batch, stats, idCol, vecCol, dim))
+
+  /** Tombstone-delete from an SQ8 code frame: exact, because code rows
+    * are per-document pure (no corpus-dependent state beyond the pinned
+    * stats). */
+  def sq8DeleteCodes(tombs: DataFrame, codes: DataFrame,
+                     idCol: String): DataFrame =
+    codes.join(tombs.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Quantized-only top-k over a PACKED code frame — the pure
+    * serving-from-index form (no raw-vector re-rank; compose with a
+    * refine pass over the corpus when exactness matters, as [[sq8TopK]]
+    * does). Output: (query_id, rank, neighbor_id, sq_sim). */
+  def sq8SearchCodes(queries: DataFrame, codes: DataFrame, stats: DataFrame,
+                     idCol: String, vecCol: String, dim: Int,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val sq = codes.select(col(idCol).as("neighbor_id"), col("pcode"))
+      .crossJoin(broadcast(stats))
+      .withColumn("recon", sq8ReconExpr(sq8Unpack(col("pcode"), dim)))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq_sim", round(dot(col("qv"), col("recon")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_sim").desc, col("neighbor_id").asc)
+    sq.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sq_sim"))
+  }
 
   /** Packs 8 one-byte codes per long, little-endian — the true SQ8
     * serving layout: exactly `dim` BYTES per vector (a 64-dim float
@@ -770,19 +824,12 @@ object Cosine {
   def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, kShort: Int = 20): DataFrame = {
     val stats = sq8Stats(corpus, vecCol)
-    val packed = corpus.crossJoin(broadcast(stats))
-      .select(col(idCol).as("neighbor_id"),
-        sq8Pack(sq8CodeExpr(toDouble(col(vecCol))), dim).as("pcode"))
+    val packed = sq8PackedCodes(corpus, stats, idCol, vecCol, dim)
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-    val sq = packed.crossJoin(broadcast(stats))
-      .withColumn("recon", sq8ReconExpr(sq8Unpack(col("pcode"), dim)))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sq_sim", round(dot(col("qv"), col("recon")), 6))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("sq_sim").desc, col("neighbor_id").asc)
-    val short = sq.withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= kShort)
+    val short = sq8SearchCodes(queries, packed, stats, idCol, vecCol,
+        dim, kShort)
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("sq_sim"), col("qv"))
     val raw = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv")).withColumn("cn", normSq(col("cv")))
@@ -817,20 +864,19 @@ object Cosine {
       slice(toDouble(col(vecCol)), 1, p).as("cp"))
     val full = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
-    prefixStages(queries, cPref, full, idCol, vecCol, p, k, kShort)
+    prefixRerank(prefixShortlist(queries, cPref, idCol, vecCol, p, kShort),
+      queries, full, idCol, vecCol, k, None)
   }
 
-  /** Shared stage-1/stage-2 tail of the inline and stored prefix search —
-    * one body so the two forms cannot drift. `cPref`: (neighbor_id, cp);
-    * `full`: (neighbor_id, cv) plus any partition columns the stored
-    * layout wants pruned on. */
-  private def prefixStages(queries: DataFrame, cPref: DataFrame,
-                           full: DataFrame, idCol: String, vecCol: String,
-                           p: Int, k: Int, kShort: Int,
-                           fullJoinBuckets: Option[Int] = None): DataFrame = {
+  /** Stage 1 of the prefix search: (query_id, neighbor_id, psim), the
+    * kShort-per-query shortlist ranked by prefix cosine. `cPref`:
+    * (neighbor_id, cp). One body for the inline and stored forms so the
+    * two cannot drift. */
+  private def prefixShortlist(queries: DataFrame, cPref: DataFrame,
+                              idCol: String, vecCol: String, p: Int,
+                              kShort: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-        toDouble(col(vecCol)).as("qv"))
-      .withColumn("qp", slice(col("qv"), 1, p))
+        slice(toDouble(col(vecCol)), 1, p).as("qp"))
       .withColumn("qpn", normSq(col("qp")))
     val stage1 = cPref.withColumn("cpn", normSq(col("cp")))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -838,20 +884,28 @@ object Cosine {
         col("qpn"), col("cpn")), 6))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("neighbor_id").asc)
-    val short = stage1.withColumn("srank", row_number().over(ws))
+    stage1.withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= kShort)
-      .select(col("query_id"), col("neighbor_id"), col("psim"), col("qv"))
-    // the stored layout partitions full vectors by pbucket(id): the
-    // shortlist side computes the same bucket and the join carries it as
-    // a key, so the full-vector scan dynamic-partition-prunes to the
-    // shortlist's buckets (pbucket is a pure function of the id — the
-    // extra key filters nothing; the RepIndex.searchStored pattern)
-    val shortKeyed = fullJoinBuckets.fold(short)(b => short.withColumn(
+      .select(col("query_id"), col("neighbor_id"), col("psim"))
+  }
+
+  /** Stage 2: exact full-dimension re-rank of the shortlist. `full`:
+    * (neighbor_id, cv) plus pbucket when the stored layout joins on it.
+    * The shortlist (|q|·kShort rows) broadcasts onto the full-vector
+    * side; query vectors re-join from `queries` rather than riding the
+    * shortlist. */
+  private def prefixRerank(short: DataFrame, queries: DataFrame,
+                           full: DataFrame, idCol: String, vecCol: String,
+                           k: Int, joinBuckets: Option[Int]): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val s = short.join(q, Seq("query_id"))
+    val keyed = joinBuckets.fold(s)(b => s.withColumn(
       "pbucket", pmod(col("neighbor_id"), lit(b.toLong)).cast("int")))
-    val joinKeys = fullJoinBuckets
+    val joinKeys = joinBuckets
       .map(_ => Seq("pbucket", "neighbor_id")).getOrElse(Seq("neighbor_id"))
     val ex = full.withColumn("cn", normSq(col("cv")))
-      .join(broadcast(shortKeyed), joinKeys)
+      .join(broadcast(keyed), joinKeys)
       .withColumn("sim", round(cosine(col("qv"), col("cv"),
         normSq(col("qv")), col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -871,8 +925,10 @@ object Cosine {
     * makes are each bounded by a different pruning axis:
     *  - stage 1 selects only (id, prefix) → parquet COLUMN pruning reads
     *    p/dim of the vector bytes corpus-wide;
-    *  - stage 2 joins the shortlist on (pbucket, id) → dynamic PARTITION
-    *    pruning reads full vectors from the shortlist's buckets only.
+    *  - stage 2 filters the full-vector scan by the materialized
+    *    shortlist's pbuckets (LITERAL partition filters, pruned at
+    *    listing time) and neighbor ids (pushed In filter → parquet
+    *    row-group stats pruning).
     * Both plan shapes pinned in PlanShapeSpec; stored ≡ inline
     * value-identity spec-pinned. Empty corpus writes unpartitioned
     * (partitionBy writes no dirs for zero rows — the RepIndex.write
@@ -893,10 +949,19 @@ object Cosine {
   }
 
   /** [[prefixTopK]] over the persisted layout — value-identical, with
-    * the stage-1 column-pruned scan and the stage-2 partition-pruned
-    * re-rank described on [[writePrefixIndex]]. `p` comes from the
-    * artifact, never the caller: a probe sliced at a different p would
-    * silently rank stage 1 under a different geometry. */
+    * the stage-1 column-pruned scan and a stage-2 re-rank pruned by
+    * LITERAL filters: the shortlist (|q|·kShort (query, neighbor, psim)
+    * triples — a serving-sized collect) materializes on the driver, and
+    * the full-vector scan filters on the shortlist's pbuckets (partition
+    * pruning at listing time) AND its neighbor ids (parquet row-group
+    * stats pruning via the pushed In filter). Deliberately not dynamic
+    * partition pruning — the optimizer-inserted dynamic filter on this
+    * join measurably degrades to `dynamicpruningexpression(true)` at
+    * runtime (no reusable broadcast of the windowed shortlist subtree),
+    * reading every bucket. `p` comes from the artifact, never the
+    * caller: a probe sliced at a different p would silently rank stage 1
+    * under a different geometry. Point/serving probes only; batch
+    * analytical scoring should use [[prefixTopK]] over the corpus. */
   def prefixTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
                        idCol: String, vecCol: String, k: Int,
                        kShort: Int = 20): DataFrame = {
@@ -906,12 +971,25 @@ object Cosine {
     val partitioned = stored.columns.contains("pbucket")
     val cPref = stored.select(col(idCol).as("neighbor_id"),
       toDouble(col("prefix")).as("cp"))
-    val full =
+    val shortDf = prefixShortlist(queries, cPref, idCol, vecCol, p, kShort)
+    val shortRows = shortDf.collect()
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
+    val ids = shortRows.map(_.getLong(1)).distinct.toSeq
+    val full0 =
       if (partitioned) stored.select(col("pbucket"),
         col(idCol).as("neighbor_id"), toDouble(col("full")).as("cv"))
       else stored.select(col(idCol).as("neighbor_id"),
         toDouble(col("full")).as("cv"))
-    prefixStages(queries, cPref, full, idCol, vecCol, p, k, kShort,
+    val full =
+      if (ids.isEmpty) full0.limit(0)
+      else if (partitioned) full0.filter(
+        col("pbucket").isin(   // pmod, matching the written layout
+          ids.map(i => (((i % buckets) + buckets) % buckets).toInt)
+            .distinct: _*)
+          && col("neighbor_id").isin(ids: _*))
+      else full0.filter(col("neighbor_id").isin(ids: _*))
+    prefixRerank(short, queries, full, idCol, vecCol, k,
       if (partitioned) Some(buckets) else None)
   }
 

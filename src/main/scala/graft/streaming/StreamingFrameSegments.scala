@@ -142,3 +142,38 @@ object StreamingIvfMaintenance {
   def prune(dir: String, keepManifests: Int = 2): Unit =
     Segments.prune(dir, keepManifests)
 }
+
+/** Streaming maintenance for the SQ8 packed-code index (the x19/x21
+  * serving form driven from a stream): each micro-batch of finalized
+  * vectors is quantized map-side under the STORED per-dim range stats
+  * (no retraining — the stats are the artifact's contract, pinned at
+  * build like IVF's centroids above; out-of-range values saturate, the
+  * [[graft.similarity.Cosine.sq8CodeExpr]] clamp) and its (id, pcode)
+  * rows land as one immutable segment: per-document pure functions, so
+  * unioned segments equal the one-pass coding of everything streamed
+  * under the same stats (spec-pinned) and tombstone deletes are exact.
+  * Serve with `Cosine.sq8SearchCodes(queries, readLatest(spark, dir),
+  * stats, …)`. */
+object StreamingSq8Maintenance {
+
+  def codeSink(spark: SparkSession, dir: String, idCol: String,
+               vecCol: String, stats: DataFrame, dim: Int,
+               maxSegments: Int = 8)(batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments)(
+      graft.similarity.Cosine.sq8PackedCodes(batch, stats, idCol, vecCol, dim))
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  /** Tombstone a batch of vector ids ([[FrameSegments.deleteFold]]) —
+    * the streaming form of [[graft.similarity.Cosine.sq8DeleteCodes]]. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+}

@@ -291,9 +291,13 @@ class PlanShapeSpec extends SparkSpec {
   test("rep-index stored search prunes to the probe's (band, pbucket) partitions") {
     import org.apache.spark.sql.functions._
     // the stored-side half of the d17 wall-clock story: bands persist
-    // partitioned by (band, pbucket = band_hash % ProbeBuckets); a probe
-    // joins on those columns, so the scan must carry partition filters
-    // (dynamic pruning) instead of reading every band row
+    // partitioned by (band, pbucket = band_hash % ProbeBuckets);
+    // searchStored collects the probe's pairs and applies them as STATIC
+    // literal partition filters — the listing itself skips every other
+    // directory. (Round 12 finding: the former dynamicpruning join-key
+    // filter looked right in the initial plan but degraded to a full
+    // 64/64-partition scan at runtime whenever the probe lineage was
+    // cached or the build side flipped — literal filters cannot.)
     val docs = Tables.documents(spark, dir)
     val sharr = graft.dedup.MinHash.hashedShingleArray(docs, "doc_id", "text", 2)
     val st = graft.dedup.RepIndex.build(sharr, "doc_id")
@@ -302,34 +306,48 @@ class PlanShapeSpec extends SparkSpec {
     val probe = graft.dedup.MinHash.hashedShingleArray(
       docs.filter(col("doc_id") < 2), "doc_id", "text", 2)
     val out = graft.dedup.RepIndex.searchStored(spark, probe, repDir, "doc_id")
-    val plan = out.queryExecution.executedPlan.toString()
-    assert(plan.contains("dynamicpruning"),
-      s"stored band scan carries no dynamic partition filter:\n$plan")
+    // the band scan's PartitionFilters carry literal (band = b AND
+    // pbucket = p) disjuncts, not merely isnotnull guards
+    val scanLine = out.queryExecution.executedPlan.toString().linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/bands"))
+      .getOrElse(fail("no bands FileScan in the stored-search plan"))
+    assert("""pbucket#\d+ = \d+""".r.findFirstIn(scanLine).isDefined,
+      s"stored band scan carries no literal partition filter:\n$scanLine")
     // and the pruned path returns exactly what the canonical path does
     val viaRead = graft.dedup.RepIndex.search(probe,
       graft.dedup.RepIndex.read(spark, repDir), "doc_id")
     assert(out.collect().toSet == viaRead.collect().toSet)
   }
 
-  test("prefix stored search: stage 1 reads ONLY the prefix column; rerank partition-prunes") {
+  test("prefix stored search: stage 1 reads ONLY the prefix column; rerank prunes by literals") {
     import org.apache.spark.sql.functions._
     // the two pruning axes of the stored Matryoshka layout: stage 1's
     // corpus-wide scan must read p/dim of the vector bytes (column
-    // pruning — ReadSchema holds prefix, not full), and stage 2's
-    // full-vector scan must carry a dynamic partition filter from the
-    // shortlist's (pbucket, id) join instead of reading every bucket
+    // pruning — stage 1 runs eagerly inside prefixTopKStored, so pin its
+    // shape through the rerank plan's ABSENCE of a prefix read), and
+    // stage 2's full-vector scan must carry LITERAL pbucket partition
+    // filters plus a pushed neighbor-id In filter from the materialized
+    // shortlist. (Round 12: the former (pbucket, id) join relied on
+    // dynamic partition pruning, which measurably degraded to
+    // dynamicpruningexpression(true) at runtime — every bucket read.)
     val emb = Tables.embeddings(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_prefix_plan").toString
     graft.similarity.Cosine.writePrefixIndex(emb, "vec_id", "embedding", 16, tmp)
+    // stage-1 plan shape: the shortlist's own scan reads prefix, not full
+    val s1 = formatted(spark.read.parquet(s"$tmp/vectors")
+      .select(col("vec_id"), col("prefix")))
+    val s1schema = s1.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(s1schema.contains("prefix") && !s1schema.contains("full"),
+      s"stage-1 scan reads full vectors: $s1schema")
     val out = graft.similarity.Cosine.prefixTopKStored(spark,
       emb.filter(col("vec_id") < 3), tmp, "vec_id", "embedding", k = 5)
-    val plan = formatted(out)
-    val schemas = plan.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
-    assert(schemas.exists(s => s.contains("prefix") && !s.contains("full")),
-      s"stage-1 scan reads full vectors:\n$plan")
-    val phys = physical(out)
-    assert(phys.contains("dynamicpruning"),
-      s"rerank scan carries no dynamic partition filter:\n$phys")
+    val scanLine = physical(out).linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/vectors"))
+      .getOrElse(fail("no vectors FileScan in the rerank plan"))
+    assert("""pbucket#\d+ (INSET|IN) """.r.findFirstIn(scanLine).isDefined,
+      s"rerank scan carries no literal partition filter:\n$scanLine")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("In(vec_id"),
+      s"rerank scan pushes no id filter:\n$scanLine")
     // and the pruned plan returns exactly what the inline form does
     val inline = graft.similarity.Cosine.prefixTopK(
       emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", p = 16, k = 5)

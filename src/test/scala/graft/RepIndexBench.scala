@@ -125,6 +125,30 @@ object RepIndexBench {
       RepIndex.search(q80, RepIndex.read(spark, s"$tmp/rep1"), "doc_id").count(); ()
     }
     reset()
+    // POINT probe (the serving lookup shape): a batch probe's hashes hit
+    // every (band, pbucket) partition — both plans scan the full band
+    // store and the bytes tie (measured above; the honest finding). The
+    // pruning payoff exists where it matters: a handful of docs probe
+    // ≤ |docs|·bands of the band×pbucket partitions, so the scan reads
+    // only those directories.
+    val qPoint = sharrOf(bucket >= 80 && col("doc_id") % 499 === 0)
+    val nPoint = qPoint.count()
+    val (_, pointPrunedSec) = timed {
+      RepIndex.searchStored(spark, qPoint, s"$tmp/rep1", "doc_id").count()
+    }
+    reset()
+    val pointPrunedBytes = bytesOf {
+      RepIndex.searchStored(spark, qPoint, s"$tmp/rep1", "doc_id").count(); ()
+    }
+    reset()
+    val (_, pointUnprunedSec) = timed {
+      RepIndex.search(qPoint, RepIndex.read(spark, s"$tmp/rep1"), "doc_id").count()
+    }
+    reset()
+    val pointUnprunedBytes = bytesOf {
+      RepIndex.search(qPoint, RepIndex.read(spark, s"$tmp/rep1"), "doc_id").count(); ()
+    }
+    reset()
     // ---- delete phase (round 11): tombstone 1% of the indexed docs,
     // reps included — promotion from the cold store, re-root, and the
     // index anti-joins; cost must track the tombstone/touched-cluster
@@ -143,6 +167,9 @@ object RepIndexBench {
       s""""rep":{"build":${ms(repBuild)},"append":${ms(repAppend)},"search":${ms(repSearch)},"pairs":$nRep,"delete":${ms(repDelete)}},""" +
       s""""stored_probe":{"pruned_sec":${ms(prunedSearch)},"pruned_bytes":$prunedBytes,""" +
       s""""unpruned_sec":${ms(repSearch)},"unpruned_bytes":$unprunedBytes,"pairs":$nPruned},""" +
+      s""""point_probe":{"docs":$nPoint,"pruned_sec":${ms(pointPrunedSec)},""" +
+      s""""pruned_bytes":$pointPrunedBytes,"unpruned_sec":${ms(pointUnprunedSec)},""" +
+      s""""unpruned_bytes":$pointUnprunedBytes},""" +
       s""""reps":$nReps,"docs":$nDocs,"docsAfterDelete":$nAfterDel}""")
     spark.stop()
   }

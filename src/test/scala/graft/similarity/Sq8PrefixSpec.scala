@@ -70,6 +70,26 @@ class Sq8PrefixSpec extends SparkSpec {
     assert(got == want, s"sq8=$got\nexact=$want")
   }
 
+  test("sq8 append under pinned stats == one-pass coding; delete is an exact anti-join") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val stats = Cosine.sq8Stats(base, "embedding")
+    val codes = Cosine.sq8PackedCodes(base, stats, "vec_id", "embedding", 64)
+    // append quantizes the batch under the STORED range (saturating for
+    // the values past it) — exactly what one pass over the union under
+    // the same stats produces
+    val appended = Cosine.sq8Append(batch, codes, stats, "vec_id", "embedding", 64)
+    val want = Cosine.sq8PackedCodes(emb, stats, "vec_id", "embedding", 64)
+    assert(appended.exceptAll(want).isEmpty && want.exceptAll(appended).isEmpty,
+      "append != re-code under pinned stats")
+    val afterDel = Cosine.sq8DeleteCodes(
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+      appended, "vec_id")
+    assert(afterDel.filter(col("vec_id") % 7 === 0).isEmpty)
+    assert(afterDel.count() == emb.filter(col("vec_id") % 7 =!= 0).count())
+  }
+
   test("prefix: stored search is value-identical to inline; p comes from the artifact") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)

@@ -113,6 +113,47 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     assert(live.count() == emb.filter(col("vec_id") < 100).count() - 1)
   }
 
+  test("SQ8: streamed code segments == one-pass coding under pinned stats; saturation live; deletes exact") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    // stats pinned on an 80% base — the streamed waves INCLUDE the other
+    // 20%, so out-of-trained-range values flow through the sink and must
+    // saturate (the sq8CodeExpr clamp), never corrupt a packed word
+    val stats = Cosine.sq8Stats(emb.filter(col("vec_id") % 5 =!= 4), "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssq8").toString
+    val sink = StreamingSq8Maintenance.codeSink(sp, dir, "vec_id", "embedding",
+      stats, 64, maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(StreamingSq8Maintenance.latestMaxBatch(dir) == 2L)
+    val got = StreamingSq8Maintenance.readLatest(sp, dir)
+    val want = Cosine.sq8PackedCodes(emb, stats, "vec_id", "embedding", 64)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed SQ8 codes != one-pass coding under the same stats")
+    // third wave tripped compaction (3 > 2); re-delivery stays a no-op
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    // every unpacked code in [0, 255] — saturation held for the
+    // out-of-range 20%
+    val codes = got.select(explode(Cosine.sq8Unpack(col("pcode"), 64)).as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") > 255).isEmpty)
+    // tombstone through the protocol: exact (per-doc-pure rows)
+    StreamingSq8Maintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(3L).map(Tuple1(_)).toDF("vec_id"), 3L)
+    val live = StreamingSq8Maintenance.readLatest(sp, dir)
+    assert(live.filter(col("vec_id") === 3).count() == 0)
+    assert(live.count() == emb.count() - 1)
+    // the served quantized search ranks k rows per query from the
+    // streamed + tombstoned frame
+    val out = Cosine.sq8SearchCodes(emb.filter(col("vec_id") < 3), live,
+      stats, "vec_id", "embedding", 64, k = 3)
+    assert(out.count() == 9)
+    stats.unpersist()
+  }
+
   test("IVF: streamed cell segments == one-pass assignment; compaction exact") {
     val sp = spark
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
