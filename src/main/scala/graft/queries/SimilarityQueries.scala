@@ -168,6 +168,25 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X22: the PERSISTED IVF serving path — x15's exact semantics
+    //      (sorted-fold centroids, nProbe=3, k=5) probed through the
+    //      stored per-cell layout: `writeIvfIndex` lays the posting
+    //      lists out partitioned BY CELL (the textbook IVF list layout
+    //      as a parquet partition tree) and `ivfSearchStored` turns the
+    //      probed cells into LITERAL partition filters, so the scan
+    //      lists only the probed directories (IvfStoredSpec pins the
+    //      runtime partition metrics). Oracle = x15's replay verbatim:
+    //      a green row proves the pruned serving path introduced and
+    //      lost nothing vs the in-plan index.
+    "x22_ivf_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.ivfSearchStored(s,
+          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          ivfIndexDir(s, dir), "vec_id", "embedding", "label",
+          k = 5, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- C12: SEMANTIC decontamination — the embedding-space member of
     //      the decontamination family (c3/c5 are lexical 8-gram overlap,
     //      t25 is novelty ppm): a train doc whose embedding is too close
@@ -219,6 +238,22 @@ object SimilarityQueries extends QueryPack {
       Cosine.lloydIterations(Tables.embeddings(s, dir), "vec_id", "embedding",
           "label", iters = 2, centroidFn = Cosine.cellCentroidsSorted)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- C14: cluster-balanced curation sample — the diversity-
+    //      preserving subsample step of embedding-space curation (the
+    //      selection side of SemDeDup-style cluster pruning): one
+    //      assignment pass against the sorted-fold centroids (x6's
+    //      gate shape), then a deterministic uniform quota of 3 per
+    //      cluster (salted-md5 draw, ties → id), with the pre-sample
+    //      cluster size as the data-card column. A uniform sample
+    //      over-represents dense regions exactly in proportion to
+    //      their duplication; the per-cluster quota does not.
+    "c14_cluster_balanced" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.clusterBalancedSample(emb, "vec_id", "embedding",
+          Cosine.cellCentroidsSorted(emb, "label", "embedding"), "label", m = 3)
+        .orderBy(col("assigned_cell"), col("vec_id"))
     }),
 
     // ---- X12: ANN recall evaluation — IVF top-k (x4) measured against
@@ -477,6 +512,30 @@ object SimilarityQueries extends QueryPack {
   /** x8's derived SRP configuration (planes, tables) stashed by the last
     * run, read by [[oracle]] (a def, evaluated by Verify AFTER queries
     * run) so the DuckDB replay buckets with the exact same tables. */
+  /** Process-level memo of x22's persisted IVF index (the pairs08 /
+    * repLifecycle convention): the artifact is a pure function of
+    * (session, dir), the harnesses clear caches between queries, and
+    * re-laying the per-cell partition tree per bench run would charge
+    * the gate for a build the serving tier pays once. */
+  @volatile private var ivfIdxKey: (Int, String) = null
+  @volatile private var ivfIdxPath: String = _
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    synchronized {
+      val key = (System.identityHashCode(s), dir)
+      if (ivfIdxKey != key) {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+        val emb = Tables.embeddings(s, dir)
+        Cosine.writeIvfIndex(emb.select(col("vec_id"), col("embedding")),
+          emb.select(col("vec_id"), col("label")),
+          Cosine.cellCentroidsSorted(emb, "label", "embedding"),
+          "vec_id", "embedding", "label", p)
+        ivfIdxPath = p
+        ivfIdxKey = key
+      }
+      ivfIdxPath
+    }
+
   @volatile private var lastX8Config: (Int, Int) = (1, 1)
 
   /** c12's derived SRP configuration (planes, tables, probe radius),
@@ -559,6 +618,49 @@ object SimilarityQueries extends QueryPack {
   private val vCte =
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |n AS (SELECT vec_id, list_dot_product(emb, emb) AS nsq FROM v)""".stripMargin
+
+  /** x6's sorted-fold centroid CTEs -> top-3 probe cells per query by
+    * (d2 asc, label asc) -> x4's top-k shape over the probed cells.
+    * Shared verbatim by x15 (in-plan index) and x22 (persisted per-cell
+    * layout): the two gates differ only in which serving path computes
+    * the identical result. */
+  private def ivfMultiprobeSql: String =
+    s"""WITH $vCte,
+       |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+       |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+       |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+       |      FROM e GROUP BY label, dim),
+       |c AS (SELECT label, dim,
+       |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+       |      (a, b) -> a + b) / cnt, 6) AS centroid
+       |  FROM g),
+       |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+       |d AS (SELECT q.vec_id AS query_id, cv.label,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> (q.emb[i] - cv.cvec[i]) * (q.emb[i] - cv.cvec[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM v q CROSS JOIN cv WHERE q.vec_id < 10),
+       |pr AS (SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, label ASC)
+       |        AS prn
+       |    FROM d)
+       |  WHERE prn <= 3),
+       |sims AS (
+       |  SELECT pr.query_id, cand.vec_id AS neighbor_id,
+       |    list_dot_product(q.emb, cand.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+       |  FROM pr
+       |  JOIN v q ON q.vec_id = pr.query_id
+       |  JOIN v cand ON cand.label = pr.label AND cand.vec_id <> pr.query_id
+       |  JOIN n qn ON qn.vec_id = pr.query_id
+       |  JOIN n cn ON cn.vec_id = cand.vec_id)
+       |SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+       |      AS rank
+       |  FROM sims)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // a def, not a val: x8's SQL embeds the SRP config derived by the last
   // x8 run (Verify reads oracles after running the queries)
@@ -980,43 +1082,12 @@ object SimilarityQueries extends QueryPack {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // x15: x6's sorted-fold centroid CTEs -> top-3 probe cells per query
     // by (d2 asc, label asc) -> x4's top-k shape over the probed cells
-    "x15_ivf_multiprobe" ->
-      s"""WITH $vCte,
-         |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
-         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
-         |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
-         |      FROM e GROUP BY label, dim),
-         |c AS (SELECT label, dim,
-         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
-         |      (a, b) -> a + b) / cnt, 6) AS centroid
-         |  FROM g),
-         |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
-         |d AS (SELECT q.vec_id AS query_id, cv.label,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, 65),
-         |        i -> (q.emb[i] - cv.cvec[i]) * (q.emb[i] - cv.cvec[i]))),
-         |      (a, b) -> a + b) AS d2
-         |  FROM v q CROSS JOIN cv WHERE q.vec_id < 10),
-         |pr AS (SELECT query_id, label FROM (
-         |    SELECT query_id, label,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, label ASC)
-         |        AS prn
-         |    FROM d)
-         |  WHERE prn <= 3),
-         |sims AS (
-         |  SELECT pr.query_id, cand.vec_id AS neighbor_id,
-         |    list_dot_product(q.emb, cand.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
-         |  FROM pr
-         |  JOIN v q ON q.vec_id = pr.query_id
-         |  JOIN v cand ON cand.label = pr.label AND cand.vec_id <> pr.query_id
-         |  JOIN n qn ON qn.vec_id = pr.query_id
-         |  JOIN n cn ON cn.vec_id = cand.vec_id)
-         |SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS sim FROM (
-         |  SELECT query_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
-         |      AS rank
-         |  FROM sims)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x15_ivf_multiprobe" -> ivfMultiprobeSql,
+    // x22: the same semantics served through the PERSISTED per-cell
+    // layout (writeIvfIndex + ivfSearchStored) — stored ≡ in-plan, so
+    // the oracle is x15's replay verbatim; a green row proves the
+    // partition-pruned serving path introduced and lost nothing
+    "x22_ivf_stored" -> ivfMultiprobeSql,
     "x4_ivf_topk" ->
       s"""WITH $vCte,
          |sims AS (
@@ -1172,6 +1243,41 @@ object SimilarityQueries extends QueryPack {
         |    PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
         |  FROM d2r)
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // c14: x6's assignment CTEs -> per-cluster salted-md5 quota of 3;
+    // the draw, rank, and cluster_n are all integer/windowed — exact
+    "c14_cluster_balanced" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT label, t.i AS dim, emb[t.i] AS x
+        |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+        |g AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS n
+        |      FROM e GROUP BY label, dim),
+        |c AS (SELECT label, dim,
+        |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+        |      (a, b) -> a + b) / n, 6) AS centroid
+        |  FROM g),
+        |cv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM c GROUP BY label),
+        |d AS (SELECT v.vec_id, cv.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65),
+        |        i -> (v.emb[i] - cv.cvec[i]) * (v.emb[i] - cv.cvec[i]))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM v CROSS JOIN cv),
+        |a AS (SELECT vec_id, label AS assigned_cell FROM (
+        |    SELECT vec_id, label, d2, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn
+        |    FROM d) WHERE rn = 1),
+        |dr AS (SELECT vec_id, assigned_cell,
+        |    CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+        |      ':graft-bal-v1')), 1, 15)) AS BIGINT) % 1000000 AS draw
+        |  FROM a),
+        |r AS (SELECT vec_id, assigned_cell,
+        |    row_number() OVER (PARTITION BY assigned_cell
+        |      ORDER BY draw ASC, vec_id ASC) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY assigned_cell) AS BIGINT)
+        |      AS cluster_n
+        |  FROM dr)
+        |SELECT vec_id, assigned_cell, rank, cluster_n FROM r
+        |WHERE rank <= 3 ORDER BY assigned_cell, vec_id""".stripMargin,
     "x12_ann_recall" ->
       s"""WITH $vCte,
          |esims AS (

@@ -1112,6 +1112,42 @@ object TextQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- C13: DSIR — importance-resampled data selection (Xie et al.
+    //      2023): the domain-TARGETED curation member (c6/c7 reweight by
+    //      source size, t18/t21 filter on in-domain perplexity alone;
+    //      DSIR scores log p_target − log p_raw, so a doc must look more
+    //      like the target than like its own pool). Hashed-unigram LMs
+    //      over a FIXED 4096-bucket vocabulary (the paper's hashed
+    //      n-gram trick — both LMs constant-size at any corpus scale,
+    //      broadcast into the scoring join), integer micro-nat
+    //      arithmetic end-to-end (the t18 recipe), Gumbel-top-k on the
+    //      log-weights with a deterministic salted-md5 Gumbel draw
+    //      (Gumbel-top-k ≡ sampling without replacement ∝ the softmax —
+    //      engine-exact because the key is integer addition). Target =
+    //      src0's token distribution; raw pool = every other source.
+    "c13_dsir_select" -> ((s, dir) => {
+      graft.text.Dsir.select(Tables.documents(s, dir), "doc_id", "text",
+          "source", targetSource = "src0", n = 100)
+        .orderBy(col("rank"))
+    }),
+
+    // ---- R8: the PERSISTED BM25 serving path — r1b's exact semantics
+    //      (production idf cutoff, k=5) probed through the stored
+    //      partitioned layout: `writeIndex` lays postings out
+    //      partitioned by tbucket = pmod(xxhash64(term), TermBuckets)
+    //      and `searchStored` turns the probe docs' terms into LITERAL
+    //      filters — the buckets prune the directory listing, the terms
+    //      prune parquet row groups (Bm25StoredSpec pins the runtime
+    //      partition metrics). Oracle = r1b's replay verbatim: a green
+    //      row proves the pruned serving path scores identically to the
+    //      full-index scan.
+    "r8_bm25_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Bm25.searchStored(s, docs.filter(col("doc_id") < 10),
+          bm25IndexDir(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- T31: DOMAIN-level quality gate — the Gopher/RefinedWeb stage
     //      the per-doc filters (t3/t11/t18) don't cover: aggregate doc
     //      quality per SOURCE and drop whole sources whose average falls
@@ -1361,6 +1397,30 @@ object TextQueries extends QueryPack {
     * the harnesses' between-query cache resets, and the round trip is
     * spec-pinned decision-identical. Gate semantics unchanged: each
     * query's output is the same pure derivation of the same inputs. */
+  /** Process-level memo of r8's persisted BM25 index (the pairs08 /
+    * repLifecycle convention): a pure function of (session, dir);
+    * re-tokenizing the corpus and re-laying the bucketed postings tree
+    * per bench run would charge the gate for a build the serving tier
+    * pays once. The buildIndex postings cache is released once the
+    * parquet write has materialized it (caller-owned-cache contract). */
+  @volatile private var bm25IdxKey: (Int, String) = null
+  @volatile private var bm25IdxPath: String = _
+  private def bm25IndexDir(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String =
+    synchronized {
+      val key = (System.identityHashCode(s), dir)
+      if (bm25IdxKey != key) {
+        val p = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+        val idx = graft.text.Bm25.buildIndex(Tables.documents(s, dir),
+          "doc_id", "text")
+        graft.text.Bm25.writeIndex(idx, p)
+        idx.postings.unpersist()
+        bm25IdxPath = p
+        bm25IdxKey = key
+      }
+      bm25IdxPath
+    }
+
   @volatile private var repStateKey: (Int, String) = null
   @volatile private var repStatePath: String = _
   private def repLifecycle(s: org.apache.spark.sql.SparkSession,
@@ -2480,6 +2540,58 @@ object TextQueries extends QueryPack {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // r1b: identical chain with the production integer idf cutoff active
     "r1b_bm25_pruned" ->
+      s"""WITH ${bm25Ctes(maxQid = 10,
+             minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)}
+        |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // c13: the same hashed-bucket LMs, integer micro-nat log-probs, and
+    // salted Gumbel draw replayed in SQL — every per-doc aggregate is an
+    // integer sum and the selection key is integer addition, so the
+    // top-100 and its order are engine-exact
+    "c13_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |bk AS (SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM toks),
+        |tf AS (SELECT doc_id, source, b, count(*) AS tf
+        |  FROM bk GROUP BY doc_id, source, b),
+        |tl AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_t FROM tf
+        |  WHERE source = 'src0' GROUP BY b),
+        |rl AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf
+        |  WHERE source <> 'src0' GROUP BY b),
+        |tots AS (SELECT
+        |    (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM tl) AS tot_t,
+        |    (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) FROM rl) AS tot_r),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf.tf * (
+        |      CAST(ROUND(ln(CAST(coalesce(tl.cnt_t, 0) + 1 AS DOUBLE)
+        |        / CAST(tots.tot_t + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      - CAST(ROUND(ln(CAST(coalesce(rl.cnt_r, 0) + 1 AS DOUBLE)
+        |        / CAST(tots.tot_r + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |    )) AS BIGINT) AS lr_micro
+        |  FROM tf LEFT JOIN tl USING (b) LEFT JOIN rl USING (b) CROSS JOIN tots
+        |  WHERE tf.source <> 'src0'
+        |  GROUP BY tf.doc_id),
+        |g AS (SELECT doc_id, n_tokens, lr_micro,
+        |    CAST(ROUND(-ln(-ln((CAST(concat('0x', substr(md5(concat(
+        |      CAST(doc_id AS VARCHAR), ':graft-dsir-v1')), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0)) * 1000000, 0) AS BIGINT) AS g_micro
+        |  FROM sc)
+        |SELECT doc_id, rank, n_tokens, lr_micro, g_micro, key_micro FROM (
+        |  SELECT doc_id, n_tokens, lr_micro, g_micro,
+        |    lr_micro + g_micro AS key_micro,
+        |    row_number() OVER (ORDER BY lr_micro + g_micro DESC, doc_id ASC)
+        |      AS rank
+        |  FROM g)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // r8: r1b's replay verbatim — the gate differs only in WHICH serving
+    // path computes it (the stored partition-pruned layout vs the
+    // in-plan index); identical SQL pins stored ≡ inline through DuckDB
+    "r8_bm25_stored" ->
       s"""WITH ${bm25Ctes(maxQid = 10,
              minIdfMicro = graft.text.Bm25.DefaultMinIdfMicro)}
         |SELECT qid AS query_id, rank, did AS doc_id, score_micro FROM lexr

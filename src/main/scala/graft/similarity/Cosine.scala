@@ -415,6 +415,20 @@ object Cosine {
   def ivfSearchIndex(queries: DataFrame, corpus: DataFrame, cells: DataFrame,
                      centroids: DataFrame, idCol: String, vecCol: String,
                      cellCol: String, k: Int, nProbe: Int): DataFrame = {
+    val probes = ivfProbes(queries, centroids, idCol, vecCol, cellCol, nProbe)
+    val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("nv"))
+      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
+      .select(col(cellCol), col(idCol).as("neighbor_id"), col("nv"))
+    ivfScore(probes, c, cellCol, k)
+  }
+
+  /** Probe selection — the map-side stage every IVF search form shares
+    * ([[ivfSearchIndex]], [[ivfSearchStored]]): broadcast the k·dim
+    * centroid table, rank cells per query by centroid distance, keep the
+    * `nProbe` nearest. Returns (cell, query_id, qv, qn). */
+  private def ivfProbes(queries: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String, cellCol: String,
+                        nProbe: Int): DataFrame = {
     require(nProbe >= 1, "need at least one probed cell")
     val cvec = centroids
       .groupBy(col(cellCol))
@@ -425,17 +439,21 @@ object Cosine {
     val d2 = aggregate(
       zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    val probes = q.crossJoin(broadcast(cvec))
+    q.crossJoin(broadcast(cvec))
       .withColumn("d2", d2)
       .withColumn("prn", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("d2").asc, col(cellCol).asc)))
       .filter(col("prn") <= nProbe)
       .select(col(cellCol), col("query_id"), col("qv"), col("qn"))
-    val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("nv"))
-      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
-      .select(col(cellCol), col(idCol).as("neighbor_id"), col("nv"))
-      .withColumn("nn", normSq(col("nv")))
-    val sims = probes.join(c, Seq(cellCol))
+  }
+
+  /** The ONE candidate-scoring tail every IVF search form rides (the
+    * decontaminateTail convention — shared forms cannot drift):
+    * cell-key equi-join of probes against (cell, neighbor_id, nv)
+    * candidates, exact cosine, per-query top-k. */
+  private def ivfScore(probes: DataFrame, cands: DataFrame, cellCol: String,
+                       k: Int): DataFrame = {
+    val sims = probes.join(cands.withColumn("nn", normSq(col("nv"))), Seq(cellCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("query_id"))
@@ -443,6 +461,76 @@ object Cosine {
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
+  }
+
+  /** Persist the IVF serving index: centroids plain (k·dim rows), the
+    * posting LISTS — vectors joined to their cell assignment — written
+    * PARTITIONED by `pcell` (the cell value as a string directory key;
+    * the original cell column rides along as data so reads keep its
+    * exact type). This is the textbook IVF list layout expressed as a
+    * parquet partition tree: a probe reads ONLY its probed cells'
+    * directories ([[ivfSearchStored]]'s literal filters), and directory
+    * count = trained cell count — bounded by the quantizer's k, never by
+    * the corpus. (For k beyond ~10⁴ cells, bucket the key —
+    * `pmod(hash(cell), m)` — the RepIndex layout; at the trained sizes
+    * this engine targets, one directory per cell IS the index.) Edge: an
+    * EMPTY corpus writes the lists unpartitioned (partitionBy writes no
+    * directories for zero rows — the RepIndex.write edge) and
+    * [[ivfSearchStored]] degrades to the unpruned scan. */
+  def writeIvfIndex(vectors: DataFrame, cells: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // persisted around the emptiness probe so the join lineage is not
+    // evaluated twice (the RepIndex.write convention)
+    val lists = vectors.select(col(idCol), col(vecCol))
+      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (lists.isEmpty)
+        lists.write.mode("overwrite").parquet(s"$dir/lists")
+      else
+        lists.withColumn("pcell", col(cellCol).cast("string"))
+          .write.mode("overwrite").partitionBy("pcell")
+          .parquet(s"$dir/lists")
+    } finally lists.unpersist()
+  }
+
+  /** Serving search over the PERSISTED IVF layout: probe selection runs
+    * against the stored centroids exactly as [[ivfSearchIndex]] (shared
+    * [[ivfProbes]]), the probe rows materialize on the driver (|queries|
+    * × nProbe rows — a serving-sized collect, the prefixTopKStored
+    * pattern), and the probed cells become LITERAL partition filters on
+    * the lists scan — the listing reads only the probed directories of
+    * the per-cell partition tree instead of every list. The probe side
+    * is explicitly broadcast into the cell join (it is driver-sized by
+    * construction; the lists side is the corpus — the 100 TB-correct
+    * build side). Value-identical to [[ivfSearchIndex]] over the same
+    * frames: scoring is the shared [[ivfScore]] tail and a cell no probe
+    * selected can never contribute (the probe join is inner on cell).
+    * Point/serving probes only; batch-scale analytical probes go through
+    * [[ivfSearchIndex]], whose plan never materializes the probe set. */
+  def ivfSearchStored(spark: SparkSession, queries: DataFrame, dir: String,
+                      idCol: String, vecCol: String, cellCol: String,
+                      k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probesDf = ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe)
+      .withColumn("pcell_lit", col(cellCol).cast("string"))
+    val prows = probesDf.collect()
+    val probes = spark.createDataFrame(
+        spark.sparkContext.parallelize(prows.toSeq, 1), probesDf.schema)
+      .drop("pcell_lit")
+    val cellLits = prows.map(_.getString(probesDf.schema.length - 1))
+      .distinct.toSeq
+    val l0 = spark.read.parquet(s"$dir/lists")
+    val partitioned = l0.columns.contains("pcell")
+    val cands0 = (
+      if (cellLits.isEmpty) l0.limit(0)
+      else if (partitioned) l0.filter(col("pcell").isin(cellLits: _*))
+      else l0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("nv"))
+    ivfScore(broadcast(probes), cands0, cellCol, k)
   }
 
   /** INCREMENTAL IVF maintenance: assign a new vector batch against the
@@ -531,6 +619,38 @@ object Cosine {
       .filter(col("rn") === 1)
       .select(col(idCol), col(cellCol).as("assigned_cell"),
         round(col("d2"), 6).as("dist_sq"))
+  }
+
+  /** CLUSTER-BALANCED curation sample — the diversity-preserving
+    * subsample step of embedding-space curation pipelines (the selection
+    * side of SemDeDup-style cluster pruning: after clustering, keep a
+    * bounded, uniformly-drawn quota PER CLUSTER so no dense region
+    * dominates the curated set the way it dominates a uniform sample):
+    * one [[assignToCentroids]] pass against the trained centroids, then
+    * the `m` smallest salted-md5 draws per assigned cell (a deterministic
+    * uniform within the cluster — the mixtureWeights draw recipe; ties
+    * break on the id). Returns (idCol, assigned_cell, rank, cluster_n) —
+    * cluster_n is the pre-sample cluster size, the data-card number a
+    * curator reads next to the quota.
+    *
+    * Scale shape: assignment is map-side against broadcast k·dim
+    * centroids; the sample is ONE window partitioned by cell (shuffle
+    * keyed on the cell, per-group state = a rank counter); nothing
+    * corpus-sized collects anywhere. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, cellCol: String,
+                            m: Int): DataFrame = {
+    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids, cellCol)
+    val draw = pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":graft-bal-v1"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
+    val part = Window.partitionBy(col("assigned_cell"))
+    assigned
+      .withColumn("draw", draw)
+      .withColumn("rank", row_number().over(
+        part.orderBy(col("draw").asc, col(idCol).asc)))
+      .withColumn("cluster_n", count(lit(1)).over(part))
+      .filter(col("rank") <= m)
+      .select(col(idCol), col("assigned_cell"), col("rank"), col("cluster_n"))
   }
 
   /** Iterative Lloyd k-means over the IVF building blocks: each round is

@@ -235,14 +235,14 @@ object StreamingIndexMaintenance {
                 batch: DataFrame, batchId: Long): Unit =
     Segments.fold(dir, batchId, maxSegments) { seg =>
       val bIdx = Bm25.buildIndex(batch, idCol, textCol)
-      Bm25.writeIndex(bIdx, seg)
+      Bm25.writeIndexPlain(bIdx, seg)
       bIdx.postings.unpersist() // buildIndex's caller-owned cache, per batch
     } { cmp =>
       // merge every live segment into one compacted segment (tombstones
       // RESOLVED — readLatest applies them, and the compacted dir writes
       // none); retired directories stay on disk for readers of the
       // previous manifest until [[prune]]
-      Bm25.writeIndex(readLatest(spark, dir), cmp)
+      Bm25.writeIndexPlain(readLatest(spark, dir), cmp)
     }
 
   /** DELETE events through the same segment protocol — tombstoning as a
@@ -269,6 +269,6 @@ object StreamingIndexMaintenance {
       tombs.select(col(idCol).as("did")).distinct()
         .write.mode("overwrite").parquet(s"$seg/tombstones")
     } { cmp =>
-      Bm25.writeIndex(readLatest(spark, dir), cmp)
+      Bm25.writeIndexPlain(readLatest(spark, dir), cmp)
     }
 }

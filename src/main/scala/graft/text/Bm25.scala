@@ -77,17 +77,70 @@ object Bm25 {
     Index(postings, doclen, dfreq, stats)
   }
 
-  /** Materialize the index (postings bucket-friendly on term, doclen,
-    * stats) — what a serving tier loads instead of the corpus. */
+  /** Postings partition-bucket count for the stored layout: postings are
+    * written partitioned by `tbucket = pmod(xxhash64(term), TermBuckets)`
+    * so a serving probe's scan lists only its query terms' directories
+    * ([[searchStored]]) instead of the whole postings store — the lexical
+    * twin of the RepIndex (band, pbucket) layout. The value is PINNED in
+    * the artifact's `config` sidecar; probes read it from there (a probe
+    * bucketing under a different modulus would prune away real
+    * postings). */
+  val TermBuckets = 64
+
+  /** Materialize the index — what a serving tier loads instead of the
+    * corpus. Postings are partitioned by the [[TermBuckets]] term bucket
+    * (the [[searchStored]] pruning axis); doclen/dfreq/stats stay plain
+    * (doclen is id-keyed, dfreq prunes by the pushed In(term) filter,
+    * stats is 1 row). Edge: an EMPTY index (fresh empty build, or every
+    * doc deleted) writes postings unpartitioned — partitionBy writes no
+    * directories for zero rows and the read-back would fail schema
+    * inference (the RepIndex.write edge); emptiness is probed from the
+    * 1-row stats, never by re-evaluating the postings lineage. */
   def writeIndex(idx: Index, dir: String): Unit = {
+    val empty = idx.stats.select(col("n_docs")).head().getLong(0) == 0L
+    if (empty)
+      idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    else
+      idx.postings.withColumn("tbucket",
+          pmod(xxhash64(col("term")), lit(TermBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$dir/postings")
+    idx.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    idx.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    graft.ops.ConfigFile.writeAtomic(dir, "config", Seq(TermBuckets))
+  }
+
+  /** The pre-partitioning flat layout — for SEGMENT deltas
+    * (StreamingIndexMaintenance), whose readLatest merges many segment
+    * roots in ONE multi-path scan: parquet partition discovery requires
+    * a single base path, so partitioned segment roots would fail the
+    * merged read outright (CONFLICTING_DIRECTORY_STRUCTURES). Segments
+    * are data-plane deltas, never listing-pruned serving artifacts —
+    * pruned serving reads a [[writeIndex]]-compacted artifact through
+    * [[searchStored]]. */
+  private[graft] def writeIndexPlain(idx: Index, dir: String): Unit = {
     idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
     idx.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     idx.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** The term-bucket modulus a stored index was written under. Artifacts
+    * persisted before the partitioned layout existed have no config —
+    * they are unpartitioned, [[searchStored]] detects that from the
+    * schema and degrades to the unpruned (still In-filtered) scan. */
+  def storedTermBuckets(dir: String): Int =
+    if (graft.ops.ConfigFile.exists(dir, "config"))
+      graft.ops.ConfigFile.readInts(dir, "config", 1).head
+    else TermBuckets
+
+  /** Canonical in-memory index (tbucket is a storage detail — dropped so
+    * append/delete folds stay schema-stable). Serving probes that want
+    * partition pruning go through [[searchStored]] instead. */
   def readIndex(spark: SparkSession, dir: String): Index = Index(
-    spark.read.parquet(s"$dir/postings"),
+    spark.read.parquet(s"$dir/postings").select(
+      col("did"), col("term"), col("tf")),
     spark.read.parquet(s"$dir/doclen"),
     spark.read.parquet(s"$dir/dfreq"),
     spark.read.parquet(s"$dir/stats"))
@@ -98,6 +151,17 @@ object Bm25 {
                   textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
                   minIdfMicro: Long = DefaultMinIdfMicro): DataFrame = {
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val qterms = queries
+      .select(col(idCol).as("qid"), explode(array_distinct(toks)).as("term"))
+    score(qterms, idx, k, k1, b, minIdfMicro)
+  }
+
+  /** The ONE scoring tail every search form rides ([[searchIndex]],
+    * [[searchStored]]) — the decontaminateTail convention: forms that
+    * share the tail cannot drift apart in arithmetic. `qterms` is the
+    * exploded (qid, term) probe frame. */
+  private def score(qterms: DataFrame, idx: Index, k: Int, k1: Double,
+                    b: Double, minIdfMicro: Long): DataFrame = {
     // idf in micro-nats: ln(1 + (N - df + 0.5)/(df + 0.5)), > 0 always
     val idfMicro = round(
       log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5d)
@@ -106,8 +170,6 @@ object Bm25 {
       .select(col("term"), idfMicro.as("idf_micro"),
         col("n_docs"), col("total_len"))
       .filter(col("idf_micro") > minIdfMicro)
-    val qterms = queries
-      .select(col(idCol).as("qid"), explode(array_distinct(toks)).as("term"))
     // per-term contribution fixed to micro units BEFORE the per-pair sum
     val avgdl = col("total_len").cast("double") / col("n_docs")
     val sat = (col("tf").cast("double") * (k1 + 1.0)) /
@@ -127,6 +189,85 @@ object Bm25 {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("did").as("doc_id"), col("score_micro"))
+  }
+
+  // (dir, modulus) pairs whose torn-artifact check already passed — the
+  // guard is an index-open validation, not a per-probe cost (the
+  // RepIndex.searchStored convention)
+  private val validatedPostings =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
+  /** Serving search over the PERSISTED layout: the probe docs' distinct
+    * terms become LITERAL filters on the postings scan — their
+    * [[TermBuckets]] buckets prune the directory listing (static
+    * partition filters), the terms themselves prune parquet row groups
+    * (pushed In) — so a point probe reads ≤ |probe terms| of the
+    * bucketed directories instead of the whole postings store. The
+    * dfreq scan prunes by the same pushed In(term); doclen joins by
+    * candidate doc id as always; the 1-row stats read whole.
+    * Value-identical to [[searchIndex]] over [[readIndex]]: scoring is
+    * the shared [[score]] tail, and a term the probe doesn't carry can
+    * never contribute (the qterms join is inner on term), so neither
+    * filter drops a contribution. Intended for point/serving probes
+    * (the probe's terms collect to the driver — a serving-sized list);
+    * batch-scale analytical probes go through [[readIndex]] +
+    * [[searchIndex]], whose plan never materializes the term set.
+    *
+    * Artifacts written before the partitioned layout are detected from
+    * the schema (no tbucket column) and served with the In-filtered but
+    * listing-unpruned scan — same results, pre-upgrade cost. */
+  def searchStored(spark: SparkSession, queries: DataFrame, dir: String,
+                   idCol: String, textCol: String, k: Int, k1: Double = 1.2,
+                   b: Double = 0.75,
+                   minIdfMicro: Long = DefaultMinIdfMicro): DataFrame = {
+    val mod = storedTermBuckets(dir)
+    val p0 = spark.read.parquet(s"$dir/postings")
+    val partitioned = p0.columns.contains("tbucket")
+    // torn-artifact guard: a crashed in-place rewrite can leave postings
+    // bucketed under a DIFFERENT modulus than the config claims — the
+    // bucket filter would then silently prune real postings. One sampled
+    // row turns that into a loud failure, paid once per (dir, modulus).
+    if (partitioned && !validatedPostings.contains((dir, mod))) {
+      p0.select(col("tbucket"),
+          pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("want"))
+        .limit(1).collect()
+        .foreach(r => require(r.getInt(0) == r.getInt(1),
+          s"stored postings at $dir are bucketed under a different " +
+            s"modulus than config claims ($mod) — torn artifact"))
+      validatedPostings.add((dir, mod))
+    }
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val qtermsDf = queries
+      .select(col(idCol).as("qid"), explode(array_distinct(toks)).as("term"),
+        pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("tbucket"))
+    // one driver job materializes the probe: the literal filters and the
+    // join side must come from the SAME term set (prefixTopKStored's
+    // collect-once pattern)
+    val qrows = qtermsDf.collect()
+    val qterms = spark.createDataFrame(
+        spark.sparkContext.parallelize(qrows.toSeq, 1), qtermsDf.schema)
+      .select(col("qid"), col("term"))
+    val terms = qrows.map(_.getString(1)).distinct.toSeq
+    val buckets = qrows.map(_.getInt(2)).distinct.toSeq
+    val postings =
+      if (terms.isEmpty)
+        spark.read.parquet(s"$dir/postings")
+          .select(col("did"), col("term"), col("tf")).limit(0)
+      else if (partitioned)
+        p0.filter(col("tbucket").isin(buckets: _*)
+            && col("term").isin(terms: _*))
+          .select(col("did"), col("term"), col("tf"))
+      else
+        p0.filter(col("term").isin(terms: _*))
+          .select(col("did"), col("term"), col("tf"))
+    val dfreq = spark.read.parquet(s"$dir/dfreq")
+    val dfreqF =
+      if (terms.isEmpty) dfreq.limit(0)
+      else dfreq.filter(col("term").isin(terms: _*))
+    score(qterms,
+      Index(postings, spark.read.parquet(s"$dir/doclen"), dfreqF,
+        spark.read.parquet(s"$dir/stats")),
+      k, k1, b, minIdfMicro)
   }
 
   // one log per JVM from the 3rd one-shot call on: repeated topK calls

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * NeurIPS): pick raw-pool documents whose HASHED-unigram likelihood
+  * ratio against a target domain is highest, with Gumbel noise on the
+  * log-weights so the selection SAMPLES the importance distribution
+  * instead of deterministically truncating it (Gumbel-top-k ≡ sampling
+  * without replacement ∝ softmax of the scores — Vieira 2014).
+  *
+  * This is the curation family's domain-TARGETED member: c6/c7 reweight
+  * sources by size heuristics, t18/t21 filter on in-domain perplexity
+  * alone; DSIR scores each doc by log p_target(x) − log p_raw(x), so a
+  * doc must look MORE like the target than like the pool it came from.
+  *
+  * Hashed n-gram trick (the paper's §3.2): token mass is bucketed by a
+  * hash into a FIXED vocabulary of [[Buckets]] counters, so both LMs are
+  * constant-size regardless of corpus vocabulary — the 100 TB story: two
+  * [[Buckets]]-row count frames (broadcastable at any scale), one token
+  * explode, per-doc integer sums; nothing vocabulary-sized shuffles.
+  * The md5-derived bucket is the engine's shared cross-engine hash
+  * recipe (splitBucket), so the DuckDB oracle replays it bit-for-bit.
+  *
+  * Cross-engine determinism: per-bucket log-probs and the Gumbel draws
+  * are fixed to integer MICRO-NATS before any per-doc aggregation (the
+  * t18 recipe) — doc scores are exact integer sums, the selection key
+  * is integer addition, and rank ties break on the id. */
+object Dsir {
+
+  /** Fixed hashed-vocabulary size. 4096 counters ≈ the paper's 10k-bucket
+    * configuration scaled to the harness corpora; collisions blur both
+    * LMs equally (the ratio is what matters), which is the documented
+    * DSIR trade. */
+  val Buckets = 4096
+
+  /** Hashed-unigram bucket of a (lowercased) token — md5-derived like
+    * every cross-engine hash in this engine (TextAnalysis.splitBucket),
+    * NOT xxhash64, which the oracle engine lacks. */
+  def tokenBucket(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+      lit(Buckets.toLong))
+
+  /** Per-document importance log-weights over the RAW pool (docs whose
+    * `sourceCol` ≠ `targetSource`): lr_micro = Σ_tokens
+    * [log p_tgt(bucket) − log p_raw(bucket)] in integer micro-nats,
+    * add-one smoothed over the fixed [[Buckets]] vocabulary. Target LM
+    * trains on the target docs, raw LM on the raw pool itself (the
+    * paper's raw featurization). Returns (idCol, n_tokens, lr_micro). */
+  def importance(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String, targetSource: String): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .select(col(idCol), col(sourceCol), tokenBucket(col("token")).as("b"))
+    val tf = toks.groupBy(col(idCol), col(sourceCol), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val isTarget = col(sourceCol) === targetSource
+    // both LMs are Buckets-row count frames — broadcast at any scale
+    val tgt = tf.filter(isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_t"))
+    val raw = tf.filter(!isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_r"))
+    val tots = tgt.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("tot_t"))
+      .crossJoin(raw.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("tot_r")))
+    def lpMicro(cnt: Column, tot: Column): Column =
+      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") /
+        (tot + Buckets).cast("double")) * 1000000, 0).cast("long")
+    tf.filter(!isTarget)
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("d_micro",
+        lpMicro(col("cnt_t"), col("tot_t")) - lpMicro(col("cnt_r"), col("tot_r")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("d_micro") * col("tf")).as("lr_micro"))
+  }
+
+  /** Deterministic Gumbel draw in integer micro units: u is a salted
+    * md5 uniform on {0.5/1e6, 1.5/1e6, …} (never 0 or 1 — both ln
+    * arguments stay strictly inside their domains), g = −ln(−ln u).
+    * Every step is one correctly-rounded IEEE op on identical inputs,
+    * so the oracle engine reproduces it exactly (the mixtureWeights
+    * draw recipe, pushed through the Gumbel CDF inverse). */
+  def gumbelMicro(id: Column, salt: String = ":graft-dsir-v1"): Column = {
+    val h = pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))),
+      1, 15), 16, 10).cast("long"), lit(1000000L))
+    val u = (h.cast("double") + 0.5d) / 1000000.0d
+    round(-log(-log(u)) * 1000000, 0).cast("long")
+  }
+
+  /** Gumbel-top-k selection over [[importance]]: key = lr_micro +
+    * g_micro (temperature 1 on the log-weights — the paper's sampled
+    * variant; integer addition, engine-exact), top `n` by (key desc,
+    * id asc). One corpus-sized rank — the same single-window shape as
+    * the o3 global top-k, fine for k ≪ n; shard the window by a key
+    * prefix if n ever approaches corpus scale. */
+  def select(docs: DataFrame, idCol: String, textCol: String,
+             sourceCol: String, targetSource: String, n: Int): DataFrame = {
+    val scored = importance(docs, idCol, textCol, sourceCol, targetSource)
+      .withColumn("g_micro", gumbelMicro(col(idCol)))
+      .withColumn("key_micro", col("lr_micro") + col("g_micro"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col(idCol).asc)))
+      .filter(col("rank") <= n)
+      .select(col(idCol), col("rank"), col("n_tokens"), col("lr_micro"),
+        col("g_micro"), col("key_micro"))
+  }
+}

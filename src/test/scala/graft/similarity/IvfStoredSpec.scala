@@ -1,0 +1,90 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** The PRUNED stored IVF serving path ([[Cosine.ivfSearchStored]]): the
+  * posting lists persist partitioned BY CELL (the textbook IVF list
+  * layout as a parquet partition tree) and a probe reads only its
+  * probed cells' directories — the dense member of the round-12
+  * serving-tier pruning sweep (RepIndex bands, Matryoshka rerank, BM25
+  * postings). Pins: value-identity with the in-plan `ivfSearchIndex`
+  * over the same frames, the LITERAL pcell filter surviving to the
+  * executed scan's runtime partition metrics, the probe side riding a
+  * broadcast (the corpus-side lists must be the streamed side at
+  * 100 TB), and the empty-corpus edge. */
+class IvfStoredSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+
+  test("stored pruned search == in-plan ivfSearchIndex, sims included") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+    val cells = emb.select(col("vec_id"), col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfstored").toString
+    Cosine.writeIvfIndex(emb.select(col("vec_id"), col("embedding")), cells,
+      cents, "vec_id", "embedding", "label", dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val stored = Cosine.ivfSearchStored(spark, queries, dir, "vec_id",
+      "embedding", "label", k = 5, nProbe = 3)
+    val inplan = Cosine.ivfSearchIndex(queries,
+      emb.select(col("vec_id"), col("embedding")), cells, cents,
+      "vec_id", "embedding", "label", k = 5, nProbe = 3)
+    assert(stored.collect().toSet == inplan.collect().toSet)
+    assert(stored.count() > 0, "vacuous fixture: no search hits")
+  }
+
+  test("the lists scan prunes to the probed cells; probes ride a broadcast") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    Cosine.writeIvfIndex(emb.select(col("vec_id"), col("embedding")),
+      emb.select(col("vec_id"), col("label")), cents,
+      "vec_id", "embedding", "label", dir)
+    val total = new java.io.File(s"$dir/lists").listFiles()
+      .count(_.getName.startsWith("pcell="))
+    assert(total > 2, s"fixture has only $total cells — pruning unprovable")
+    // one query probing 1 cell: must read exactly its directory's share
+    val out = Cosine.ivfSearchStored(spark,
+      emb.filter(col("vec_id") === 3).select(col("vec_id"), col("embedding")),
+      dir, "vec_id", "embedding", "label", k = 5, nProbe = 1)
+    out.collect()
+    val lists = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/lists")))
+    assert(lists.nonEmpty, "no lists scan in the stored-search plan")
+    lists.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("pcell")),
+        s"lists scan carries no pcell partition filter: ${f.partitionFilters}")
+      val read = f.metrics("numPartitions").value
+      assert(read == 1L, s"1-probe search read $read of $total cell dirs")
+    }
+    assert(out.queryExecution.executedPlan.toString()
+        .contains("BroadcastHashJoin"),
+      "probe side should broadcast into the cell join")
+  }
+
+  test("empty corpus writes a readable layout and serves zero rows") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val none = emb.filter(lit(false))
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfempty").toString
+    Cosine.writeIvfIndex(none.select(col("vec_id"), col("embedding")),
+      none.select(col("vec_id"), col("label")), cents,
+      "vec_id", "embedding", "label", dir)
+    val out = Cosine.ivfSearchStored(spark,
+      emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
+      dir, "vec_id", "embedding", "label", k = 5, nProbe = 2)
+    assert(out.count() == 0L)
+  }
+}

@@ -152,7 +152,7 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     // a sink mid-flight on batch 2: seg2 written, manifest NOT yet
     // committed — prune must leave it alone (its id is above the kept
     // high-water mark), while a stale below-high-water straggler goes
-    Bm25.writeIndex(Bm25.buildIndex(wave3.toDF(), "doc_id", "text"), s"$dir/seg2")
+    Bm25.writeIndexPlain(Bm25.buildIndex(wave3.toDF(), "doc_id", "text"), s"$dir/seg2")
     new java.io.File(s"$dir/seg0_tmp").mkdirs() // non-matching: ignored
     StreamingIndexMaintenance.prune(dir, keepManifests = 1)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
