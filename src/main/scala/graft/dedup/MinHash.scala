@@ -462,7 +462,8 @@ object MinHash {
                                        oldSharr: DataFrame, idCol: String,
                                        threshold: Double = 0.7,
                                        rowsPerBand: Int = RowsPerBand,
-                                       probeBuckets: Int = ProbeBuckets): DataFrame = {
+                                       probeBuckets: Int = ProbeBuckets,
+                                       probeBandRows: Option[DataFrame] = None): DataFrame = {
     // when oldBands comes from the PARTITIONED serving layout (it carries
     // the pbucket partition column), compute the same pure function of
     // band_hash on the probe side and include it in the equi-join keys:
@@ -473,7 +474,11 @@ object MinHash {
     // a mismatched modulus would silently drop cross-bucket collisions
     val pruned = oldBands.columns.contains("pbucket")
     val pb = pmod(col("band_hash"), lit(probeBuckets.toLong)).cast("int")
-    val bNew0 = bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand)
+    // a caller that already materialized the probe's band rows (the
+    // stored-serving collect-once pattern — RepIndex.searchStored) hands
+    // them in so the signature kernel runs once, not once per consumer
+    val bNew0 = probeBandRows
+      .getOrElse(bandRows(signaturesFromArray(shNew, idCol), idCol, rowsPerBand))
       .select(col(idCol).as("id_new"), col("band"), col("band_hash"))
     val bNew = if (pruned) bNew0.withColumn("pbucket", pb) else bNew0
     val oldCols = Seq(col(idCol).as("id_old"), col("band"), col("band_hash")) ++

@@ -509,9 +509,6 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_dot_product(emb, [${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** x8's derived SRP configuration (planes, tables) stashed by the last
-    * run, read by [[oracle]] (a def, evaluated by Verify AFTER queries
-    * run) so the DuckDB replay buckets with the exact same tables. */
   /** Process-level memo of x22's persisted IVF index (the pairs08 /
     * repLifecycle convention): the artifact is a pure function of
     * (session, dir), the harnesses clear caches between queries, and
@@ -536,6 +533,9 @@ object SimilarityQueries extends QueryPack {
       ivfIdxPath
     }
 
+  /** x8's derived SRP configuration (planes, tables) stashed by the last
+    * run, read by [[oracle]] (a def, evaluated by Verify AFTER queries
+    * run) so the DuckDB replay buckets with the exact same tables. */
   @volatile private var lastX8Config: (Int, Int) = (1, 1)
 
   /** c12's derived SRP configuration (planes, tables, probe radius),

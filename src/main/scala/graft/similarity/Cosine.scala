@@ -480,20 +480,33 @@ object Cosine {
   def writeIvfIndex(vectors: DataFrame, cells: DataFrame,
                     centroids: DataFrame, idCol: String, vecCol: String,
                     cellCol: String, dir: String): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     // persisted around the emptiness probe so the join lineage is not
     // evaluated twice (the RepIndex.write convention)
     val lists = vectors.select(col(idCol), col(vecCol))
       .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (lists.isEmpty)
-        lists.write.mode("overwrite").parquet(s"$dir/lists")
-      else
-        lists.withColumn("pcell", col(cellCol).cast("string"))
-          .write.mode("overwrite").partitionBy("pcell")
-          .parquet(s"$dir/lists")
-    } finally lists.unpersist()
+    val (nLists, nCents) =
+      try {
+        if (lists.isEmpty)
+          lists.write.mode("overwrite").parquet(s"$dir/lists")
+        else
+          lists.withColumn("pcell", col(cellCol).cast("string"))
+            .write.mode("overwrite").partitionBy("pcell")
+            .parquet(s"$dir/lists")
+        centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+        (lists.count(), centroids.count())
+      } finally lists.unpersist()
+    // commit point LAST (the ConfigFile atomic-rename recipe): an
+    // in-place re-train that crashes between the two stores leaves a
+    // sidecar whose counts disagree with what [[ivfSearchStored]]
+    // re-counts at open — a LOUD failure instead of new-centroids-over-
+    // stale-lists silently probing the wrong lists. Row counts are the
+    // pinned fingerprint (parquet-footer-cheap to re-derive); lists
+    // count is stored mod 1e9 to fit the int sidecar — a torn-artifact
+    // CHECK, not an exact count, same best-effort class as the sampled
+    // torn-modulus guards.
+    graft.ops.ConfigFile.writeAtomic(dir, "ivf_commit",
+      Seq((nLists % 1000000000L).toInt, (nCents % 1000000000L).toInt))
   }
 
   /** Serving search over the PERSISTED IVF layout: probe selection runs
@@ -510,10 +523,32 @@ object Cosine {
     * selected can never contribute (the probe join is inner on cell).
     * Point/serving probes only; batch-scale analytical probes go through
     * [[ivfSearchIndex]], whose plan never materializes the probe set. */
+  // dirs whose commit-sidecar check already passed — an index-open
+  // validation, not a per-probe cost
+  private val validatedIvf =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ivfSearchStored(spark: SparkSession, queries: DataFrame, dir: String,
                       idCol: String, vecCol: String, cellCol: String,
                       k: Int, nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
+    // torn-artifact guard: the commit sidecar is written after BOTH
+    // stores; a crashed in-place re-train leaves the previous sidecar
+    // whose counts disagree with the re-derived ones (parquet-footer
+    // cheap). Pre-sidecar artifacts (none in the wild — writeIvfIndex
+    // has always written it — but external layouts may lack it) skip
+    // the check and serve as-is.
+    if (!validatedIvf.contains(dir)
+        && graft.ops.ConfigFile.exists(dir, "ivf_commit")) {
+      val want = graft.ops.ConfigFile.readInts(dir, "ivf_commit", 2)
+      val nl = (spark.read.parquet(s"$dir/lists").count() % 1000000000L).toInt
+      val nc = (cents.count() % 1000000000L).toInt
+      require(nl == want.head && nc == want(1),
+        s"stored IVF index at $dir does not match its commit sidecar " +
+          s"(lists $nl vs ${want.head}, centroids $nc vs ${want(1)}) — " +
+          "torn artifact: re-run writeIvfIndex")
+      validatedIvf.add(dir)
+    }
     val probesDf = ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe)
       .withColumn("pcell_lit", col(cellCol).cast("string"))
     val prows = probesDf.collect()
@@ -1082,6 +1117,12 @@ object Cosine {
     * caller: a probe sliced at a different p would silently rank stage 1
     * under a different geometry. Point/serving probes only; batch
     * analytical scoring should use [[prefixTopK]] over the corpus. */
+  // (dir, p) pairs whose torn-artifact check already passed — an
+  // index-open validation, not a per-probe cost (the RepIndex /
+  // Bm25.searchStored convention)
+  private val validatedPrefix =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
   def prefixTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
                        idCol: String, vecCol: String, k: Int,
                        kShort: Int = 20): DataFrame = {
@@ -1089,13 +1130,30 @@ object Cosine {
     val (p, buckets) = (cfg(0), cfg(1))
     val stored = spark.read.parquet(s"$dir/vectors")
     val partitioned = stored.columns.contains("pbucket")
+    // torn-artifact guard: a crashed in-place rebuild under a different p
+    // leaves the stored prefix column at a width the config no longer
+    // describes — zip_with would then null-pad every stage-1 dot product
+    // and the shortlist silently degenerates. One sampled row turns that
+    // into a loud failure, paid once per (dir, p) in this process.
+    if (!validatedPrefix.contains((dir, p))) {
+      stored.select(size(col("prefix")).as("w")).limit(1).collect()
+        .foreach(r => require(r.getInt(0) == p,
+          s"stored prefix at $dir is ${r.getInt(0)} dims but prefix_config " +
+            s"claims $p — torn artifact"))
+      validatedPrefix.add((dir, p))
+    }
     val cPref = stored.select(col(idCol).as("neighbor_id"),
       toDouble(col("prefix")).as("cp"))
     val shortDf = prefixShortlist(queries, cPref, idCol, vecCol, p, kShort)
     val shortRows = shortDf.collect()
     val short = spark.createDataFrame(
       spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
-    val ids = shortRows.map(_.getLong(1)).distinct.toSeq
+    // ids keep their ORIGINAL values/types for the pushed In filter
+    // (writePrefixIndex accepts any numeric id — int ids must not crash
+    // the stored path that the write path accepted); the bucket math
+    // runs on the widened long, exactly like the write side's pmod
+    val ids = shortRows.map(_.get(1)).distinct.toSeq
+    val idLongs = ids.map(_.asInstanceOf[Number].longValue)
     val full0 =
       if (partitioned) stored.select(col("pbucket"),
         col(idCol).as("neighbor_id"), toDouble(col("full")).as("cv"))
@@ -1105,7 +1163,7 @@ object Cosine {
       if (ids.isEmpty) full0.limit(0)
       else if (partitioned) full0.filter(
         col("pbucket").isin(   // pmod, matching the written layout
-          ids.map(i => (((i % buckets) + buckets) % buckets).toInt)
+          idLongs.map(i => (((i % buckets) + buckets) % buckets).toInt)
             .distinct: _*)
           && col("neighbor_id").isin(ids: _*))
       else full0.filter(col("neighbor_id").isin(ids: _*))

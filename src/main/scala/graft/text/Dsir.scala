@@ -51,8 +51,12 @@ object Dsir {
     * paper's raw featurization). Returns (idCol, n_tokens, lr_micro). */
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
+    // empty tokens filtered (the Bm25.buildIndex convention): an empty or
+    // whitespace-only doc would otherwise carry one phantom "" token into
+    // both LMs and compete in the selection on that mass
     val toks = docs.select(col(idCol), col(sourceCol),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+        explode(filter(TextAnalysis.tokens(lower(col(textCol))),
+          t => t =!= "")).as("token"))
       .select(col(idCol), col(sourceCol), tokenBucket(col("token")).as("b"))
     val tf = toks.groupBy(col(idCol), col(sourceCol), col("b"))
       .agg(count(lit(1)).as("tf"))
