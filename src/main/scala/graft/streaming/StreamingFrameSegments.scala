@@ -141,6 +141,22 @@ object StreamingIvfMaintenance {
 
   def prune(dir: String, keepManifests: Int = 2): Unit =
     Segments.prune(dir, keepManifests)
+
+  /** PUBLISH the streamed store to the pruned serving tier: the live
+    * cell assignment (segments ∪ minus tombstones) joined to its
+    * vectors becomes a [[graft.similarity.Cosine.writeIvfIndex]]
+    * per-cell partition tree, served listing-pruned by
+    * `ivfSearchStored`. The deployment step between the maintenance
+    * tier (O(|batch|) segment commits — this store) and the serving
+    * tier (partitioned layout + commit sidecar — that artifact): run it
+    * on the cadence index snapshots ship, not per micro-batch.
+    * `servingDir` must not be the segment store itself. Spec-pinned:
+    * published-pruned search ≡ in-plan search over the live frames. */
+  def publish(spark: SparkSession, dir: String, vectors: DataFrame,
+              centroids: DataFrame, idCol: String, vecCol: String,
+              cellCol: String, servingDir: String): Unit =
+    graft.similarity.Cosine.writeIvfIndex(vectors, readLatest(spark, dir),
+      centroids, idCol, vecCol, cellCol, servingDir)
 }
 
 /** Streaming maintenance for the SQ8 packed-code index (the x19/x21

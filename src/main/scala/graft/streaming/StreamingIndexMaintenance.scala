@@ -271,4 +271,18 @@ object StreamingIndexMaintenance {
     } { cmp =>
       Bm25.writeIndexPlain(readLatest(spark, dir), cmp)
     }
+
+  /** PUBLISH the streamed store to the pruned serving tier: the live
+    * merged index (segments folded, tombstones applied) written once
+    * through [[Bm25.writeIndex]] — the term-bucketed partition tree +
+    * pinned modulus — so `Bm25.searchStored` serves it listing-pruned.
+    * This is the deployment step between the maintenance tier
+    * (O(|batch|) flat segment commits — this store) and the serving
+    * tier (partitioned artifact): run it on the cadence index snapshots
+    * ship, not per micro-batch. `servingDir` must not be the segment
+    * store itself (segments stay flat — a multi-path merge cannot mix
+    * partitioned roots). Spec-pinned: published-pruned search ≡
+    * searchIndex over readLatest, scores included. */
+  def publish(spark: SparkSession, dir: String, servingDir: String): Unit =
+    Bm25.writeIndex(readLatest(spark, dir), servingDir)
 }

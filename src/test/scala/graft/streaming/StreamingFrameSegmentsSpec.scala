@@ -185,4 +185,39 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     assert(out.count() == 9)
     cents.unpersist()
   }
+
+  test("IVF publish: streamed cells -> pruned per-cell serving artifact, search-identical") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sivf_pub").toString
+    val sink = StreamingIvfMaintenance.cellSink(sp, dir, "vec_id", "embedding",
+      cents, "label") _
+    sink(emb.filter(col("vec_id") % 2 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 2 === 1), 1L)
+    StreamingIvfMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 2L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_sivf_pub_s").toString
+    StreamingIvfMaintenance.publish(sp, dir,
+      emb.select(col("vec_id"), col("embedding")), cents,
+      "vec_id", "embedding", "label", serving)
+    assert(new java.io.File(s"$serving/lists").listFiles()
+      .exists(_.getName.startsWith("pcell=")), "publish must lay out the cell tree")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val pruned = Cosine.ivfSearchStored(sp, queries, serving,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    val live = Cosine.ivfSearchIndex(queries,
+      emb.select(col("vec_id"), col("embedding")),
+      StreamingIvfMaintenance.readLatest(sp, dir), cents,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    assert(pruned.collect().toSet == live.collect().toSet)
+    assert(pruned.count() > 0)
+    // the tombstoned vector is gone from the published artifact
+    assert(pruned.filter(col("neighbor_id") === 7L).count() == 0
+      && sp.read.parquet(s"$serving/lists")
+           .filter(col("vec_id") === 7L).count() == 0)
+    cents.unpersist()
+  }
 }

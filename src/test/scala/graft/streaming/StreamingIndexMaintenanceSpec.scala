@@ -251,4 +251,33 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     assert(after == before, s"re-delivery changed the index: $after vs $before")
     assert(after.head.getLong(0) == 4L) // 4 docs, not 6
   }
+
+  test("publish: streamed store -> pruned serving artifact, search-identical") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_pub").toString
+    val sink = StreamingIndexMaintenance.indexSink(sp, dir, "doc_id", "text") _
+    sink(docs.filter(col("doc_id") % 3 === 0), 0L)
+    sink(docs.filter(col("doc_id") % 3 === 1), 1L)
+    sink(docs.filter(col("doc_id") % 3 === 2), 2L)
+    // a tombstone wave too: the published artifact must be the LIVE view
+    StreamingIndexMaintenance.deleteSink(sp, dir, "doc_id")(
+      Seq(3L, 6L).map(Tuple1(_)).toDF("doc_id"), 3L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_sidx_pub_s").toString
+    StreamingIndexMaintenance.publish(sp, dir, serving)
+    // the published artifact carries the partitioned serving layout
+    assert(new java.io.File(s"$serving/postings").listFiles()
+      .exists(_.getName.startsWith("tbucket=")), "publish must lay out the serving tree")
+    val queries = docs.filter(col("doc_id") < 5)
+    val pruned = Bm25.searchStored(sp, queries, serving, "doc_id", "text",
+      k = 5, minIdfMicro = 0L)
+    val live = Bm25.searchIndex(queries,
+      StreamingIndexMaintenance.readLatest(sp, dir), "doc_id", "text",
+      k = 5, minIdfMicro = 0L)
+    assert(pruned.collect().toSet == live.collect().toSet)
+    assert(pruned.count() > 0)
+    // tombstoned docs are really gone from the published artifact
+    assert(pruned.filter(col("doc_id").isin(3L, 6L)).count() == 0)
+  }
 }
