@@ -39,9 +39,42 @@ object Dsir {
   /** Hashed-unigram bucket of a (lowercased) token — md5-derived like
     * every cross-engine hash in this engine (TextAnalysis.splitBucket),
     * NOT xxhash64, which the oracle engine lacks. */
-  def tokenBucket(t: Column): Column =
+  def tokenBucket(t: Column, buckets: Int = Buckets): Column =
     pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
-      lit(Buckets.toLong))
+      lit(buckets.toLong))
+
+  /** Per-doc hashed-bucket term frequencies — (idCol, b, tf). Empty
+    * tokens filtered (the Bm25.buildIndex convention): an empty or
+    * whitespace-only doc would otherwise carry one phantom "" token
+    * into the LMs and compete in the selection on that mass. */
+  private def bucketTf(docs: DataFrame, idCol: String, textCol: String,
+                       buckets: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(filter(TextAnalysis.tokens(lower(col(textCol))),
+          t => t =!= "")).as("token"))
+      .select(col(idCol), tokenBucket(col("token"), buckets).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
+
+  /** The ONE scoring tail every DSIR form rides ([[importance]],
+    * [[importanceStored]] — the decontaminateTail convention): per-doc
+    * Σ tf·[lp_tgt − lp_raw] in integer micro-nats against the given LM
+    * frames, add-one smoothed over the `buckets`-sized hashed
+    * vocabulary. */
+  private def scoreTail(tf: DataFrame, idCol: String, tgt: DataFrame,
+                        raw: DataFrame, tots: DataFrame,
+                        buckets: Int): DataFrame = {
+    def lpMicro(cnt: Column, tot: Column): Column =
+      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") /
+        (tot + buckets).cast("double")) * 1000000, 0).cast("long")
+    tf.join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("d_micro",
+        lpMicro(col("cnt_t"), col("tot_t")) - lpMicro(col("cnt_r"), col("tot_r")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("d_micro") * col("tf")).as("lr_micro"))
+  }
 
   /** Per-document importance log-weights over the RAW pool (docs whose
     * `sourceCol` ≠ `targetSource`): lr_micro = Σ_tokens
@@ -51,33 +84,62 @@ object Dsir {
     * paper's raw featurization). Returns (idCol, n_tokens, lr_micro). */
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
-    // empty tokens filtered (the Bm25.buildIndex convention): an empty or
-    // whitespace-only doc would otherwise carry one phantom "" token into
-    // both LMs and compete in the selection on that mass
-    val toks = docs.select(col(idCol), col(sourceCol),
-        explode(filter(TextAnalysis.tokens(lower(col(textCol))),
-          t => t =!= "")).as("token"))
-      .select(col(idCol), col(sourceCol), tokenBucket(col("token")).as("b"))
-    val tf = toks.groupBy(col(idCol), col(sourceCol), col("b"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = bucketTf(docs.select(col(idCol), col(sourceCol), col(textCol)),
+      idCol, textCol, Buckets)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
     val isTarget = col(sourceCol) === targetSource
     // both LMs are Buckets-row count frames — broadcast at any scale
     val tgt = tf.filter(isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_t"))
     val raw = tf.filter(!isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_r"))
     val tots = tgt.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("tot_t"))
       .crossJoin(raw.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("tot_r")))
-    def lpMicro(cnt: Column, tot: Column): Column =
-      round(log((coalesce(cnt, lit(0L)) + 1).cast("double") /
-        (tot + Buckets).cast("double")) * 1000000, 0).cast("long")
-    tf.filter(!isTarget)
-      .join(broadcast(tgt), Seq("b"), "left")
-      .join(broadcast(raw), Seq("b"), "left")
-      .crossJoin(broadcast(tots))
-      .withColumn("d_micro",
-        lpMicro(col("cnt_t"), col("tot_t")) - lpMicro(col("cnt_r"), col("tot_r")))
-      .groupBy(col(idCol))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("d_micro") * col("tf")).as("lr_micro"))
+    scoreTail(tf.filter(!isTarget).select(col(idCol), col("b"), col("tf")),
+      idCol, tgt, raw, tots, Buckets)
+  }
+
+  /** Persist the trained DSIR model: the two bucket-count LM frames, the
+    * 1-row totals, and the bucket modulus PINNED in a config sidecar —
+    * a batch bucketing under a different modulus would silently score
+    * against the wrong counters, so probes read the modulus from the
+    * artifact (the writeSrpIndex convention). This is what makes DSIR
+    * servable: the model trains once per (target, pool) release and
+    * arriving raw batches score against the FIXED artifact. */
+  def writeModel(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String, targetSource: String,
+                 dir: String): Unit = {
+    // persisted around the four write-time actions (tgt, raw, tots ×2
+    // lineages) so the corpus tokenize pass runs once — the
+    // RepIndex.write convention
+    val tf = bucketTf(docs.select(col(idCol), col(sourceCol), col(textCol)),
+        idCol, textCol, Buckets)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isTarget = col(sourceCol) === targetSource
+      val tgt = tf.filter(isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_t"))
+      val raw = tf.filter(!isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_r"))
+      tgt.write.mode("overwrite").parquet(s"$dir/tgt")
+      raw.write.mode("overwrite").parquet(s"$dir/raw")
+      tgt.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("tot_t"))
+        .crossJoin(raw.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("tot_r")))
+        .write.mode("overwrite").parquet(s"$dir/tots")
+    } finally tf.unpersist()
+    graft.ops.ConfigFile.writeAtomic(dir, "dsir_config", Seq(Buckets))
+  }
+
+  /** Score a document batch against the STORED model — the serving form
+    * of [[importance]] (shared [[scoreTail]], so the forms cannot
+    * drift): the batch buckets under the modulus the ARTIFACT pins,
+    * never the compile-time constant. Per-doc scores are pure functions
+    * of (doc, fixed model), so scoring any partition of a corpus equals
+    * scoring the union — the property the streaming scorer rides. */
+  def importanceStored(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       dir: String): DataFrame = {
+    val buckets = graft.ops.ConfigFile.readInts(dir, "dsir_config", 1).head
+    scoreTail(bucketTf(batch, idCol, textCol, buckets), idCol,
+      spark.read.parquet(s"$dir/tgt"), spark.read.parquet(s"$dir/raw"),
+      spark.read.parquet(s"$dir/tots"), buckets)
   }
 
   /** Deterministic Gumbel draw in integer micro units: u is a salted

@@ -72,4 +72,35 @@ class DsirSpec extends SparkSpec {
       .agg(min(col("b")), max(col("b"))).head()
     assert(b.getLong(0) >= 0L && b.getLong(1) < Dsir.Buckets)
   }
+
+  test("stored model: importanceStored == importance, value-identical; modulus pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
+    Dsir.writeModel(corpus, "doc_id", "text", "source", "tgt", dir)
+    assert(graft.ops.ConfigFile.readInts(dir, "dsir_config", 1).head
+      == Dsir.Buckets)
+    val rawPool = corpus.filter(col("source") =!= "tgt")
+      .select(col("doc_id"), col("text"))
+    val stored = Dsir.importanceStored(spark, rawPool, "doc_id", "text", dir)
+    val inline = Dsir.importance(corpus, "doc_id", "text", "source", "tgt")
+    assert(stored.collect().toSet == inline.collect().toSet)
+  }
+
+  test("streamed batches against the stored model == batch scoring of the union") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model2").toString
+    Dsir.writeModel(corpus, "doc_id", "text", "source", "tgt", dir)
+    val out = java.nio.file.Files.createTempDirectory("dsir_out").toString
+    val rawPool = corpus.filter(col("source") =!= "tgt")
+      .select(col("doc_id"), col("text"))
+    val sink = graft.streaming.StreamingDsirScore.sink(spark, dir, out,
+      "doc_id", "text") _
+    sink(rawPool.filter(col("doc_id") % 2 === 0), 0L)
+    sink(rawPool.filter(col("doc_id") % 2 === 1), 1L)
+    // crash re-delivery of batch 0: must rewrite identical rows
+    sink(rawPool.filter(col("doc_id") % 2 === 0), 0L)
+    val streamed = spark.read.parquet(s"$out/b0", s"$out/b1")
+    val batch = Dsir.importanceStored(spark, rawPool, "doc_id", "text", dir)
+      .withColumn("g_micro", Dsir.gumbelMicro(col("doc_id")))
+      .withColumn("key_micro", col("lr_micro") + col("g_micro"))
+    assert(streamed.collect().toSet == batch.collect().toSet)
+  }
 }
