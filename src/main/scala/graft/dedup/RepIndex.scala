@@ -339,31 +339,35 @@ object RepIndex {
     // plan still printed the dynamicpruning expression). The pair
     // collect is one tiny job over the probe's band rows — the same
     // serving-latency class as the probe itself.
-    // collect-once: ONE driver job evaluates the probe's signature kernel
-    // (the expensive stage — NumHashes minhash evaluations per shingle);
-    // the literal partition filters AND the band-join probe side both
-    // come from the same materialized rows (the Bm25/IVF/prefix stored
-    // convention — the join side re-parallelizes the collected rows, so
-    // nothing re-runs the kernel)
-    val bandRowsDf = MinHash.bandRows(
-        MinHash.signaturesFromArray(querySharr, idCol), idCol, rowsPerBand)
-      .select(col(idCol), col("band"), col("band_hash"))
-    val probeRows = bandRowsDf.collect()
-    val probeFrame = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows.toSeq, 1), bandRowsDf.schema)
-    val prunedBands =
-      if (bands.columns.contains("pbucket")) {
-        val pairs = probeRows
-          .map(r => (r.getInt(1),
-            (((r.getLong(2) % mod) + mod) % mod).toInt)) // pmod, as written
-          .distinct
-        val pred = pairs.map { case (b, p) =>
-          col("band") === b && col("pbucket") === p
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        bands.filter(pred)
-      } else bands
-    MinHash.nearDuplicatesArraysAgainstBands(querySharr, prunedBands,
-      spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
-      probeBuckets = mod, probeBandRows = Some(probeFrame))
+    // PARTITIONED store: collect-once — ONE driver job evaluates the
+    // probe's signature kernel (the expensive stage — NumHashes minhash
+    // evaluations per shingle); the literal partition filters AND the
+    // band-join probe side both come from the same materialized rows
+    // (the Bm25/IVF/prefix stored convention — the join side
+    // re-parallelizes the collected rows, so nothing re-runs the
+    // kernel). FLAT (pre-upgrade) store: no partition filters to build,
+    // so the probe stays fully in-plan — a batch-sized probe against a
+    // flat store must not materialize on the driver for zero pruning.
+    if (bands.columns.contains("pbucket")) {
+      val bandRowsDf = MinHash.bandRows(
+          MinHash.signaturesFromArray(querySharr, idCol), idCol, rowsPerBand)
+        .select(col(idCol), col("band"), col("band_hash"))
+      val probeRows = bandRowsDf.collect()
+      val probeFrame = spark.createDataFrame(
+        spark.sparkContext.parallelize(probeRows.toSeq, 1), bandRowsDf.schema)
+      val pairs = probeRows
+        .map(r => (r.getInt(1),
+          (((r.getLong(2) % mod) + mod) % mod).toInt)) // pmod, as written
+        .distinct
+      val pred = pairs.map { case (b, p) =>
+        col("band") === b && col("pbucket") === p
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands.filter(pred),
+        spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
+        probeBuckets = mod, probeBandRows = Some(probeFrame))
+    } else
+      MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands,
+        spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
+        probeBuckets = mod)
   }
 }

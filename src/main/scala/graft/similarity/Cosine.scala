@@ -477,15 +477,43 @@ object Cosine {
     * EMPTY corpus writes the lists unpartitioned (partitionBy writes no
     * directories for zero rows — the RepIndex.write edge) and
     * [[ivfSearchStored]] degrades to the unpruned scan. */
+  /** Content fingerprint of the WRITTEN centroid parquet: order-free sum
+    * of per-row hashes over (cell, dim, micro-centroid), mod 1e9 —
+    * derived from DISK, never from the (possibly expensive or
+    * last-ulp-nondeterministic) training lineage, so it fingerprints
+    * exactly what a later open will read. */
+  private def centroidFp(spark: SparkSession, dir: String,
+                         cellCol: String): Int = {
+    val r = spark.read.parquet(s"$dir/centroids")
+      .agg(coalesce(sum(pmod(xxhash64(col(cellCol), col("dim"),
+        round(col("centroid") * 1000000, 0).cast("long")),
+        lit(1000000000L))), lit(0L)))
+      .head().getLong(0)
+    (r % 1000000000L).toInt
+  }
+
   def writeIvfIndex(vectors: DataFrame, cells: DataFrame,
                     centroids: DataFrame, idCol: String, vecCol: String,
                     cellCol: String, dir: String): Unit = {
+    // write order: centroids → lists → sidecar. The sidecar (written
+    // LAST, atomic rename) fingerprints the centroid CONTENT and the
+    // lists row count, both re-derived FROM DISK at open
+    // ([[ivfSearchStored]]) — so every harmful torn state is loud:
+    //  - crash after centroids: old sidecar's centroid fingerprint
+    //    mismatches the new geometry on disk (and if the geometry did
+    //    not change, the old artifact is still self-consistent);
+    //  - crash after lists: old sidecar mismatches whichever of
+    //    fingerprint/count the re-train changed; if it changed neither,
+    //    the artifact is identical by construction.
+    // A bare count can NOT catch the same-size re-train (new lists under
+    // old counts) — the content fingerprint is what closes that hole.
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     // persisted around the emptiness probe so the join lineage is not
     // evaluated twice (the RepIndex.write convention)
     val lists = vectors.select(col(idCol), col(vecCol))
       .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (nLists, nCents) =
+    val nLists =
       try {
         if (lists.isEmpty)
           lists.write.mode("overwrite").parquet(s"$dir/lists")
@@ -493,20 +521,11 @@ object Cosine {
           lists.withColumn("pcell", col(cellCol).cast("string"))
             .write.mode("overwrite").partitionBy("pcell")
             .parquet(s"$dir/lists")
-        centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-        (lists.count(), centroids.count())
+        lists.count()
       } finally lists.unpersist()
-    // commit point LAST (the ConfigFile atomic-rename recipe): an
-    // in-place re-train that crashes between the two stores leaves a
-    // sidecar whose counts disagree with what [[ivfSearchStored]]
-    // re-counts at open — a LOUD failure instead of new-centroids-over-
-    // stale-lists silently probing the wrong lists. Row counts are the
-    // pinned fingerprint (parquet-footer-cheap to re-derive); lists
-    // count is stored mod 1e9 to fit the int sidecar — a torn-artifact
-    // CHECK, not an exact count, same best-effort class as the sampled
-    // torn-modulus guards.
     graft.ops.ConfigFile.writeAtomic(dir, "ivf_commit",
-      Seq((nLists % 1000000000L).toInt, (nCents % 1000000000L).toInt))
+      Seq((nLists % 1000000000L).toInt,
+        centroidFp(vectors.sparkSession, dir, cellCol)))
   }
 
   /** Serving search over the PERSISTED IVF layout: probe selection runs
@@ -523,31 +542,34 @@ object Cosine {
     * selected can never contribute (the probe join is inner on cell).
     * Point/serving probes only; batch-scale analytical probes go through
     * [[ivfSearchIndex]], whose plan never materializes the probe set. */
-  // dirs whose commit-sidecar check already passed — an index-open
-  // validation, not a per-probe cost
+  // (dir, sidecar-contents) pairs whose check already passed — an
+  // index-open validation, not a per-probe cost. Keyed by the sidecar
+  // VALUES, not the dir alone: a long-lived serving process that
+  // re-publishes into the same directory gets a fresh sidecar and
+  // therefore a fresh validation (the RepIndex (dir, modulus) pattern)
   private val validatedIvf =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
 
   def ivfSearchStored(spark: SparkSession, queries: DataFrame, dir: String,
                       idCol: String, vecCol: String, cellCol: String,
                       k: Int, nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    // torn-artifact guard: the commit sidecar is written after BOTH
-    // stores; a crashed in-place re-train leaves the previous sidecar
-    // whose counts disagree with the re-derived ones (parquet-footer
-    // cheap). Pre-sidecar artifacts (none in the wild — writeIvfIndex
-    // has always written it — but external layouts may lack it) skip
-    // the check and serve as-is.
-    if (!validatedIvf.contains(dir)
-        && graft.ops.ConfigFile.exists(dir, "ivf_commit")) {
+    // torn-artifact guard: the commit sidecar fingerprints centroid
+    // CONTENT + lists count, both re-derived from disk here; a crashed
+    // in-place re-train mismatches whichever side it changed (see
+    // writeIvfIndex for the case analysis). Sidecar-less layouts
+    // (externally assembled) skip the check and serve as-is.
+    if (graft.ops.ConfigFile.exists(dir, "ivf_commit")) {
       val want = graft.ops.ConfigFile.readInts(dir, "ivf_commit", 2)
-      val nl = (spark.read.parquet(s"$dir/lists").count() % 1000000000L).toInt
-      val nc = (cents.count() % 1000000000L).toInt
-      require(nl == want.head && nc == want(1),
-        s"stored IVF index at $dir does not match its commit sidecar " +
-          s"(lists $nl vs ${want.head}, centroids $nc vs ${want(1)}) — " +
-          "torn artifact: re-run writeIvfIndex")
-      validatedIvf.add(dir)
+      if (!validatedIvf.contains((dir, want))) {
+        val nl = (spark.read.parquet(s"$dir/lists").count() % 1000000000L).toInt
+        val fp = centroidFp(spark, dir, cellCol)
+        require(nl == want.head && fp == want(1),
+          s"stored IVF index at $dir does not match its commit sidecar " +
+            s"(lists $nl vs ${want.head}, centroid fp $fp vs ${want(1)}) — " +
+            "torn artifact: re-run writeIvfIndex")
+        validatedIvf.add((dir, want))
+      }
     }
     val probesDf = ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe)
       .withColumn("pcell_lit", col(cellCol).cast("string"))

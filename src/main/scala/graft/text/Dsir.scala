@@ -43,17 +43,22 @@ object Dsir {
     pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
-  /** Per-doc hashed-bucket term frequencies — (idCol, b, tf). Empty
-    * tokens filtered (the Bm25.buildIndex convention): an empty or
-    * whitespace-only doc would otherwise carry one phantom "" token
-    * into the LMs and compete in the selection on that mass. */
+  /** Per-doc hashed-bucket term frequencies — (idCol, carry…, b, tf).
+    * `carry` columns ride through tokenization and the groupBy (the
+    * source column, for LM training) so no caller needs a corpus-sized
+    * re-join to get them back. Empty tokens filtered (the
+    * Bm25.buildIndex convention): an empty or whitespace-only doc would
+    * otherwise carry one phantom "" token into the LMs and compete in
+    * the selection on that mass. */
   private def bucketTf(docs: DataFrame, idCol: String, textCol: String,
-                       buckets: Int): DataFrame =
-    docs.select(col(idCol),
+                       buckets: Int, carry: Seq[String] = Nil): DataFrame = {
+    val keys = col(idCol) +: carry.map(col)
+    docs.select(keys :+
         explode(filter(TextAnalysis.tokens(lower(col(textCol))),
-          t => t =!= "")).as("token"))
-      .select(col(idCol), tokenBucket(col("token"), buckets).as("b"))
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
+          t => t =!= "")).as("token"): _*)
+      .select(keys :+ tokenBucket(col("token"), buckets).as("b"): _*)
+      .groupBy(keys :+ col("b"): _*).agg(count(lit(1)).as("tf"))
+  }
 
   /** The ONE scoring tail every DSIR form rides ([[importance]],
     * [[importanceStored]] — the decontaminateTail convention): per-doc
@@ -84,9 +89,10 @@ object Dsir {
     * paper's raw featurization). Returns (idCol, n_tokens, lr_micro). */
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
-    val tf = bucketTf(docs.select(col(idCol), col(sourceCol), col(textCol)),
-      idCol, textCol, Buckets)
-      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+    // the source rides THROUGH bucketTf (carry) — a corpus-sized
+    // (tf ⋈ docs) re-join here would both shuffle twice per lineage and
+    // double-count LM mass for any repeated doc id
+    val tf = bucketTf(docs, idCol, textCol, Buckets, Seq(sourceCol))
     val isTarget = col(sourceCol) === targetSource
     // both LMs are Buckets-row count frames — broadcast at any scale
     val tgt = tf.filter(isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_t"))
@@ -97,22 +103,33 @@ object Dsir {
       idCol, tgt, raw, tots, Buckets)
   }
 
+  /** Order-free content fingerprint of a written model frame, mod 1e9 —
+    * derived from DISK so it pins exactly what a later open reads. */
+  private def frameFp(spark: org.apache.spark.sql.SparkSession,
+                      path: String, cols: Seq[String]): Int =
+    (spark.read.parquet(path)
+      .agg(coalesce(sum(pmod(xxhash64(cols.map(col): _*),
+        lit(1000000000L))), lit(0L)))
+      .head().getLong(0) % 1000000000L).toInt
+
   /** Persist the trained DSIR model: the two bucket-count LM frames, the
-    * 1-row totals, and the bucket modulus PINNED in a config sidecar —
-    * a batch bucketing under a different modulus would silently score
-    * against the wrong counters, so probes read the modulus from the
-    * artifact (the writeSrpIndex convention). This is what makes DSIR
-    * servable: the model trains once per (target, pool) release and
-    * arriving raw batches score against the FIXED artifact. */
+    * 1-row totals, and a config sidecar written LAST (atomic rename)
+    * pinning the bucket modulus PLUS a content fingerprint of each
+    * store, all re-derived from disk at open — a crash mid-re-train
+    * leaves the previous sidecar disagreeing with whichever store
+    * changed, so [[importanceStored]] fails LOUDLY instead of scoring
+    * against a mixture of two model releases (the ivf_commit recipe;
+    * the modulus pin alone cannot catch a same-modulus torn model).
+    * This is what makes DSIR servable: the model trains once per
+    * (target, pool) release and arriving raw batches score against the
+    * FIXED artifact. */
   def writeModel(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String,
                  dir: String): Unit = {
-    // persisted around the four write-time actions (tgt, raw, tots ×2
-    // lineages) so the corpus tokenize pass runs once — the
-    // RepIndex.write convention
-    val tf = bucketTf(docs.select(col(idCol), col(sourceCol), col(textCol)),
-        idCol, textCol, Buckets)
-      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+    // persisted around the write-time actions (tgt, raw, tots lineages)
+    // so the corpus tokenize pass runs once — the RepIndex.write
+    // convention; the source rides through bucketTf (carry), no re-join
+    val tf = bucketTf(docs, idCol, textCol, Buckets, Seq(sourceCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val isTarget = col(sourceCol) === targetSource
@@ -124,19 +141,40 @@ object Dsir {
         .crossJoin(raw.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("tot_r")))
         .write.mode("overwrite").parquet(s"$dir/tots")
     } finally tf.unpersist()
-    graft.ops.ConfigFile.writeAtomic(dir, "dsir_config", Seq(Buckets))
+    val sp = docs.sparkSession
+    graft.ops.ConfigFile.writeAtomic(dir, "dsir_config", Seq(Buckets,
+      frameFp(sp, s"$dir/tgt", Seq("b", "cnt_t")),
+      frameFp(sp, s"$dir/raw", Seq("b", "cnt_r")),
+      frameFp(sp, s"$dir/tots", Seq("tot_t", "tot_r"))))
   }
+
+  // (dir, sidecar-contents) pairs whose check already passed — re-keyed
+  // on every re-train (new sidecar values), the validatedIvf pattern
+  private val validatedModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
 
   /** Score a document batch against the STORED model — the serving form
     * of [[importance]] (shared [[scoreTail]], so the forms cannot
     * drift): the batch buckets under the modulus the ARTIFACT pins,
-    * never the compile-time constant. Per-doc scores are pure functions
-    * of (doc, fixed model), so scoring any partition of a corpus equals
-    * scoring the union — the property the streaming scorer rides. */
+    * never the compile-time constant, and the three stores must match
+    * the sidecar's content fingerprints (torn-model guard, once per
+    * (dir, sidecar)). Per-doc scores are pure functions of (doc, fixed
+    * model), so scoring any partition of a corpus equals scoring the
+    * union — the property the streaming scorer rides. */
   def importanceStored(spark: org.apache.spark.sql.SparkSession,
                        batch: DataFrame, idCol: String, textCol: String,
                        dir: String): DataFrame = {
-    val buckets = graft.ops.ConfigFile.readInts(dir, "dsir_config", 1).head
+    val cfg = graft.ops.ConfigFile.readInts(dir, "dsir_config", 4)
+    val buckets = cfg.head
+    if (!validatedModels.contains((dir, cfg))) {
+      val got = Seq(frameFp(spark, s"$dir/tgt", Seq("b", "cnt_t")),
+        frameFp(spark, s"$dir/raw", Seq("b", "cnt_r")),
+        frameFp(spark, s"$dir/tots", Seq("tot_t", "tot_r")))
+      require(got == cfg.tail,
+        s"stored DSIR model at $dir does not match its commit sidecar " +
+          s"($got vs ${cfg.tail}) — torn model: re-run writeModel")
+      validatedModels.add((dir, cfg))
+    }
     scoreTail(bucketTf(batch, idCol, textCol, buckets), idCol,
       spark.read.parquet(s"$dir/tgt"), spark.read.parquet(s"$dir/raw"),
       spark.read.parquet(s"$dir/tots"), buckets)

@@ -76,7 +76,7 @@ class DsirSpec extends SparkSpec {
   test("stored model: importanceStored == importance, value-identical; modulus pinned") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_model").toString
     Dsir.writeModel(corpus, "doc_id", "text", "source", "tgt", dir)
-    assert(graft.ops.ConfigFile.readInts(dir, "dsir_config", 1).head
+    assert(graft.ops.ConfigFile.readInts(dir, "dsir_config", 4).head
       == Dsir.Buckets)
     val rawPool = corpus.filter(col("source") =!= "tgt")
       .select(col("doc_id"), col("text"))
