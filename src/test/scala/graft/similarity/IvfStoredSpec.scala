@@ -74,6 +74,32 @@ class IvfStoredSpec extends SparkSpec {
       "probe side should broadcast into the cell join")
   }
 
+  test("torn re-train fails loudly: changed centroids under a stale sidecar") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivftorn").toString
+    Cosine.writeIvfIndex(emb.select(col("vec_id"), col("embedding")),
+      emb.select(col("vec_id"), col("label")), cents,
+      "vec_id", "embedding", "label", dir)
+    // simulate the crash-after-centroids torn state: the geometry on
+    // disk changes (all centroids shifted) while sidecar + lists stay
+    val shifted = spark.read.parquet(s"$dir/centroids")
+      .withColumn("centroid", col("centroid") + 1.0d)
+    val tmp = java.nio.file.Files.createTempDirectory("ivftorn_c").toString
+    shifted.write.mode("overwrite").parquet(s"$tmp/centroids")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/centroids"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/centroids"),
+      new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+    val e = intercept[IllegalArgumentException] {
+      Cosine.ivfSearchStored(spark,
+        emb.filter(col("vec_id") === 1).select(col("vec_id"), col("embedding")),
+        dir, "vec_id", "embedding", "label", k = 5, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("torn artifact"))
+  }
+
   test("empty corpus writes a readable layout and serves zero rows") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val none = emb.filter(lit(false))

@@ -85,6 +85,29 @@ class DsirSpec extends SparkSpec {
     assert(stored.collect().toSet == inline.collect().toSet)
   }
 
+  test("torn model fails loudly: a store changed under a stale sidecar") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir_torn").toString
+    Dsir.writeModel(corpus, "doc_id", "text", "source", "tgt", dir)
+    // simulate a crash mid-re-train: the raw LM store changes while the
+    // sidecar (and tgt/tots) stay from the previous release
+    val bumped = spark.read.parquet(s"$dir/raw")
+      .withColumn("cnt_r", col("cnt_r") + 1L)
+    val tmp = java.nio.file.Files.createTempDirectory("dsir_torn_r").toString
+    bumped.write.mode("overwrite").parquet(s"$tmp/raw")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/raw"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/raw"),
+      new org.apache.hadoop.fs.Path(s"$dir/raw"))
+    val e = intercept[IllegalArgumentException] {
+      Dsir.importanceStored(spark,
+        Seq((99L, "alpha beta")).toDF("doc_id", "text"),
+        "doc_id", "text", dir).collect()
+    }
+    assert(e.getMessage.contains("torn model"))
+  }
+
   test("streamed batches against the stored model == batch scoring of the union") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_model2").toString
     Dsir.writeModel(corpus, "doc_id", "text", "source", "tgt", dir)
