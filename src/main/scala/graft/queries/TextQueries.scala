@@ -1047,9 +1047,14 @@ object TextQueries extends QueryPack {
     //      probe docs' terms against corpus postings, per-term
     //      contributions fixed to integer micro units before the pair sum
     //      (the t18 recipe), so scores and ranks are engine-exact.
+    //      The index comes from the shared stored artifact (bm25IndexDir
+    //      — spec-pinned score-identical through the round trip), so the
+    //      bench suite tokenizes the corpus once for r1/r7/r8 instead of
+    //      once per gate; the search itself is the same unpruned scoring.
     "r1_bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+      graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10),
+          graft.text.Bm25.readIndex(s, bm25IndexDir(s, dir)),
           "doc_id", "text", k = 5, minIdfMicro = 0L)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1101,12 +1106,15 @@ object TextQueries extends QueryPack {
     //      index(all ∖ t), scores included — deleted docs don't just
     //      vanish from top-k, the survivors' idf/avgdl shift as if the
     //      deleted docs never existed.
+    //      The delete recovers everything FROM THE STORED INDEX (the
+    //      shared bm25IndexDir artifact — exactly the serving shape:
+    //      tombstone a persisted index, never re-read the corpus).
     "r7_bm25_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bucket = TextAnalysis.splitBucket(col("doc_id"))
       val idx = graft.text.Bm25.deleteFromIndex(
         docs.filter(bucket >= 40 && bucket < 60).select(col("doc_id")),
-        graft.text.Bm25.buildIndex(docs, "doc_id", "text"), "doc_id")
+        graft.text.Bm25.readIndex(s, bm25IndexDir(s, dir)), "doc_id")
       graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10), idx,
           "doc_id", "text", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -1128,6 +1136,29 @@ object TextQueries extends QueryPack {
     "c13_dsir_select" -> ((s, dir) => {
       graft.text.Dsir.select(Tables.documents(s, dir), "doc_id", "text",
           "source", targetSource = "src0", n = 100)
+        .orderBy(col("rank"))
+    }),
+
+    // ---- C13b: the PRODUCTION split of c13 — the model trains ONCE and
+    //      persists (writeModel: LM counters + totals + content-
+    //      fingerprint commit sidecar), the raw pool scores against the
+    //      FIXED artifact (importanceStored, torn-model-guarded), and
+    //      the Gumbel-top-k selection runs over the served scores.
+    //      Oracle = c13's replay verbatim: a green row proves the
+    //      train/serve split computes exactly what the inline form does.
+    "c13b_dsir_stored" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir).filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+      val scored = graft.text.Dsir.importanceStored(s, raw, "doc_id", "text",
+          dsirModelDir(s, dir))
+        .withColumn("g_micro", graft.text.Dsir.gumbelMicro(col("doc_id")))
+        .withColumn("key_micro", col("lr_micro") + col("g_micro"))
+      scored.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("key_micro").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 100)
+        .select(col("doc_id"), col("rank"), col("n_tokens"), col("lr_micro"),
+          col("g_micro"), col("key_micro"))
         .orderBy(col("rank"))
     }),
 
@@ -1386,6 +1417,25 @@ object TextQueries extends QueryPack {
         pairs08Key = key
       }
       s.read.parquet(pairs08Path)
+    }
+
+  /** Process-level memo of c13b's persisted DSIR model (the pairs08
+    * convention): a pure function of (session, dir) — training once per
+    * bench process is exactly the production cadence the gate models. */
+  @volatile private var dsirModelKey: (Int, String) = null
+  @volatile private var dsirModelPath: String = _
+  private def dsirModelDir(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String =
+    synchronized {
+      val key = (System.identityHashCode(s), dir)
+      if (dsirModelKey != key) {
+        val p = java.nio.file.Files.createTempDirectory("graft_dsirm").toString
+        graft.text.Dsir.writeModel(Tables.documents(s, dir), "doc_id", "text",
+          "source", "src0", p)
+        dsirModelPath = p
+        dsirModelKey = key
+      }
+      dsirModelPath
     }
 
   /** Process-level memo of r8's persisted BM25 index (the pairs08 /
@@ -2548,46 +2598,10 @@ object TextQueries extends QueryPack {
     // salted Gumbel draw replayed in SQL — every per-doc aggregate is an
     // integer sum and the selection key is integer addition, so the
     // top-100 and its order are engine-exact
-    "c13_dsir_select" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |bk AS (SELECT doc_id, source,
-        |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4096 AS b
-        |  FROM toks WHERE token <> ''),
-        |tf AS (SELECT doc_id, source, b, count(*) AS tf
-        |  FROM bk GROUP BY doc_id, source, b),
-        |tl AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_t FROM tf
-        |  WHERE source = 'src0' GROUP BY b),
-        |rl AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf
-        |  WHERE source <> 'src0' GROUP BY b),
-        |tots AS (SELECT
-        |    (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM tl) AS tot_t,
-        |    (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) FROM rl) AS tot_r),
-        |sc AS (SELECT tf.doc_id,
-        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |    CAST(sum(tf.tf * (
-        |      CAST(ROUND(ln(CAST(coalesce(tl.cnt_t, 0) + 1 AS DOUBLE)
-        |        / CAST(tots.tot_t + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
-        |      - CAST(ROUND(ln(CAST(coalesce(rl.cnt_r, 0) + 1 AS DOUBLE)
-        |        / CAST(tots.tot_r + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
-        |    )) AS BIGINT) AS lr_micro
-        |  FROM tf LEFT JOIN tl USING (b) LEFT JOIN rl USING (b) CROSS JOIN tots
-        |  WHERE tf.source <> 'src0'
-        |  GROUP BY tf.doc_id),
-        |g AS (SELECT doc_id, n_tokens, lr_micro,
-        |    CAST(ROUND(-ln(-ln((CAST(concat('0x', substr(md5(concat(
-        |      CAST(doc_id AS VARCHAR), ':graft-dsir-v1')), 1, 15)) AS BIGINT)
-        |      % 1000000 + 0.5) / 1000000.0)) * 1000000, 0) AS BIGINT) AS g_micro
-        |  FROM sc)
-        |SELECT doc_id, rank, n_tokens, lr_micro, g_micro, key_micro FROM (
-        |  SELECT doc_id, n_tokens, lr_micro, g_micro,
-        |    lr_micro + g_micro AS key_micro,
-        |    row_number() OVER (ORDER BY lr_micro + g_micro DESC, doc_id ASC)
-        |      AS rank
-        |  FROM g)
-        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "c13_dsir_select" -> dsirSelectSql,
+    // c13b: the production train/serve split computes the identical
+    // frame, so it shares c13's replay verbatim (the r8/x22 pattern)
+    "c13b_dsir_stored" -> dsirSelectSql,
     // r8: r1b's replay verbatim — the gate differs only in WHICH serving
     // path computes it (the stored partition-pruned layout vs the
     // in-plan index); identical SQL pins stored ≡ inline through DuckDB
@@ -2829,4 +2843,49 @@ object TextQueries extends QueryPack {
         |      + CAST(sum(tf) AS BIGINT))
         |    // (2 * CAST(sum(tf) AS BIGINT)) AS DOUBLE) / 1000000 AS xent
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** c13's hashed-bucket LMs, integer micro-nat log-probs, and salted
+    * Gumbel draw replayed in SQL — shared verbatim by c13 (inline) and
+    * c13b (stored train/serve split): the gates differ only in WHICH
+    * path computes the identical result. */
+  private def dsirSelectSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |bk AS (SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, source, b, count(*) AS tf
+        |  FROM bk GROUP BY doc_id, source, b),
+        |tl AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_t FROM tf
+        |  WHERE source = 'src0' GROUP BY b),
+        |rl AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf
+        |  WHERE source <> 'src0' GROUP BY b),
+        |tots AS (SELECT
+        |    (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM tl) AS tot_t,
+        |    (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) FROM rl) AS tot_r),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tf.tf * (
+        |      CAST(ROUND(ln(CAST(coalesce(tl.cnt_t, 0) + 1 AS DOUBLE)
+        |        / CAST(tots.tot_t + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |      - CAST(ROUND(ln(CAST(coalesce(rl.cnt_r, 0) + 1 AS DOUBLE)
+        |        / CAST(tots.tot_r + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |    )) AS BIGINT) AS lr_micro
+        |  FROM tf LEFT JOIN tl USING (b) LEFT JOIN rl USING (b) CROSS JOIN tots
+        |  WHERE tf.source <> 'src0'
+        |  GROUP BY tf.doc_id),
+        |g AS (SELECT doc_id, n_tokens, lr_micro,
+        |    CAST(ROUND(-ln(-ln((CAST(concat('0x', substr(md5(concat(
+        |      CAST(doc_id AS VARCHAR), ':graft-dsir-v1')), 1, 15)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0)) * 1000000, 0) AS BIGINT) AS g_micro
+        |  FROM sc)
+        |SELECT doc_id, rank, n_tokens, lr_micro, g_micro, key_micro FROM (
+        |  SELECT doc_id, n_tokens, lr_micro, g_micro,
+        |    lr_micro + g_micro AS key_micro,
+        |    row_number() OVER (ORDER BY lr_micro + g_micro DESC, doc_id ASC)
+        |      AS rank
+        |  FROM g)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin
 }

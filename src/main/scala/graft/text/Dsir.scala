@@ -86,7 +86,15 @@ object Dsir {
     * [log p_tgt(bucket) − log p_raw(bucket)] in integer micro-nats,
     * add-one smoothed over the fixed [[Buckets]] vocabulary. Target LM
     * trains on the target docs, raw LM on the raw pool itself (the
-    * paper's raw featurization). Returns (idCol, n_tokens, lr_micro). */
+    * paper's raw featurization). Returns (idCol, n_tokens, lr_micro).
+    *
+    * This INLINE form trains and scores in one lazy plan, so the
+    * tokenize subtree appears in three lineages (two LMs + the scoring
+    * tail) — the gate/oracle shape, where the optimizer cannot share
+    * subtrees across join branches. Production splits the phases:
+    * [[writeModel]] trains with ONE persisted tokenize pass,
+    * [[importanceStored]] scores each batch with one pass against the
+    * fixed artifact. */
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
     // the source rides THROUGH bucketTf (carry) — a corpus-sized
