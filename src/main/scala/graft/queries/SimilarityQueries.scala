@@ -437,7 +437,11 @@ object SimilarityQueries extends QueryPack {
       // both ranked lists feed THREE consumers (fusion, survival count,
       // MRR) — persist the |queries|·k-row tops so the BM25/cosine
       // chains run once, not three times
-      val lex = graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+      // the lexical side reads the shared stored index (bm25IndexDir —
+      // round-trip spec-pinned), so the fusion family no longer pays a
+      // corpus tokenize per gate
+      val lex = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10),
+          graft.text.Bm25.readIndex(s, TextQueries.bm25IndexDir(s, dir)),
           "doc_id", "text", k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -491,7 +495,8 @@ object SimilarityQueries extends QueryPack {
     "r2_hybrid_rrf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val lex = graft.text.Bm25.topK(docs.filter(col("doc_id") < 10), docs,
+      val lex = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10),
+          graft.text.Bm25.readIndex(s, TextQueries.bm25IndexDir(s, dir)),
           "doc_id", "text", k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val dense = Cosine.topK(emb.filter(col("vec_id") < 10), emb, "vec_id",

@@ -1446,7 +1446,7 @@ object TextQueries extends QueryPack {
     * parquet write has materialized it (caller-owned-cache contract). */
   @volatile private var bm25IdxKey: (Int, String) = null
   @volatile private var bm25IdxPath: String = _
-  private def bm25IndexDir(s: org.apache.spark.sql.SparkSession,
+  private[queries] def bm25IndexDir(s: org.apache.spark.sql.SparkSession,
                            dir: String): String =
     synchronized {
       val key = (System.identityHashCode(s), dir)
