@@ -267,15 +267,40 @@ object SimilarityQueries extends QueryPack {
         .select(col("query_id"), col("neighbor_id"))
       val approx = Cosine.ivfTopK(queries, emb, "vec_id", "embedding", "label", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
-        .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
-          Seq("query_id"), "right")
-        .select(col("query_id"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("n_exact"),
-          round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
-            col("n_exact"), 6).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, approx)
+    }),
+
+    // ---- X23/X24: the x12 acceptance metric for the OTHER two ANN
+    //      families — recall@5 of the SQ8 quantized two-stage search
+    //      (x19) and the Matryoshka prefix two-stage search (x20)
+    //      against brute-force truth (x1): the check a pipeline runs
+    //      before trusting a compressed index tier. Same shared metric
+    //      tail as x12. Measured at sf0.01: SQ8 = 1.0 (8-bit ranges
+    //      lose nothing at this scale); prefix-16 = 0.38 — the harness
+    //      embeddings are synthetic, NOT MRL-trained, so the prefix
+    //      carries no concentrated signal. That low number is the
+    //      gate's point: it is precisely the acceptance check that
+    //      tells a pipeline its embeddings need MRL training (or a
+    //      longer prefix) before the Matryoshka tier can serve.
+    "x23_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Cosine.sq8TopK(queries, emb, "vec_id", "embedding",
+          dim = 64, k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
+    }),
+    "x24_prefix_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Cosine.prefixTopK(queries, emb, "vec_id", "embedding",
+          p = 16, k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
     }),
 
     // ---- R5: graded nDCG@5 of the IVF index against brute-force truth
@@ -506,6 +531,22 @@ object SimilarityQueries extends QueryPack {
           k0 = 60, perSystemK = 20, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }))
+
+  /** The x12 recall metric tail, shared by every ANN acceptance gate
+    * (x12 = IVF, x23 = SQ8, x24 = Matryoshka): per-query overlap of the
+    * approximate top-k with brute-force truth. Both inputs are
+    * (query_id, neighbor_id). */
+  private def recallOf(exact: org.apache.spark.sql.DataFrame,
+                       approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
+        Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("n_exact"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+      .orderBy(col("query_id"))
 
   /** The same deterministic SRP hyperplanes the engine uses, as SQL array
     * literals (generated, cannot drift). */
@@ -1317,6 +1358,110 @@ object SimilarityQueries extends QueryPack {
          |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
          |FROM ex LEFT JOIN ov ON ov.query_id = ex.query_id
          |ORDER BY ex.query_id""".stripMargin,
+    // x23: x19's quantize/shortlist/rerank chain truncated to its top-5
+    // neighbor set, x12's exact-truth CTE, x12's metric tail
+    "x23_sq8_recall" ->
+      s"""WITH $vCte,
+         |e AS (SELECT vec_id, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |s AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e GROUP BY dim),
+         |c AS (SELECT e.vec_id, e.dim, s.vmin, s.vmax,
+         |    GREATEST(LEAST(
+         |      COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
+         |        0.0), 255.0), 0.0) AS code
+         |  FROM e JOIN s USING (dim)),
+         |r AS (SELECT vec_id, list(vmin + code / 255.0 * (vmax - vmin) ORDER BY dim) AS rv
+         |  FROM c GROUP BY vec_id),
+         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS sq_sim
+         |  FROM v q JOIN r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, sq_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq_sim DESC, neighbor_id ASC) AS srank
+         |  FROM sq),
+         |rr AS (SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+         |  FROM short sh
+         |  JOIN v q ON q.vec_id = sh.query_id
+         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+         |  JOIN n qn ON qn.vec_id = sh.query_id
+         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+         |  WHERE sh.srank <= 20),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM rr) WHERE rank <= 5),
+         |esims AS (
+         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c2
+         |  JOIN n cn ON c2.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM esims) WHERE rank <= 5),
+         |ov AS (SELECT e2.query_id, count(*) AS n_overlap
+         |  FROM exact e2 JOIN approx a
+         |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+         |  GROUP BY e2.query_id),
+         |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+         |SELECT ex2.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(ex2.n_exact AS BIGINT) AS n_exact,
+         |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+         |FROM ex2 LEFT JOIN ov ON ov.query_id = ex2.query_id
+         |ORDER BY ex2.query_id""".stripMargin,
+    // x24: x20's prefix shortlist/rerank chain truncated to its top-5
+    // neighbor set, x12's exact-truth CTE, x12's metric tail
+    "x24_prefix_recall" ->
+      s"""WITH $vCte,
+         |pv AS (SELECT vec_id, emb[1:16] AS pemb FROM v),
+         |pn AS (SELECT vec_id, list_dot_product(pemb, pemb) AS pnsq FROM pv),
+         |s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.pemb, c.pemb) / (sqrt(qn.pnsq) * sqrt(cn.pnsq)), 6) AS psim
+         |  FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+         |  JOIN pn qn ON qn.vec_id = q.vec_id
+         |  JOIN pn cn ON cn.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, psim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY psim DESC, neighbor_id ASC) AS srank
+         |  FROM s1),
+         |rr AS (SELECT sh.query_id, sh.neighbor_id,
+         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+         |  FROM short sh
+         |  JOIN v q ON q.vec_id = sh.query_id
+         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+         |  JOIN n qn ON qn.vec_id = sh.query_id
+         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+         |  WHERE sh.srank <= 20),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM rr) WHERE rank <= 5),
+         |esims AS (
+         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |    list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+         |  CROSS JOIN v c2
+         |  JOIN n cn ON c2.vec_id = cn.vec_id
+         |  WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM esims) WHERE rank <= 5),
+         |ov AS (SELECT e2.query_id, count(*) AS n_overlap
+         |  FROM exact e2 JOIN approx a
+         |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+         |  GROUP BY e2.query_id),
+         |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+         |SELECT ex2.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(ex2.n_exact AS BIGINT) AS n_exact,
+         |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+         |FROM ex2 LEFT JOIN ov ON ov.query_id = ex2.query_id
+         |ORDER BY ex2.query_id""".stripMargin,
     "x11_embedding_stats" ->
       s"""WITH $vCte,
          |e AS (SELECT t.i AS dim, emb[t.i] AS x
