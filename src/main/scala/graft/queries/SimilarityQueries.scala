@@ -182,7 +182,7 @@ object SimilarityQueries extends QueryPack {
       val emb = Tables.embeddings(s, dir)
       Cosine.ivfSearchStored(s,
           emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
-          ivfIndexDir(s, dir), "vec_id", "embedding", "label",
+          GateArtifacts.ivfIndexDir(s, dir), "vec_id", "embedding", "label",
           k = 5, nProbe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -466,7 +466,7 @@ object SimilarityQueries extends QueryPack {
       // round-trip spec-pinned), so the fusion family no longer pays a
       // corpus tokenize per gate
       val lex = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10),
-          graft.text.Bm25.readIndex(s, TextQueries.bm25IndexDir(s, dir)),
+          graft.text.Bm25.readIndex(s, GateArtifacts.bm25IndexDir(s, dir)),
           "doc_id", "text", k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -521,7 +521,7 @@ object SimilarityQueries extends QueryPack {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
       val lex = graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10),
-          graft.text.Bm25.readIndex(s, TextQueries.bm25IndexDir(s, dir)),
+          graft.text.Bm25.readIndex(s, GateArtifacts.bm25IndexDir(s, dir)),
           "doc_id", "text", k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val dense = Cosine.topK(emb.filter(col("vec_id") < 10), emb, "vec_id",
@@ -531,6 +531,49 @@ object SimilarityQueries extends QueryPack {
           k0 = 60, perSystemK = 20, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }))
+
+  /** Shared SQL pieces of the ANN acceptance oracles (x12/x23/x24) —
+    * the SQL mirror of [[recallOf]], factored once so the three gates'
+    * replays cannot drift. `annRerankCtes` assumes a `short` CTE of
+    * (query_id, neighbor_id, srank); the truth CTEs assume `v`/`n`. */
+  private val annRerankCtes =
+    """rr AS (SELECT sh.query_id, sh.neighbor_id,
+      |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+      |  FROM short sh
+      |  JOIN v q ON q.vec_id = sh.query_id
+      |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+      |  JOIN n qn ON qn.vec_id = sh.query_id
+      |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+      |  WHERE sh.srank <= 20),
+      |approx AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |    FROM rr) WHERE rank <= 5),""".stripMargin
+
+  private val annExactTruthCtes =
+    """esims AS (
+      |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+      |    list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
+      |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
+      |  CROSS JOIN v c2
+      |  JOIN n cn ON c2.vec_id = cn.vec_id
+      |  WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id),
+      |exact AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |    FROM esims) WHERE rank <= 5),""".stripMargin
+
+  private val annMetricTailSql =
+    """ov AS (SELECT e2.query_id, count(*) AS n_overlap
+      |  FROM exact e2 JOIN approx a
+      |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+      |  GROUP BY e2.query_id),
+      |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+      |SELECT ex2.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(ex2.n_exact AS BIGINT) AS n_exact,
+      |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+      |FROM ex2 LEFT JOIN ov ON ov.query_id = ex2.query_id
+      |ORDER BY ex2.query_id""".stripMargin
 
   /** The x12 recall metric tail, shared by every ANN acceptance gate
     * (x12 = IVF, x23 = SQ8, x24 = Matryoshka): per-query overlap of the
@@ -554,30 +597,6 @@ object SimilarityQueries extends QueryPack {
     Cosine.hyperplanes(4, 64).zipWithIndex.map { case (h, i) =>
       s"(CASE WHEN list_dot_product(emb, [${h.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
-
-  /** Process-level memo of x22's persisted IVF index (the pairs08 /
-    * repLifecycle convention): the artifact is a pure function of
-    * (session, dir), the harnesses clear caches between queries, and
-    * re-laying the per-cell partition tree per bench run would charge
-    * the gate for a build the serving tier pays once. */
-  @volatile private var ivfIdxKey: (Int, String) = null
-  @volatile private var ivfIdxPath: String = _
-  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
-                          dir: String): String =
-    synchronized {
-      val key = (System.identityHashCode(s), dir)
-      if (ivfIdxKey != key) {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
-        val emb = Tables.embeddings(s, dir)
-        Cosine.writeIvfIndex(emb.select(col("vec_id"), col("embedding")),
-          emb.select(col("vec_id"), col("label")),
-          Cosine.cellCentroidsSorted(emb, "label", "embedding"),
-          "vec_id", "embedding", "label", p)
-        ivfIdxPath = p
-        ivfIdxKey = key
-      }
-      ivfIdxPath
-    }
 
   /** x8's derived SRP configuration (planes, tables) stashed by the last
     * run, read by [[oracle]] (a def, evaluated by Verify AFTER queries
@@ -1324,19 +1343,10 @@ object SimilarityQueries extends QueryPack {
         |  FROM dr)
         |SELECT vec_id, assigned_cell, rank, cluster_n FROM r
         |WHERE rank <= 3 ORDER BY assigned_cell, vec_id""".stripMargin,
+    // x12/x23/x24 share the exact-truth CTEs + metric tail (the Scala
+    // side's recallOf, mirrored); each supplies only its approx chain
     "x12_ann_recall" ->
       s"""WITH $vCte,
-         |esims AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
-         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
-         |  CROSS JOIN v c
-         |  JOIN n cn ON c.vec_id = cn.vec_id
-         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-         |exact AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM esims) WHERE rank <= 5),
          |asims AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    list_dot_product(q.emb, c.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
@@ -1348,18 +1358,10 @@ object SimilarityQueries extends QueryPack {
          |    SELECT query_id, neighbor_id, row_number() OVER (
          |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
          |    FROM asims) WHERE rank <= 5),
-         |ov AS (SELECT e.query_id, count(*) AS n_overlap
-         |  FROM exact e JOIN approx a
-         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         |  GROUP BY e.query_id),
-         |ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
-         |SELECT ex.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-         |  CAST(ex.n_exact AS BIGINT) AS n_exact,
-         |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
-         |FROM ex LEFT JOIN ov ON ov.query_id = ex.query_id
-         |ORDER BY ex.query_id""".stripMargin,
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin,
     // x23: x19's quantize/shortlist/rerank chain truncated to its top-5
-    // neighbor set, x12's exact-truth CTE, x12's metric tail
+    // neighbor set + the shared truth/metric pieces
     "x23_sq8_recall" ->
       s"""WITH $vCte,
          |e AS (SELECT vec_id, t.i AS dim, emb[t.i] AS x
@@ -1380,41 +1382,10 @@ object SimilarityQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY sq_sim DESC, neighbor_id ASC) AS srank
          |  FROM sq),
-         |rr AS (SELECT sh.query_id, sh.neighbor_id,
-         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
-         |  FROM short sh
-         |  JOIN v q ON q.vec_id = sh.query_id
-         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
-         |  JOIN n qn ON qn.vec_id = sh.query_id
-         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
-         |  WHERE sh.srank <= 20),
-         |approx AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM rr) WHERE rank <= 5),
-         |esims AS (
-         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
-         |    list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
-         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
-         |  CROSS JOIN v c2
-         |  JOIN n cn ON c2.vec_id = cn.vec_id
-         |  WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id),
-         |exact AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM esims) WHERE rank <= 5),
-         |ov AS (SELECT e2.query_id, count(*) AS n_overlap
-         |  FROM exact e2 JOIN approx a
-         |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
-         |  GROUP BY e2.query_id),
-         |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
-         |SELECT ex2.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-         |  CAST(ex2.n_exact AS BIGINT) AS n_exact,
-         |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
-         |FROM ex2 LEFT JOIN ov ON ov.query_id = ex2.query_id
-         |ORDER BY ex2.query_id""".stripMargin,
-    // x24: x20's prefix shortlist/rerank chain truncated to its top-5
-    // neighbor set, x12's exact-truth CTE, x12's metric tail
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin,
+    // x24: x20's prefix shortlist/rerank chain + the shared pieces
     "x24_prefix_recall" ->
       s"""WITH $vCte,
          |pv AS (SELECT vec_id, emb[1:16] AS pemb FROM v),
@@ -1429,39 +1400,9 @@ object SimilarityQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY psim DESC, neighbor_id ASC) AS srank
          |  FROM s1),
-         |rr AS (SELECT sh.query_id, sh.neighbor_id,
-         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
-         |  FROM short sh
-         |  JOIN v q ON q.vec_id = sh.query_id
-         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
-         |  JOIN n qn ON qn.vec_id = sh.query_id
-         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
-         |  WHERE sh.srank <= 20),
-         |approx AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM rr) WHERE rank <= 5),
-         |esims AS (
-         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
-         |    list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)) AS sim
-         |  FROM v q JOIN n qn ON q.vec_id = qn.vec_id
-         |  CROSS JOIN v c2
-         |  JOIN n cn ON c2.vec_id = cn.vec_id
-         |  WHERE q.vec_id < 10 AND c2.vec_id <> q.vec_id),
-         |exact AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |    FROM esims) WHERE rank <= 5),
-         |ov AS (SELECT e2.query_id, count(*) AS n_overlap
-         |  FROM exact e2 JOIN approx a
-         |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
-         |  GROUP BY e2.query_id),
-         |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
-         |SELECT ex2.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-         |  CAST(ex2.n_exact AS BIGINT) AS n_exact,
-         |  ROUND(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
-         |FROM ex2 LEFT JOIN ov ON ov.query_id = ex2.query_id
-         |ORDER BY ex2.query_id""".stripMargin,
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin,
     "x11_embedding_stats" ->
       s"""WITH $vCte,
          |e AS (SELECT t.i AS dim, emb[t.i] AS x

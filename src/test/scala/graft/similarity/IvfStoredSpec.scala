@@ -89,9 +89,10 @@ class IvfStoredSpec extends SparkSpec {
     shifted.write.mode("overwrite").parquet(s"$tmp/centroids")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/centroids"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/centroids"),
-      new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/centroids"), true),
+      "test setup: delete failed")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/centroids"),
+      new org.apache.hadoop.fs.Path(s"$dir/centroids")), "test setup: rename failed")
     val e = intercept[IllegalArgumentException] {
       Cosine.ivfSearchStored(spark,
         emb.filter(col("vec_id") === 1).select(col("vec_id"), col("embedding")),

@@ -97,9 +97,10 @@ class DsirSpec extends SparkSpec {
     bumped.write.mode("overwrite").parquet(s"$tmp/raw")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/raw"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/raw"),
-      new org.apache.hadoop.fs.Path(s"$dir/raw"))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/raw"), true),
+      "test setup: delete failed")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/raw"),
+      new org.apache.hadoop.fs.Path(s"$dir/raw")), "test setup: rename failed")
     val e = intercept[IllegalArgumentException] {
       Dsir.importanceStored(spark,
         Seq((99L, "alpha beta")).toDF("doc_id", "text"),
