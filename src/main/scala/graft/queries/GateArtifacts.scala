@@ -59,4 +59,12 @@ private[queries] object GateArtifacts {
         graft.similarity.Cosine.cellCentroidsSorted(emb, "label", "embedding"),
         "vec_id", "embedding", "label", p)
     }
+
+  /** x25's persisted SQ8 artifact (pinned stats + plain codes +
+    * pbucket-partitioned raw vectors + fingerprint sidecar). */
+  def sq8IndexDir(s: SparkSession, dir: String): String =
+    memo("sq8idx", s, dir) { p =>
+      graft.similarity.Cosine.writeSq8Index(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 64, p)
+    }
 }

@@ -187,6 +187,22 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X25: the PERSISTED SQ8 serving path — x19's exact semantics
+    //      through the stored artifact: stats pinned with a content-
+    //      fingerprint sidecar (codes quantized under the DISK stats, so
+    //      the two stores cannot commit from different releases), plain
+    //      code store for the compressed stage-1 scan, raw vectors
+    //      partitioned by pbucket so the exact rerank prunes by literal
+    //      filters (Sq8PrefixSpec pins runtime partition metrics +
+    //      torn-stats loudness). Oracle = x19's replay verbatim.
+    "x25_sq8_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.sq8TopKStored(s, emb.filter(col("vec_id") < 10),
+          GateArtifacts.sq8IndexDir(s, dir), "vec_id", "embedding",
+          k = 5, kShort = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- C12: SEMANTIC decontamination — the embedding-space member of
     //      the decontamination family (c3/c5 are lexical 8-gram overlap,
     //      t25 is novelty ppm): a train doc whose embedding is too close
@@ -684,6 +700,44 @@ object SimilarityQueries extends QueryPack {
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |n AS (SELECT vec_id, list_dot_product(emb, emb) AS nsq FROM v)""".stripMargin
 
+  /** x19's quantize/shortlist/exact-rerank chain. Shared verbatim by
+    * x19 (in-plan) and x25 (persisted artifact, stats-pinned, pruned
+    * rerank): stored ≡ inline is the gates' point. */
+  private def sq8TopkSql: String =
+    s"""WITH $vCte,
+         |e AS (SELECT vec_id, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |s AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e GROUP BY dim),
+         |c AS (SELECT e.vec_id, e.dim, s.vmin, s.vmax,
+         |    GREATEST(LEAST(
+         |      COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
+         |        0.0), 255.0), 0.0) AS code
+         |  FROM e JOIN s USING (dim)),
+         |r AS (SELECT vec_id, list(vmin + code / 255.0 * (vmax - vmin) ORDER BY dim) AS rv
+         |  FROM c GROUP BY vec_id),
+         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS sq_sim
+         |  FROM v q JOIN r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, sq_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq_sim DESC, neighbor_id ASC) AS srank
+         |  FROM sq),
+         |ex AS (SELECT sh.query_id, sh.neighbor_id, sh.sq_sim,
+         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+         |  FROM short sh
+         |  JOIN v q ON q.vec_id = sh.query_id
+         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+         |  JOIN n qn ON qn.vec_id = sh.query_id
+         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+         |  WHERE sh.srank <= 20)
+         |SELECT query_id, rank, neighbor_id, sq_sim, sim FROM (
+         |  SELECT query_id, neighbor_id, sq_sim, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM ex)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** x6's sorted-fold centroid CTEs -> top-3 probe cells per query by
     * (d2 asc, label asc) -> x4's top-k shape over the probed cells.
     * Shared verbatim by x15 (in-plan index) and x22 (persisted per-cell
@@ -953,40 +1007,10 @@ object SimilarityQueries extends QueryPack {
     // vmin + code/255·span with the same parenthesization as the engine;
     // shortlist ranks on ROUND(sq_sim, 6), final rank on ROUND(sim, 6) —
     // both with the neighbor_id tie-break
-    "x19_sq8_topk" ->
-      s"""WITH $vCte,
-         |e AS (SELECT vec_id, t.i AS dim, emb[t.i] AS x
-         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
-         |s AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM e GROUP BY dim),
-         |c AS (SELECT e.vec_id, e.dim, s.vmin, s.vmax,
-         |    GREATEST(LEAST(
-         |      COALESCE(floor((e.x - s.vmin) / nullif(s.vmax - s.vmin, 0) * 255.0 + 0.5),
-         |        0.0), 255.0), 0.0) AS code
-         |  FROM e JOIN s USING (dim)),
-         |r AS (SELECT vec_id, list(vmin + code / 255.0 * (vmax - vmin) ORDER BY dim) AS rv
-         |  FROM c GROUP BY vec_id),
-         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS sq_sim
-         |  FROM v q JOIN r ON r.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         |short AS (SELECT query_id, neighbor_id, sq_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sq_sim DESC, neighbor_id ASC) AS srank
-         |  FROM sq),
-         |ex AS (SELECT sh.query_id, sh.neighbor_id, sh.sq_sim,
-         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
-         |  FROM short sh
-         |  JOIN v q ON q.vec_id = sh.query_id
-         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
-         |  JOIN n qn ON qn.vec_id = sh.query_id
-         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
-         |  WHERE sh.srank <= 20)
-         |SELECT query_id, rank, neighbor_id, sq_sim, sim FROM (
-         |  SELECT query_id, neighbor_id, sq_sim, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM ex)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x19/x25 share the replay verbatim — the gates differ only in
+    // which serving path computes the identical result
+    "x19_sq8_topk" -> sq8TopkSql,
+    "x25_sq8_stored" -> sq8TopkSql,
     // x21: stats CTE trains min/max on the 80% base only (vec_id%5<>4);
     // every vector — appended batch included — codes under THOSE stats
     // with the saturating clamp; quantized-only rank

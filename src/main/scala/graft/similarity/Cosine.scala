@@ -1008,9 +1008,18 @@ object Cosine {
         dim, kShort)
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("sq_sim"), col("qv"))
-    val raw = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv")).withColumn("cn", normSq(col("cv")))
-    val ex = raw.join(broadcast(short), "neighbor_id")
+    sq8Rerank(short,
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv")),
+      k)
+  }
+
+  /** The ONE exact-rerank tail every SQ8 form rides ([[sq8TopK]],
+    * [[sq8TopKStored]] — the decontaminateTail convention): broadcast
+    * shortlist against the raw (neighbor_id, cv) vectors, exact cosine,
+    * per-query top-k. */
+  private def sq8Rerank(short: DataFrame, raw: DataFrame, k: Int): DataFrame = {
+    val ex = raw.withColumn("cn", normSq(col("cv")))
+      .join(broadcast(short), "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv"),
         normSq(col("qv")), col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -1018,6 +1027,108 @@ object Cosine {
     ex.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sq_sim"), col("sim"))
+  }
+
+  /** Stored SQ8 serving artifact: the 1-row stats (the PINNED
+    * quantization geometry — the artifact's contract), the packed code
+    * store (PLAIN — stage 1 reads every code by design; that scan IS the
+    * compressed tier, dim bytes/vector), the raw vectors partitioned by
+    * `pbucket = pmod(id, PrefixBuckets)` so the exact rerank prunes to
+    * the shortlist's buckets (the writePrefixIndex stage-2 treatment),
+    * and a config sidecar written LAST pinning (dim, buckets, statsFp)
+    * — the fingerprint derived from the stats ON DISK, and the codes
+    * quantized under those same disk stats, so codes and stats can
+    * never commit from different releases (codes under foreign stats
+    * silently corrupt every sq_sim — the clamp only saturates, it
+    * cannot detect). Empty corpus writes vectors unpartitioned (the
+    * RepIndex.write edge). */
+  def writeSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    sq8Stats(corpus, vecCol).write.mode("overwrite").parquet(s"$dir/stats")
+    val statsDisk = spark.read.parquet(s"$dir/stats")
+    sq8PackedCodes(corpus, statsDisk, idCol, vecCol, dim)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val rows = corpus.select(col(idCol), col(vecCol))
+    if (rows.isEmpty)
+      rows.write.mode("overwrite").parquet(s"$dir/vectors")
+    else
+      rows.withColumn("pbucket",
+          pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$dir/vectors")
+    graft.ops.ConfigFile.writeAtomic(dir, "sq8_config",
+      Seq(dim, PrefixBuckets, sq8StatsFp(spark, dir)))
+  }
+
+  /** Content fingerprint of the written stats parquet (order-free
+    * per-row json hash, mod 1e9) — derived from DISK, the centroidFp
+    * recipe. */
+  private def sq8StatsFp(spark: SparkSession, dir: String): Int =
+    (spark.read.parquet(s"$dir/stats")
+      .agg(coalesce(sum(pmod(xxhash64(to_json(struct(col("*")))),
+        lit(1000000000L))), lit(0L)))
+      .head().getLong(0) % 1000000000L).toInt
+
+  // (dir, sidecar-contents) pairs whose check already passed — re-keyed
+  // on every re-train (the validatedIvf pattern)
+  private val validatedSq8 =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
+
+  /** [[sq8TopK]] over the persisted layout — value-identical (shared
+    * [[sq8Rerank]] tail; sq8Stats is a min/max, so stored stats equal
+    * the inline derivation bit-for-bit): stage 1 scans the PLAIN code
+    * store (every code — the compressed-tier contract), the shortlist
+    * materializes on the driver (|q|·kShort rows — a serving-sized
+    * collect, the prefixTopKStored pattern), and the rerank's raw-vector
+    * scan prunes by LITERAL pbucket partition filters + a pushed In(id).
+    * `dim` comes from the artifact, never the caller; the stats
+    * fingerprint validates once per (dir, sidecar) — a torn re-train
+    * (codes under different stats than the sidecar pinned) fails
+    * loudly. Point/serving probes only; batch analytical scoring goes
+    * through [[sq8TopK]]. */
+  def sq8TopKStored(spark: SparkSession, queries: DataFrame, dir: String,
+                    idCol: String, vecCol: String, k: Int,
+                    kShort: Int = 20): DataFrame = {
+    val cfg = graft.ops.ConfigFile.readInts(dir, "sq8_config", 3)
+    val (dim, buckets) = (cfg.head, cfg(1))
+    if (!validatedSq8.contains((dir, cfg))) {
+      val fp = sq8StatsFp(spark, dir)
+      require(fp == cfg(2),
+        s"stored SQ8 index at $dir does not match its commit sidecar " +
+          s"(stats fp $fp vs ${cfg(2)}) — torn artifact: re-run writeSq8Index")
+      validatedSq8.add((dir, cfg))
+    }
+    val stats = spark.read.parquet(s"$dir/stats")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val shortDf = sq8SearchCodes(queries, codes, stats, idCol, vecCol,
+        dim, kShort)
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sq_sim"), col("qv"))
+    val shortRows = shortDf.collect()
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
+    val ids = shortRows.map(_.get(1)).distinct.toSeq
+    val idLongs = ids.map(_.asInstanceOf[Number].longValue)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    val partitioned = stored.columns.contains("pbucket")
+    val raw0 =
+      if (partitioned) stored.select(col("pbucket"),
+        col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      else stored.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+    val raw =
+      if (ids.isEmpty) raw0.limit(0).drop("pbucket")
+      else if (partitioned) raw0.filter(
+        col("pbucket").isin(
+          idLongs.map(i => (((i % buckets) + buckets) % buckets).toInt)
+            .distinct: _*)
+          && col("neighbor_id").isin(ids: _*))
+        .drop("pbucket")
+      else raw0.filter(col("neighbor_id").isin(ids: _*))
+    sq8Rerank(short, raw, k)
   }
 
   // ---- Matryoshka prefix search ----------------------------------------

@@ -112,4 +112,62 @@ class Sq8PrefixSpec extends SparkSpec {
       tmp, "vec_id", "embedding", k = 5)
     assert(out.isEmpty)
   }
+
+  test("stored SQ8: pruned serving == inline sq8TopK; rerank scan prunes; torn stats loud") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("sq8stored").toString
+    Cosine.writeSq8Index(emb, "vec_id", "embedding", 64, tmp)
+    val queries = emb.filter(col("vec_id") < 10)
+    val stored = Cosine.sq8TopKStored(spark, queries, tmp, "vec_id",
+      "embedding", k = 5)
+    val inline = Cosine.sq8TopK(queries, emb, "vec_id", "embedding",
+      dim = 64, k = 5)
+    assert(stored.collect().toSet == inline.collect().toSet)
+    assert(stored.count() > 0)
+    // the rerank's raw-vector scan reads fewer pbucket dirs than exist
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+    val one = Cosine.sq8TopKStored(spark, emb.filter(col("vec_id") === 3),
+      tmp, "vec_id", "embedding", k = 3, kShort = 5)
+    one.collect()
+    val total = new java.io.File(s"$tmp/vectors").listFiles()
+      .count(_.getName.startsWith("pbucket="))
+    val vecScans = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+    assert(vecScans.nonEmpty)
+    vecScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("pbucket")))
+      val read = f.metrics("numPartitions").value
+      assert(read > 0 && read < total,
+        s"rerank scan read $read of $total pbucket dirs — no pruning")
+    }
+    // torn stats under a stale sidecar: loud, never silent mis-scoring.
+    // A FRESH artifact dir (never probed in this JVM): the guard
+    // validates once per (dir, sidecar), so the torn state must be
+    // discovered at first open — which is exactly the crash-restart
+    // shape a torn re-train leaves behind
+    val tornDir = java.nio.file.Files.createTempDirectory("sq8torn_a").toString
+    Cosine.writeSq8Index(emb, "vec_id", "embedding", 64, tornDir)
+    val bumped = spark.read.parquet(s"$tornDir/stats")
+    val t2 = java.nio.file.Files.createTempDirectory("sq8torn").toString
+    bumped.selectExpr("transform(vmins, x -> x - 1.0) AS vmins", "vmaxs")
+      .write.mode("overwrite").parquet(s"$t2/stats")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$tornDir/stats"), true))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$t2/stats"),
+      new org.apache.hadoop.fs.Path(s"$tornDir/stats")))
+    val e = intercept[IllegalArgumentException] {
+      Cosine.sq8TopKStored(spark, queries, tornDir, "vec_id", "embedding", k = 5)
+        .collect()
+    }
+    assert(e.getMessage.contains("torn artifact"))
+  }
 }
