@@ -1143,22 +1143,19 @@ object TextQueries extends QueryPack {
     //      persists (writeModel: LM counters + totals + content-
     //      fingerprint commit sidecar), the raw pool scores against the
     //      FIXED artifact (importanceStored, torn-model-guarded), and
-    //      the Gumbel-top-k selection runs over the served scores.
-    //      Oracle = c13's replay verbatim: a green row proves the
-    //      train/serve split computes exactly what the inline form does.
+    //      the Gumbel-top-k selection runs over the served scores via
+    //      the SAME Dsir.selectScored tail the inline form rides (one
+    //      body, the forms cannot drift; distributed
+    //      TakeOrderedAndProject, never a corpus-wide single-partition
+    //      window). Oracle = c13's replay verbatim: a green row proves
+    //      the train/serve split computes exactly what the inline form
+    //      does.
     "c13b_dsir_stored" -> ((s, dir) => {
       val raw = Tables.documents(s, dir).filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"))
       val scored = graft.text.Dsir.importanceStored(s, raw, "doc_id", "text",
           GateArtifacts.dsirModelDir(s, dir))
-        .withColumn("g_micro", graft.text.Dsir.gumbelMicro(col("doc_id")))
-        .withColumn("key_micro", col("lr_micro") + col("g_micro"))
-      scored.withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("key_micro").desc, col("doc_id").asc)))
-        .filter(col("rank") <= 100)
-        .select(col("doc_id"), col("rank"), col("n_tokens"), col("lr_micro"),
-          col("g_micro"), col("key_micro"))
+      graft.text.Dsir.selectScored(scored, "doc_id", n = 100)
         .orderBy(col("rank"))
     }),
 

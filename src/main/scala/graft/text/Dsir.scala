@@ -201,22 +201,42 @@ object Dsir {
     round(-log(-log(u)) * 1000000, 0).cast("long")
   }
 
-  /** Gumbel-top-k selection over [[importance]]: key = lr_micro +
+  /** The ONE Gumbel-top-k selection tail every DSIR form rides
+    * ([[select]] and the stored-model gate — the scoreTail convention,
+    * so the inline and served forms cannot drift): key = lr_micro +
     * g_micro (temperature 1 on the log-weights — the paper's sampled
     * variant; integer addition, engine-exact), top `n` by (key desc,
-    * id asc). One corpus-sized rank — the same single-window shape as
-    * the o3 global top-k, fine for k ≪ n; shard the window by a key
-    * prefix if n ever approaches corpus scale. */
-  def select(docs: DataFrame, idCol: String, textCol: String,
-             sourceCol: String, targetSource: String, n: Int): DataFrame = {
-    val scored = importance(docs, idCol, textCol, sourceCol, targetSource)
+    * id asc).
+    *
+    * DISTRIBUTED selection (the o3 global-top-k shape): `orderBy(key
+    * desc, id).limit(n)` compiles to TakeOrderedAndProject — every task
+    * keeps an n-row heap and the driver merges the heaps — so the full
+    * scored pool NEVER funnels through one partition; an un-partitioned
+    * row_number window here would shuffle every scored row into a
+    * single task at corpus scale. The rank window then only ever sees
+    * the n survivors; its non-foldable constant partition key
+    * (xxhash64(id) % 1 — type-generic, never simplified by Catalyst
+    * 4.1) states that n-boundedness explicitly, exactly like o3.
+    * Results are identical to the single-window form: same key, same
+    * deterministic (key desc, id asc) tiebreak. */
+  def selectScored(scored: DataFrame, idCol: String, n: Int): DataFrame = {
+    val keyed = scored
       .withColumn("g_micro", gumbelMicro(col(idCol)))
       .withColumn("key_micro", col("lr_micro") + col("g_micro"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("key_micro").desc, col(idCol).asc)))
-      .filter(col("rank") <= n)
+    val top = keyed
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(n)
+    val w = Window.partitionBy(xxhash64(col(idCol)) % lit(1))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w))
       .select(col(idCol), col("rank"), col("n_tokens"), col("lr_micro"),
         col("g_micro"), col("key_micro"))
   }
+
+  /** Gumbel-top-k selection over [[importance]] — [[selectScored]] over
+    * the inline scores. */
+  def select(docs: DataFrame, idCol: String, textCol: String,
+             sourceCol: String, targetSource: String, n: Int): DataFrame =
+    selectScored(
+      importance(docs, idCol, textCol, sourceCol, targetSource), idCol, n)
 }

