@@ -486,17 +486,19 @@ object MinHash {
     val bOld = oldBands.select(oldCols: _*)
     val keys = if (pruned) Seq("band", "pbucket", "band_hash")
                else Seq("band", "band_hash")
-    // serving probes (the pruned/stored path) are small by contract —
-    // broadcast them EXPLICITLY so the partitioned stored scan streams
-    // (at corpus scale it could never be the broadcast side) and dynamic
-    // partition pruning can REUSE the probe-band broadcast: without the
-    // hint, the planner may broadcast the (locally small) stored side,
-    // and the DPP subquery — reuse-only by default — degrades to a
-    // true-literal, reading every (band, pbucket) directory (measured:
-    // 64/64 partitions scanned at sf1 before the hint). Batch-scale
-    // analytical probes go through RepIndex.read + search (unpruned),
-    // which leaves the build side to the planner.
-    val pairs = (if (pruned) broadcast(bNew) else bNew).join(bOld, keys)
+    // caller-MATERIALIZED probes (the stored-serving collect-once path)
+    // are driver-sized by construction — broadcast them EXPLICITLY so
+    // the partitioned stored scan streams (at corpus scale it could
+    // never be the broadcast side): without the hint, the planner may
+    // broadcast the (locally small) stored side, and the stored scan
+    // becomes the shuffled side (measured: 64/64 partitions scanned at
+    // sf1 before the hint). In-plan probes — batch-scale, over-cap, or
+    // the unpruned read+search path — leave the build side to the
+    // planner: an over-cap probe is exactly the one that must NOT be
+    // forced into a broadcast (its pruning, when any, rides the static
+    // literal filters already applied to `oldBands`, not the join).
+    val pairs = (if (pruned && probeBandRows.isDefined) broadcast(bNew)
+                 else bNew).join(bOld, keys)
       .filter(col("id_new") =!= col("id_old"))
       .select(col("id_new"), col("id_old")).distinct()
     pairs

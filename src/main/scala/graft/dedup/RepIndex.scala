@@ -297,17 +297,30 @@ object RepIndex {
     * full index — and the probe side still computes pbucket as an
     * equi-join key. Value-identical to [[search]] over [[read]]: pbucket
     * is a pure function of band_hash, so neither the filter nor the
-    * extra key drops a collision. Intended for point/serving probes (the
-    * pair collect is a small driver job per call); batch-scale
-    * analytical probes go through [[read]] + [[search]]. */
+    * extra key drops a collision. Point/serving probes materialize their
+    * band rows once on the driver (filter + join side from one job);
+    * probes past [[ServingProbeRowCap]] degrade GRACEFULLY — only the
+    * geometry-bounded distinct pairs ever reach the driver, the probe
+    * side stays in-plan — so a batch-sized probe cannot blow the driver.
+    * (Batch-scale analytical scans with no pruning need can still go
+    * through [[read]] + [[search]].) */
   // (dir, modulus) pairs whose torn-artifact check already passed — the
   // guard is an index-open validation, not a per-probe cost
   private val validatedBands =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
+  /** Probe band rows above this count stop materializing on the driver:
+    * the partitioned path falls back to collecting ONLY the distinct
+    * (band, pbucket) pairs — bounded by index GEOMETRY (bandCount ×
+    * modulus), never by probe size — and keeps the probe side fully
+    * in-plan. 64k rows ≈ a few MB of (id, band, hash) longs: generous
+    * for every serving shape, tiny for a driver. */
+  val ServingProbeRowCap: Int = 1 << 16
+
   def searchStored(spark: SparkSession, querySharr: DataFrame, dir: String,
                    idCol: String, threshold: Double = 0.7,
-                   rowsPerBand: Int = MinHash.RowsPerBand): DataFrame = {
+                   rowsPerBand: Int = MinHash.RowsPerBand,
+                   probeCollectCap: Int = ServingProbeRowCap): DataFrame = {
     val mod = storedProbeBuckets(dir)
     val bands = spark.read.parquet(s"$dir/bands")
     // torn-artifact guard: an in-place rewrite that crashed between the
@@ -339,32 +352,53 @@ object RepIndex {
     // plan still printed the dynamicpruning expression). The pair
     // collect is one tiny job over the probe's band rows — the same
     // serving-latency class as the probe itself.
-    // PARTITIONED store: collect-once — ONE driver job evaluates the
-    // probe's signature kernel (the expensive stage — NumHashes minhash
-    // evaluations per shingle); the literal partition filters AND the
-    // band-join probe side both come from the same materialized rows
-    // (the Bm25/IVF/prefix stored convention — the join side
-    // re-parallelizes the collected rows, so nothing re-runs the
-    // kernel). FLAT (pre-upgrade) store: no partition filters to build,
-    // so the probe stays fully in-plan — a batch-sized probe against a
-    // flat store must not materialize on the driver for zero pruning.
+    // PARTITIONED store, probe within [[ServingProbeRowCap]]:
+    // collect-once — ONE driver job evaluates the probe's signature
+    // kernel (the expensive stage — NumHashes minhash evaluations per
+    // shingle); the literal partition filters AND the band-join probe
+    // side both come from the same materialized rows (the Bm25/IVF/
+    // prefix stored convention — the join side re-parallelizes the
+    // collected rows, so nothing re-runs the kernel). Probe OVER the
+    // cap: the driver materializes only the distinct (band, pbucket)
+    // PAIRS — bounded by index geometry, never probe size — and the
+    // probe side stays fully in-plan (one extra in-plan signature pass,
+    // the price of keeping pruning without unbounded driver state).
+    // FLAT (pre-upgrade) store: no partition filters to build, so the
+    // probe stays fully in-plan — a batch-sized probe against a flat
+    // store must not materialize on the driver for zero pruning.
     if (bands.columns.contains("pbucket")) {
       val bandRowsDf = MinHash.bandRows(
           MinHash.signaturesFromArray(querySharr, idCol), idCol, rowsPerBand)
         .select(col(idCol), col("band"), col("band_hash"))
-      val probeRows = bandRowsDf.collect()
-      val probeFrame = spark.createDataFrame(
-        spark.sparkContext.parallelize(probeRows.toSeq, 1), bandRowsDf.schema)
-      val pairs = probeRows
-        .map(r => (r.getInt(1),
-          (((r.getLong(2) % mod) + mod) % mod).toInt)) // pmod, as written
-        .distinct
-      val pred = pairs.map { case (b, p) =>
-        col("band") === b && col("pbucket") === p
-      }.reduceOption(_ || _).getOrElse(lit(false))
-      MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands.filter(pred),
-        spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,
-        probeBuckets = mod, probeBandRows = Some(probeFrame))
+      // limit(cap+1) both detects the over-cap case and, under the cap,
+      // IS the full row set (≤ cap rows exist, the limit returned all)
+      val head = bandRowsDf.limit(probeCollectCap + 1).collect()
+      val sharr = spark.read.parquet(s"$dir/sharr")
+      def pruneTo(pairs: Array[(Int, Int)]): DataFrame = {
+        val pred = pairs.map { case (b, p) =>
+          col("band") === b && col("pbucket") === p
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        bands.filter(pred)
+      }
+      if (head.length <= probeCollectCap) {
+        val probeFrame = spark.createDataFrame(
+          spark.sparkContext.parallelize(head.toSeq, 1), bandRowsDf.schema)
+        val pairs = head
+          .map(r => (r.getInt(1),
+            (((r.getLong(2) % mod) + mod) % mod).toInt)) // pmod, as written
+          .distinct
+        MinHash.nearDuplicatesArraysAgainstBands(querySharr, pruneTo(pairs),
+          sharr, idCol, threshold, rowsPerBand,
+          probeBuckets = mod, probeBandRows = Some(probeFrame))
+      } else {
+        val pairs = bandRowsDf
+          .select(col("band"),
+            pmod(col("band_hash"), lit(mod.toLong)).cast("int").as("p"))
+          .distinct().collect()
+          .map(r => (r.getInt(0), r.getInt(1)))
+        MinHash.nearDuplicatesArraysAgainstBands(querySharr, pruneTo(pairs),
+          sharr, idCol, threshold, rowsPerBand, probeBuckets = mod)
+      }
     } else
       MinHash.nearDuplicatesArraysAgainstBands(querySharr, bands,
         spark.read.parquet(s"$dir/sharr"), idCol, threshold, rowsPerBand,

@@ -94,10 +94,15 @@ object Bm25 {
     * stats is 1 row). Edge: an EMPTY index (fresh empty build, or every
     * doc deleted) writes postings unpartitioned — partitionBy writes no
     * directories for zero rows and the read-back would fail schema
-    * inference (the RepIndex.write edge); emptiness is probed from the
-    * 1-row stats, never by re-evaluating the postings lineage. */
+    * inference (the RepIndex.write edge). Emptiness is probed from the
+    * POSTINGS frame itself (the IVF/SQ8 writers' convention), not from a
+    * derived stat: an Index assembled outside [[buildIndex]] can carry
+    * n_docs > 0 over zero postings rows (every doc tokenizing to
+    * nothing), and partitioning on zero rows would leave an unreadable
+    * layout behind a healthy-looking stat. The limit(1) probe is
+    * marginal next to the full postings write that follows. */
   def writeIndex(idx: Index, dir: String): Unit = {
-    val empty = idx.stats.select(col("n_docs")).head().getLong(0) == 0L
+    val empty = idx.postings.isEmpty
     if (empty)
       idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
     else
@@ -225,15 +230,20 @@ object Bm25 {
     val partitioned = p0.columns.contains("tbucket")
     // torn-artifact guard: a crashed in-place rewrite can leave postings
     // bucketed under a DIFFERENT modulus than the config claims — the
-    // bucket filter would then silently prune real postings. One sampled
-    // row turns that into a loud failure, paid once per (dir, modulus).
+    // bucket filter would then silently prune real postings. Validate
+    // one row per tbucket DIRECTORY (a modulus-bounded aggregate, ≤ mod
+    // rows to the driver): a single unordered sample could land in a
+    // directory the partial rewrite already re-bucketed and wave the
+    // torn remainder through. Paid once per (dir, modulus).
     if (partitioned && !validatedPostings.contains((dir, mod))) {
-      p0.select(col("tbucket"),
-          pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int").as("want"))
-        .limit(1).collect()
+      p0.groupBy(col("tbucket")).agg(first(col("term")).as("t"))
+        .select(col("tbucket"),
+          pmod(xxhash64(col("t")), lit(mod.toLong)).cast("int").as("want"))
+        .collect()
         .foreach(r => require(r.getInt(0) == r.getInt(1),
-          s"stored postings at $dir are bucketed under a different " +
-            s"modulus than config claims ($mod) — torn artifact"))
+          s"stored postings at $dir: directory tbucket=${r.getInt(0)} " +
+            s"holds terms bucketed as ${r.getInt(1)} under the config's " +
+            s"modulus $mod — torn artifact"))
       validatedPostings.add((dir, mod))
     }
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")

@@ -163,6 +163,29 @@ class RepIndexSpec extends SparkSpec {
     assert(RepIndex.searchStored(sp, probe, dir, "doc_id").count() == 0)
   }
 
+  test("over-cap probe: geometry-bounded pairs on the driver, identical hits") {
+    val sp = spark
+    val st0 = RepIndex.build(sharrOf(Seq(5L -> groupA, 7L -> groupA,
+      2L -> groupB, 9L -> groupB, 11L -> loner)), "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_repidx_cap").toString
+    RepIndex.write(st0, dir)
+    val probe = sharrOf(Seq(100L -> groupA, 101L -> groupB, 102L -> novelT))
+    val point = RepIndex.searchStored(sp, probe, dir, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probeCollectCap = 0 forces the batch branch: only the distinct
+    // (band, pbucket) pairs reach the driver, the probe stays in-plan —
+    // and the served hits must be identical to the collect-once path
+    // AND to the unpruned read+search
+    val capped = RepIndex.searchStored(sp, probe, dir, "doc_id",
+        probeCollectCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unpruned = RepIndex.search(probe, RepIndex.read(sp, dir), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(point.nonEmpty, "vacuous fixture: no hits")
+    assert(capped == point && capped == unpruned,
+      s"over-cap branch drifted: capped=$capped point=$point unpruned=$unpruned")
+  }
+
   test("appendLabels guard: non-min-rooted stored labels fail loudly") {
     val sp = spark; import sp.implicits._
     val bad = Seq((5L, 9L), (9L, 9L)).toDF("id", "cluster_id") // rooted at MAX
