@@ -17,14 +17,36 @@ import org.apache.spark.sql.functions._
 private[queries] object GateArtifacts {
 
   private val memos =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  // session → monotone UUID: identityHashCode can collide across live
+  // sessions (or recur after GC, serving one session an artifact built
+  // by another); a weak map hands each session a genuinely unique key
+  // without pinning the session itself in memory
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
 
   private def memo(kind: String, s: SparkSession, dir: String)(
       build: String => Unit): String =
-    memos.computeIfAbsent((kind, System.identityHashCode(s), dir), { _ =>
-      val p = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
-      build(p)
-      p
+    memos.computeIfAbsent((kind, sessionId(s), dir), { _ =>
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$kind")
+      try {
+        build(p.toString)
+        p.toString
+      } catch {
+        case e: Throwable =>
+          // a half-built artifact must not survive to be memoized or
+          // mistaken for a servable layout by a later open
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+          throw e
+      }
     })
 
   /** The full-corpus BM25 serving artifact (term-bucketed postings tree
@@ -66,5 +88,30 @@ private[queries] object GateArtifacts {
     memo("sq8idx", s, dir) { p =>
       graft.similarity.Cosine.writeSq8Index(Tables.embeddings(s, dir),
         "vec_id", "embedding", 64, p)
+    }
+
+  /** x24b's ROTATED prefix artifact: prefix-16 in the second-moment
+    * eigenbasis (trained from the corpus, pinned with a rotation
+    * fingerprint sidecar), full vectors raw for the exact rerank. */
+  def rotatedPrefixDir(s: SparkSession, dir: String): String =
+    memo("protidx", s, dir) { p =>
+      graft.similarity.Cosine.writeRotatedPrefixIndex(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 16, p)
+      ()
+    }
+
+  /** x26/x27's persisted PQ/IVFADC tier (broadcastable codebook +
+    * cell-partitioned codes + pbucket-partitioned raw vectors + commit
+    * sidecar), trained with the sorted-fold codebook so the oracle
+    * replays it bit-for-bit (the x14 convention). */
+  def pqIndexDir(s: SparkSession, dir: String): String =
+    memo("pqidx", s, dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Cosine.writePqIndex(emb,
+        emb.select(col("vec_id"), col("label")), "vec_id", "embedding",
+        "label", p,
+        centroidFn = graft.similarity.Cosine.cellCentroidsSorted,
+        centroids = Some(graft.similarity.Cosine.cellCentroidsSorted(
+          emb, "label", "embedding")))
     }
 }

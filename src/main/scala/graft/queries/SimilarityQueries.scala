@@ -203,6 +203,63 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X26: the PERSISTED PQ/IVFADC serving path — x14's exact
+    //      semantics (sorted-fold codebook, own-cell probe, k=5) through
+    //      the stored tier: `writePqIndex` lays the 4 B/vector codes out
+    //      partitioned BY CELL and `ivfAdcSearchStored` turns the probe
+    //      queries' cells into LITERAL pcell filters, so stage 1 reads
+    //      only the probed cells' CODES (both ANN prunings compose:
+    //      fewer rows AND 4 B/dim per row); reconstruction joins the
+    //      broadcast STORED codebook (content-fingerprint sidecar —
+    //      PqStoredSpec pins runtime partition metrics + torn loudness).
+    //      Oracle = x14's replay verbatim: a green row proves the last
+    //      approximate family without a stored artifact now serves
+    //      pruned with nothing introduced or lost vs the in-plan form.
+    "x26_pq_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.ivfAdcSearchStored(s, emb.filter(col("vec_id") < 10),
+          GateArtifacts.pqIndexDir(s, dir), "vec_id", "embedding", "label",
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- X28: MULTIPROBE IVFADC over the persisted tier — the full
+    //      production ANN composition in one stored call: probe
+    //      selection against the STORED coarse centroids (each query
+    //      ranks cells by centroid distance, keeps 2 — the x15 recipe),
+    //      probed cells → LITERAL pcell filters on the 4 B/vector code
+    //      store, ADC scoring via the broadcast stored codebook. This is
+    //      what x26 (own-cell probe) composes toward; the oracle replays
+    //      probe ranking + reconstruction end-to-end.
+    "x28_ivfadc_probed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Cosine.ivfAdcMultiprobeStored(s,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding")),
+          GateArtifacts.pqIndexDir(s, dir), "vec_id", "embedding", "label",
+          k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- X27: the PQ row of the ANN acceptance matrix (x12 = IVF,
+    //      x23 = SQ8, x24 = prefix): recall@5 of the stored two-stage
+    //      PQ search — ADC over EVERY stored code (the compressed-tier
+    //      contract; recall bounded by quantization alone, not probe
+    //      choice), exact rerank pruned by pbucket + In(id) — against
+    //      brute-force truth. The check a pipeline runs before trusting
+    //      the 4 B/dim tier; same shared metric tail as x12/x23/x24.
+    "x27_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Cosine.pqTopKStored(s, queries,
+          GateArtifacts.pqIndexDir(s, dir), "vec_id", "embedding",
+          k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
+    }),
+
     // ---- C12: SEMANTIC decontamination — the embedding-space member of
     //      the decontamination family (c3/c5 are lexical 8-gram overlap,
     //      t25 is novelty ppm): a train doc whose embedding is too close
@@ -315,6 +372,27 @@ object SimilarityQueries extends QueryPack {
         .select(col("query_id"), col("neighbor_id"))
       val approx = Cosine.prefixTopK(queries, emb, "vec_id", "embedding",
           p = 16, k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
+    }),
+
+    // ---- X24b: the FIX for x24's published 0.38 — the same prefix-16
+    //      acceptance check through the ROTATED stored artifact
+    //      (writeRotatedPrefixIndex: stage 1 in the second-moment
+    //      eigenbasis — a pure rotation, so full-dim sims / rerank /
+    //      truth are untouched; only the prefix approximation improves:
+    //      0.38 → 0.52 at sf0.01, spec-pinned). The trained rotation is
+    //      STASHED for the oracle (the x8/c12 derived-config pattern),
+    //      which replays stage 1 as p literal dot products.
+    "x24b_prefix_rotated_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val rdir = GateArtifacts.rotatedPrefixDir(s, dir)
+      lastPrefixRotation = Cosine.readRotation(s, rdir)
+      val approx = Cosine.prefixTopKStored(s, queries, rdir,
+          "vec_id", "embedding", k = 5, kShort = 20)
         .select(col("query_id"), col("neighbor_id"))
       recallOf(exact, approx)
     }),
@@ -626,6 +704,11 @@ object SimilarityQueries extends QueryPack {
     * to prevent. */
   @volatile private var lastC12Config: (Int, Int, Int) = (1, 1, 1)
 
+  /** x24b's trained prefix rotation (p rows of dim doubles), stashed by
+    * the gate run so the oracle replays stage 1 under the EXACT trained
+    * basis — the [[lastX8Config]] pattern at matrix size. */
+  @volatile private var lastPrefixRotation: Seq[Seq[Double]] = Nil
+
   /** Multi-table SRP bucketing as a UNION ALL of per-table sign-bit rows
     * — generated from the same seeded hyperplanes as
     * [[Cosine.srpPairsMulti]]. */
@@ -695,6 +778,47 @@ object SimilarityQueries extends QueryPack {
        |SELECT query_id, mmr_rank, doc_id, score
        |FROM acc$k ORDER BY query_id, mmr_rank""".stripMargin
   }
+
+  /** The sorted-fold PQ codebook + ADC reconstruction CTE chain
+    * (assumes a `v` CTE; yields `recon(vec_id, rv)`) — shared verbatim
+    * by x10/x14 (in-plan) and x26/x27 (persisted tier): stored ≡ inline
+    * is those gates' point. */
+  private val pqReconCtes =
+    s"""codes AS (SELECT vec_id, emb,
+       |    [${(0 until 8).map(pqBucketSql).mkString(", ")}] AS cs
+       |  FROM v),
+       |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv,
+       |    cs[t.j+1] AS code
+       |  FROM codes, (SELECT unnest(range(0, 8)) AS j) t),
+       |e AS (SELECT j, code, d.i AS dim, subv[d.i] AS x
+       |      FROM sub, (SELECT unnest(range(1, 9)) AS i) d),
+       |g AS (SELECT j, code, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+       |      FROM e GROUP BY j, code, dim),
+       |cw AS (SELECT j, code, dim,
+       |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+       |      (a, b) -> a + b) / cnt, 6) AS c
+       |  FROM g),
+       |cwv AS (SELECT j, code, list(c ORDER BY dim) AS cvec FROM cw GROUP BY j, code),
+       |recon AS (SELECT s.vec_id, flatten(list(cwv.cvec ORDER BY s.j)) AS rv
+       |  FROM sub s JOIN cwv ON cwv.j = s.j AND cwv.code = s.code
+       |  GROUP BY s.vec_id)""".stripMargin
+
+  /** x14's own-cell IVFADC ranking — shared verbatim by x14 (in-plan)
+    * and x26 (persisted, cell-pruned codes scan). */
+  private def ivfAdcSql: String =
+    s"""WITH $vCte,
+       |$pqReconCtes,
+       |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+       |  FROM v q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
+       |  JOIN recon r ON r.vec_id = c.vec_id
+       |  WHERE q.vec_id < 10)
+       |SELECT query_id, rank, neighbor_id, adc_sim FROM (
+       |  SELECT query_id, neighbor_id, adc_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val vCte =
     """v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1427,6 +1551,27 @@ object SimilarityQueries extends QueryPack {
          |$annRerankCtes
          |$annExactTruthCtes
          |$annMetricTailSql""".stripMargin,
+    // x24b: x24's chain with stage 1 in the STASHED trained basis —
+    // each rotated-prefix component is one literal dot product
+    "x24b_prefix_rotated_recall" ->
+      s"""WITH $vCte,
+         |pv AS (SELECT vec_id, [${lastPrefixRotation.map(r =>
+             s"list_dot_product(emb, [${r.mkString(", ")}])").mkString(", ")}] AS pemb
+         |  FROM v),
+         |pn AS (SELECT vec_id, list_dot_product(pemb, pemb) AS pnsq FROM pv),
+         |s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.pemb, c.pemb) / (sqrt(qn.pnsq) * sqrt(cn.pnsq)), 6) AS psim
+         |  FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+         |  JOIN pn qn ON qn.vec_id = q.vec_id
+         |  JOIN pn cn ON cn.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, psim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY psim DESC, neighbor_id ASC) AS srank
+         |  FROM s1),
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin,
     "x11_embedding_stats" ->
       s"""WITH $vCte,
          |e AS (SELECT t.i AS dim, emb[t.i] AS x
@@ -1449,57 +1594,67 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, ${(0 until 8).map(j =>
              s"CAST((${pqBucketSql(j)}) AS VARCHAR)").mkString(" || ',' || ")} AS codes
          |FROM v ORDER BY vec_id""".stripMargin,
-    "x14_ivfadc_topk" ->
+    "x14_ivfadc_topk" -> ivfAdcSql,
+    "x26_pq_stored" -> ivfAdcSql,
+    // x28: sorted-fold coarse centroids (the x15 probe CTEs, renamed to
+    // dodge the recon chain's e/g) rank 2 probe cells per query; ADC
+    // sims run over the probed cells' reconstructions
+    "x28_ivfadc_probed" ->
       s"""WITH $vCte,
-         |codes AS (SELECT vec_id, emb,
-         |    [${(0 until 8).map(pqBucketSql).mkString(", ")}] AS cs
-         |  FROM v),
-         |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv,
-         |    cs[t.j+1] AS code
-         |  FROM codes, (SELECT unnest(range(0, 8)) AS j) t),
-         |e AS (SELECT j, code, d.i AS dim, subv[d.i] AS x
-         |      FROM sub, (SELECT unnest(range(1, 9)) AS i) d),
-         |g AS (SELECT j, code, dim, list_sort(list(x)) AS xs, count(*) AS cnt
-         |      FROM e GROUP BY j, code, dim),
-         |cw AS (SELECT j, code, dim,
+         |$pqReconCtes,
+         |ce AS (SELECT label, t.i AS dim, emb[t.i] AS x
+         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+         |cg AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+         |      FROM ce GROUP BY label, dim),
+         |cc AS (SELECT label, dim,
          |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
-         |      (a, b) -> a + b) / cnt, 6) AS c
-         |  FROM g),
-         |cwv AS (SELECT j, code, list(c ORDER BY dim) AS cvec FROM cw GROUP BY j, code),
-         |recon AS (SELECT s.vec_id, flatten(list(cwv.cvec ORDER BY s.j)) AS rv
-         |  FROM sub s JOIN cwv ON cwv.j = s.j AND cwv.code = s.code
-         |  GROUP BY s.vec_id),
-         |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      (a, b) -> a + b) / cnt, 6) AS centroid
+         |  FROM cg),
+         |ccv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM cc GROUP BY label),
+         |cd AS (SELECT q.vec_id AS query_id, ccv.label,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65),
+         |        i -> (q.emb[i] - ccv.cvec[i]) * (q.emb[i] - ccv.cvec[i]))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM v q CROSS JOIN ccv WHERE q.vec_id < 10),
+         |pr AS (SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, label ASC)
+         |        AS prn
+         |    FROM cd)
+         |  WHERE prn <= 2),
+         |sims AS (SELECT pr.query_id, cand.vec_id AS neighbor_id,
          |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
-         |  FROM v q JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
-         |  JOIN recon r ON r.vec_id = c.vec_id
-         |  WHERE q.vec_id < 10)
+         |  FROM pr
+         |  JOIN v q ON q.vec_id = pr.query_id
+         |  JOIN v cand ON cand.label = pr.label AND cand.vec_id <> pr.query_id
+         |  JOIN recon r ON r.vec_id = cand.vec_id)
          |SELECT query_id, rank, neighbor_id, adc_sim FROM (
          |  SELECT query_id, neighbor_id, adc_sim,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
          |  FROM sims)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x27: the stored two-stage PQ chain — full-code ADC shortlist
+    // (kShort=20), exact rerank, recall vs brute-force truth (the
+    // x23/x24 shared tails)
+    "x27_pq_recall" ->
+      s"""WITH $vCte,
+         |$pqReconCtes,
+         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+         |  FROM v q JOIN recon r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_sim DESC, neighbor_id ASC) AS srank
+         |  FROM sq),
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin,
     "x10_pq_adc_topk" ->
       s"""WITH $vCte,
-         |codes AS (SELECT vec_id, emb,
-         |    [${(0 until 8).map(pqBucketSql).mkString(", ")}] AS cs
-         |  FROM v),
-         |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv,
-         |    cs[t.j+1] AS code
-         |  FROM codes, (SELECT unnest(range(0, 8)) AS j) t),
-         |e AS (SELECT j, code, d.i AS dim, subv[d.i] AS x
-         |      FROM sub, (SELECT unnest(range(1, 9)) AS i) d),
-         |g AS (SELECT j, code, dim, list_sort(list(x)) AS xs, count(*) AS cnt
-         |      FROM e GROUP BY j, code, dim),
-         |cw AS (SELECT j, code, dim,
-         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
-         |      (a, b) -> a + b) / cnt, 6) AS c
-         |  FROM g),
-         |cwv AS (SELECT j, code, list(c ORDER BY dim) AS cvec FROM cw GROUP BY j, code),
-         |recon AS (SELECT s.vec_id, flatten(list(cwv.cvec ORDER BY s.j)) AS rv
-         |  FROM sub s JOIN cwv ON cwv.j = s.j AND cwv.code = s.code
-         |  GROUP BY s.vec_id),
+         |$pqReconCtes,
          |sims AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
          |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
          |  FROM v q CROSS JOIN recon r

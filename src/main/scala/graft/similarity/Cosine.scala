@@ -579,8 +579,23 @@ object Cosine {
       .drop("pcell_lit")
     val cellLits = prows.map(_.getString(probesDf.schema.length - 1))
       .distinct.toSeq
-    val l0 = spark.read.parquet(s"$dir/lists")
-    val partitioned = l0.columns.contains("pcell")
+    // pcell is WRITTEN as a string directory key, but bare parquet reads
+    // re-type partition-column values by inference ("007" → int 7,
+    // "1e3" → double 1000.0) — and a re-typed pcell no longer equals the
+    // probe's string literal, silently dropping candidates for
+    // numeric-LOOKING string cells. Pin pcell back to string with an
+    // explicit read schema (data columns keep their inferred types).
+    val inferred = spark.read.parquet(s"$dir/lists")
+    val partitioned = inferred.columns.contains("pcell")
+    val l0 =
+      if (partitioned)
+        spark.read.schema(org.apache.spark.sql.types.StructType(
+            inferred.schema.map(f =>
+              if (f.name == "pcell")
+                f.copy(dataType = org.apache.spark.sql.types.StringType)
+              else f)))
+          .parquet(s"$dir/lists")
+      else inferred
     val cands0 = (
       if (cellLits.isEmpty) l0.limit(0)
       else if (partitioned) l0.filter(col("pcell").isin(cellLits: _*))
@@ -1013,11 +1028,14 @@ object Cosine {
       k)
   }
 
-  /** The ONE exact-rerank tail every SQ8 form rides ([[sq8TopK]],
-    * [[sq8TopKStored]] — the decontaminateTail convention): broadcast
-    * shortlist against the raw (neighbor_id, cv) vectors, exact cosine,
-    * per-query top-k. */
-  private def sq8Rerank(short: DataFrame, raw: DataFrame, k: Int): DataFrame = {
+  /** The ONE exact-rerank tail every quantized two-stage form rides
+    * ([[sq8TopK]], [[sq8TopKStored]], [[pqTopKStored]] — the
+    * decontaminateTail convention): broadcast shortlist against the raw
+    * (neighbor_id, cv) vectors, exact cosine, per-query top-k.
+    * `stage1Col` names the quantized-space score the shortlist ranked
+    * on, carried through to the output. */
+  private def sq8Rerank(short: DataFrame, raw: DataFrame, k: Int,
+                        stage1Col: String = "sq_sim"): DataFrame = {
     val ex = raw.withColumn("cn", normSq(col("cv")))
       .join(broadcast(short), "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv"),
@@ -1026,7 +1044,7 @@ object Cosine {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     ex.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sq_sim"), col("sim"))
+        col(stage1Col), col("sim"))
   }
 
   /** Stored SQ8 serving artifact: the 1-row stats (the PINNED
@@ -1162,9 +1180,13 @@ object Cosine {
     * two cannot drift. */
   private def prefixShortlist(queries: DataFrame, cPref: DataFrame,
                               idCol: String, vecCol: String, p: Int,
-                              kShort: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-        slice(toDouble(col(vecCol)), 1, p).as("qp"))
+                              kShort: Int,
+                              rotation: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    // rotated layouts rank stage 1 in the ROTATED basis: the query side
+    // must apply the artifact's exact rotation or psim is meaningless
+    val qp = rotation.fold(slice(toDouble(col(vecCol)), 1, p))(r =>
+      rotatedPrefix(toDouble(col(vecCol)), r))
+    val q = queries.select(col(idCol).as("query_id"), qp.as("qp"))
       .withColumn("qpn", normSq(col("qp")))
     val stage1 = cPref.withColumn("cpn", normSq(col("cp")))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -1221,10 +1243,12 @@ object Cosine {
     * value-identity spec-pinned. Empty corpus writes unpartitioned
     * (partitionBy writes no dirs for zero rows — the RepIndex.write
     * edge), and [[prefixTopKStored]] degrades to the unpruned join. */
-  def writePrefixIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                       p: Int, dir: String): Unit = {
-    val rows = corpus.select(col(idCol),
-      slice(col(vecCol), 1, p).as("prefix"), col(vecCol).as("full"))
+  /** The shared (id, prefix, full) vectors-table writer every prefix
+    * artifact rides ([[writePrefixIndex]], [[writeRotatedPrefixIndex]],
+    * the streamed store's publish step) — pbucket-partitioned, with the
+    * zero-row flat edge. */
+  private[graft] def writePrefixRows(rows: DataFrame, idCol: String,
+                                     dir: String): Unit = {
     if (rows.isEmpty)
       rows.write.mode("overwrite").parquet(s"$dir/vectors")
     else
@@ -1232,9 +1256,131 @@ object Cosine {
           pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("pbucket")
         .parquet(s"$dir/vectors")
+  }
+
+  def writePrefixIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       p: Int, dir: String): Unit = {
+    writePrefixRows(corpus.select(col(idCol),
+      slice(col(vecCol), 1, p).as("prefix"), col(vecCol).as("full")),
+      idCol, dir)
     graft.ops.ConfigFile.writeAtomic(dir, "prefix_config",
       Seq(p, PrefixBuckets))
   }
+
+  /** Train the prefix ROTATION for non-MRL embeddings — the engine's
+    * answer to x24's published 0.38-recall finding: synthetic (or any
+    * non-Matryoshka-trained) embeddings spread signal evenly across
+    * dimensions, so a head slice carries p/dim of it. The `p` leading
+    * eigenvectors of the corpus's SECOND-MOMENT matrix E[xxᵀ] form an
+    * orthogonal map whose leading output coordinates carry the most
+    * energy — applied WITHOUT centering, it is a pure rotation: every
+    * dot product (hence every full-dimension cosine, hence the rerank
+    * and the truth) is preserved EXACTLY in exact arithmetic, only the
+    * prefix approximation changes. Measured at sf0.01: prefix-16
+    * recall@5 0.38 (raw) → 0.52 (rotated); p=32: 0.56 → 0.76.
+    *
+    * Scale shape: ONE corpus pass reduces to a dim² moment matrix
+    * (per-row outer product, posexplode, combine-enabled sum — the
+    * shuffle carries dim² rows per partition, never the corpus), and the
+    * dense eigensolve runs on the DRIVER over a 64×64..4096×4096 matrix
+    * ([[EigSym]], no dependency). Returns the p rotation rows (each a
+    * dim-vector); empty corpus → Nil (no rotation derivable). */
+  def moment2Rotation(corpus: DataFrame, vecCol: String, p: Int): Seq[Seq[Double]] = {
+    val v = toDouble(col(vecCol))
+    val sums = corpus
+      .select(posexplode(flatten(transform(v,
+        x => transform(v, y => x * y)))).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    if (sums.isEmpty) Nil
+    else {
+      val dim = math.sqrt(sums.size.toDouble).round.toInt
+      require(dim * dim == sums.size, s"non-square moment frame: ${sums.size}")
+      val m = Array.tabulate(dim, dim)((i, j) => sums(i * dim + j))
+      EigSym.leadingColumns(m, p)
+    }
+  }
+
+  /** (R·x)[1..p] as an array Column — each component one [[dot]] against
+    * a LITERAL rotation row (the srpBucketSql shape: an external engine
+    * replays it as p literal dot products). */
+  def rotatedPrefix(v: Column, rotation: Seq[Seq[Double]]): Column =
+    array(rotation.map(r => dot(v, array(r.map(lit): _*))): _*)
+
+  /** Inline rotated-prefix two-stage search — [[prefixTopK]] with stage 1
+    * ranked in the rotated basis (shared [[prefixShortlist]]/
+    * [[prefixRerank]] tails; stage 2 re-ranks in RAW space, so the exact
+    * sims are bit-identical to the unrotated search's). `rotation` comes
+    * from [[moment2Rotation]] (or a stored artifact — never recompute it
+    * per query batch). */
+  def prefixTopKRotated(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, rotation: Seq[Seq[Double]], k: Int,
+                        kShort: Int = 20): DataFrame = {
+    val cPref = corpus.select(col(idCol).as("neighbor_id"),
+      rotatedPrefix(toDouble(col(vecCol)), rotation).as("cp"))
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    prefixRerank(
+      prefixShortlist(queries, cPref, idCol, vecCol, rotation.size, kShort,
+        Some(rotation)),
+      queries, full, idCol, vecCol, k, None)
+  }
+
+  /** The ROTATED stored Matryoshka layout: same vectors table as
+    * [[writePrefixIndex]] (pbucket-partitioned; stage-1 column pruning +
+    * pruned rerank both carry over) except `prefix` holds the ROTATED
+    * head — computed under the rotation AS WRITTEN to `rotation/`
+    * (read back from disk before coding, the writeSq8Index stats
+    * recipe) — while `full` stays the RAW vector, so the exact rerank
+    * and any truth comparison live in raw space. Sidecar
+    * `prefix_rot_config` written LAST: (p, buckets, rotation content
+    * fingerprint re-derived from disk at open) — a crashed in-place
+    * re-train leaves the old sidecar disagreeing with the new rotation
+    * on disk, loud at first probe. Returns the trained rotation. */
+  def writeRotatedPrefixIndex(corpus: DataFrame, idCol: String,
+                              vecCol: String, p: Int,
+                              dir: String): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    writeRotationStore(spark, moment2Rotation(corpus, vecCol, p), dir)
+    val rot = readRotation(spark, dir)
+    val pref =
+      if (rot.isEmpty) slice(toDouble(col(vecCol)), 1, p)
+      else rotatedPrefix(toDouble(col(vecCol)), rot)
+    writePrefixRows(corpus.select(col(idCol), pref.as("prefix"),
+      col(vecCol).as("full")), idCol, dir)
+    graft.ops.ConfigFile.writeAtomic(dir, "prefix_rot_config",
+      Seq(p, PrefixBuckets, rotationFp(spark, dir)))
+    rot
+  }
+
+  /** Persist a rotation as (i, j, x) rows — shared by the trainer and by
+    * the streamed store's publish step (which carries a PINNED rotation
+    * forward instead of retraining). */
+  private[graft] def writeRotationStore(spark: SparkSession,
+                                        rotation: Seq[Seq[Double]],
+                                        dir: String): Unit = {
+    import spark.implicits._
+    rotation.zipWithIndex
+      .flatMap { case (row, i) => row.zipWithIndex.map { case (x, j) => (i, j, x) } }
+      .toDF("i", "j", "x")
+      .write.mode("overwrite").parquet(s"$dir/rotation")
+  }
+
+  /** The stored rotation rows, ordered (i, j) — driver-sized (p×dim). */
+  def readRotation(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/rotation")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** Content fingerprint of the written rotation parquet (order-free,
+    * nano-scaled values — rotation entries live in [−1, 1]). */
+  private[graft] def rotationFp(spark: SparkSession, dir: String): Int =
+    (spark.read.parquet(s"$dir/rotation")
+      .agg(coalesce(sum(pmod(xxhash64(col("i"), col("j"),
+        round(col("x") * 1000000000L, 0).cast("long")),
+        lit(1000000000L))), lit(0L)))
+      .head().getLong(0) % 1000000000L).toInt
 
   /** [[prefixTopK]] over the persisted layout — value-identical, with
     * the stage-1 column-pruned scan and a stage-2 re-rank pruned by
@@ -1255,29 +1401,63 @@ object Cosine {
   // Bm25.searchStored convention)
   private val validatedPrefix =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  // (dir, sidecar) pairs whose rotation-fingerprint check passed
+  private val validatedRotation =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
 
   def prefixTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
                        idCol: String, vecCol: String, k: Int,
                        kShort: Int = 20): DataFrame = {
-    val cfg = graft.ops.ConfigFile.readInts(dir, "prefix_config", 2)
+    // a ROTATED layout carries its own sidecar (p, buckets, rotation fp)
+    // + a rotation store the probe side must apply in stage 1; the
+    // unrotated layout keeps the original 2-int sidecar
+    val rotated = graft.ops.ConfigFile.exists(dir, "prefix_rot_config")
+    val cfg =
+      if (rotated) graft.ops.ConfigFile.readInts(dir, "prefix_rot_config", 3)
+      else graft.ops.ConfigFile.readInts(dir, "prefix_config", 2)
     val (p, buckets) = (cfg(0), cfg(1))
+    val rotation =
+      if (!rotated) None
+      else {
+        if (!validatedRotation.contains((dir, cfg))) {
+          val fp = rotationFp(spark, dir)
+          require(fp == cfg(2),
+            s"stored rotation at $dir does not match its sidecar " +
+              s"(fp $fp vs ${cfg(2)}) — torn artifact: re-run " +
+              "writeRotatedPrefixIndex")
+          validatedRotation.add((dir, cfg))
+        }
+        val r = readRotation(spark, dir)
+        if (r.isEmpty) None else Some(r)
+      }
     val stored = spark.read.parquet(s"$dir/vectors")
     val partitioned = stored.columns.contains("pbucket")
     // torn-artifact guard: a crashed in-place rebuild under a different p
     // leaves the stored prefix column at a width the config no longer
     // describes — zip_with would then null-pad every stage-1 dot product
-    // and the shortlist silently degenerates. One sampled row turns that
-    // into a loud failure, paid once per (dir, p) in this process.
+    // and the shortlist silently degenerates. Validate one row per
+    // pbucket DIRECTORY (a bucket-bounded aggregate — a single unordered
+    // sample could land in an already-rewritten directory and wave the
+    // torn remainder through); the flat layout is the zero-row empty
+    // edge, where first() over no groups checks nothing and serves
+    // nothing. Paid once per (dir, p) in this process.
     if (!validatedPrefix.contains((dir, p))) {
-      stored.select(size(col("prefix")).as("w")).limit(1).collect()
-        .foreach(r => require(r.getInt(0) == p,
-          s"stored prefix at $dir is ${r.getInt(0)} dims but prefix_config " +
-            s"claims $p — torn artifact"))
+      val widths =
+        if (partitioned)
+          stored.groupBy(col("pbucket"))
+            .agg(first(size(col("prefix"))).as("w"))
+            .select(col("w"), col("pbucket").cast("string"))
+        else
+          stored.select(size(col("prefix")).as("w"), lit("flat")).limit(1)
+      widths.collect().foreach(r => require(r.getInt(0) == p,
+        s"stored prefix at $dir (partition ${r.getString(1)}) is " +
+          s"${r.getInt(0)} dims but prefix_config claims $p — torn artifact"))
       validatedPrefix.add((dir, p))
     }
     val cPref = stored.select(col(idCol).as("neighbor_id"),
       toDouble(col("prefix")).as("cp"))
-    val shortDf = prefixShortlist(queries, cPref, idCol, vecCol, p, kShort)
+    val shortDf = prefixShortlist(queries, cPref, idCol, vecCol, p, kShort,
+      rotation)
     val shortRows = shortDf.collect()
     val short = spark.createDataFrame(
       spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
@@ -1361,23 +1541,49 @@ object Cosine {
     * Plan shape: codes and reconstruction are map-side (codebook map
     * broadcast as one row); the query side broadcasts like [[topK]];
     * ranking is one per-query window. */
+  /** One-row broadcastable codebook map (cell → codeword vector) from a
+    * (cell, dim, centroid) codebook frame — the ADC forms' shared
+    * reshape ([[pqAdcTopK]], [[ivfAdcTopK]], the stored searches). */
+  private def codebookToMap(book: DataFrame): DataFrame =
+    book.groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cw"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("cell"), col("cw"))))).as("book"))
+
+  /** ADC reconstruction of a coded vector — concatenation of its
+    * per-subspace codewords looked up in the broadcast `book` map column
+    * next to the `codes` column. */
+  private def adcRecon(nSub: Int, nPlanes: Int): Column =
+    flatten(transform(sequence(lit(0), lit(nSub - 1)),
+      j => element_at(col("book"),
+        (j * (1 << nPlanes) + element_at(col("codes"), j + 1)).cast("long"))))
+
+  /** The ONE cell-equi-join ADC scoring tail ([[ivfAdcTopK]],
+    * [[ivfAdcSearchStored]] — the ivfScore convention, so the in-plan
+    * and stored forms cannot drift): q = (cellCol, query_id, qv),
+    * c = (cellCol, neighbor_id, rv). */
+  private def adcScoreCells(q: DataFrame, c: DataFrame, cellCol: String,
+                            k: Int): DataFrame = {
+    val sims = q.join(c, Seq(cellCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_sim", round(dot(col("qv"), col("rv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_sim"))
+  }
+
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int,
                 nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
                 centroidFn: (DataFrame, String, String) => DataFrame =
                   cellCentroids): DataFrame = {
-    val book = pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn)
-      .groupBy(col("cell"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-        s => s.getField("centroid")).as("cw"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("cell"), col("cw"))))).as("book"))
-    val recon = flatten(transform(sequence(lit(0), lit(nSub - 1)),
-      j => element_at(col("book"),
-        (j * (1 << nPlanes) + element_at(col("codes"), j + 1)).cast("long"))))
+    val book = codebookToMap(
+      pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn))
     val c = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
       .crossJoin(broadcast(book))
-      .select(col(idCol).as("neighbor_id"), recon.as("rv"))
+      .select(col(idCol).as("neighbor_id"), adcRecon(nSub, nPlanes).as("rv"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_sim", round(dot(col("qv"), col("rv")), 6))
@@ -1402,27 +1608,293 @@ object Cosine {
                  nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
                  centroidFn: (DataFrame, String, String) => DataFrame =
                    cellCentroids): DataFrame = {
-    val book = pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn)
-      .groupBy(col("cell"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-        s => s.getField("centroid")).as("cw"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("cell"), col("cw"))))).as("book"))
-    val recon = flatten(transform(sequence(lit(0), lit(nSub - 1)),
-      j => element_at(col("book"),
-        (j * (1 << nPlanes) + element_at(col("codes"), j + 1)).cast("long"))))
+    val book = codebookToMap(
+      pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn))
     val c = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
       .join(corpus.select(col(idCol), col(cellCol)), idCol)
       .crossJoin(broadcast(book))
-      .select(col(cellCol), col(idCol).as("neighbor_id"), recon.as("rv"))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        adcRecon(nSub, nPlanes).as("rv"))
     val q = queries.select(col(cellCol), col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-    val sims = q.join(c, Seq(cellCol)).filter(col("query_id") =!= col("neighbor_id"))
+    adcScoreCells(q, c, cellCol, k)
+  }
+
+  /** Persist the PQ/IVFADC serving tier — the LAST approximate family to
+    * gain a stored artifact (SQ8, prefix, IVF, BM25 and rep/LSH all have
+    * one), and the production ANN composition a serving pipeline reaches
+    * for first: 4 B/vector codes cell-partitioned for probe pruning, the
+    * broadcastable codebook, and the raw vectors id-bucketed for the
+    * exact-rerank tier. Layout:
+    *  - `codebook/` — (cell, dim, centroid), nSub·2^nPlanes·subDim rows:
+    *    broadcastable at any corpus scale;
+    *  - `codes/` — (id, codes, cellCol) partitioned by `pcell` (the
+    *    writeIvfIndex string-directory treatment, read back under a
+    *    pinned string schema): an IVFADC probe's cells become literal
+    *    listing filters, so stage 1 reads probed cells' CODES only —
+    *    both prunings compose (fewer rows AND 4 B/dim per row);
+    *  - `vectors/` — (id, vecCol) partitioned by
+    *    `pbucket = pmod(id, PrefixBuckets)` (the writeSq8Index stage-2
+    *    treatment) for the pruned exact rerank;
+    *  - `pq_commit` sidecar written LAST (atomic rename): (nSub, subDim,
+    *    nPlanes, PrefixBuckets, codes count mod 1e9, codebook content
+    *    fingerprint) — count and fingerprint re-derived FROM DISK at
+    *    open, so a crashed in-place re-train mismatches whichever store
+    *    it changed (the ivf_commit case analysis; geometry params alone
+    *    cannot catch a same-shape re-train).
+    * Empty corpus writes codes/vectors unpartitioned (the RepIndex.write
+    * edge); the stored searches degrade to the (trivially empty)
+    * unpruned scans. */
+  def writePqIndex(corpus: DataFrame, cells: DataFrame, idCol: String,
+                   vecCol: String, cellCol: String, dir: String,
+                   nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                   centroidFn: (DataFrame, String, String) => DataFrame =
+                     cellCentroids,
+                   centroids: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    // the COARSE centroid table (optional): stored so probe selection —
+    // the full IVFADC composition, [[ivfAdcMultiprobeStored]] — can rank
+    // cells per query without the caller shipping centroids around;
+    // fingerprinted in the sidecar exactly like writeIvfIndex's
+    centroids.foreach(_.write.mode("overwrite").parquet(s"$dir/centroids"))
+    // persisted around the emptiness probe so the code+cell join lineage
+    // is not evaluated twice (the writeIvfIndex convention)
+    val codes = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCodes =
+      try {
+        if (codes.isEmpty)
+          codes.write.mode("overwrite").parquet(s"$dir/codes")
+        else
+          codes.withColumn("pcell", col(cellCol).cast("string"))
+            .write.mode("overwrite").partitionBy("pcell")
+            .parquet(s"$dir/codes")
+        codes.count()
+      } finally codes.unpersist()
+    val rows = corpus.select(col(idCol), col(vecCol))
+    if (rows.isEmpty)
+      rows.write.mode("overwrite").parquet(s"$dir/vectors")
+    else
+      rows.withColumn("pbucket",
+          pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$dir/vectors")
+    graft.ops.ConfigFile.writeAtomic(dir, "pq_commit",
+      Seq(nSub, subDim, nPlanes, PrefixBuckets,
+        (nCodes % 1000000000L).toInt, pqCodebookFp(spark, dir),
+        if (centroids.isDefined) centroidFp(spark, dir, cellCol) else 0))
+  }
+
+  /** Content fingerprint of the WRITTEN codebook parquet (order-free sum
+    * of per-row hashes over (cell, dim, micro-centroid), mod 1e9) —
+    * derived from DISK, the centroidFp recipe. */
+  private def pqCodebookFp(spark: SparkSession, dir: String): Int =
+    (spark.read.parquet(s"$dir/codebook")
+      .agg(coalesce(sum(pmod(xxhash64(col("cell"), col("dim"),
+        round(col("centroid") * 1000000, 0).cast("long")),
+        lit(1000000000L))), lit(0L)))
+      .head().getLong(0) % 1000000000L).toInt
+
+  // (dir, sidecar-contents) pairs whose check already passed — re-keyed
+  // on every re-train (the validatedIvf pattern)
+  private val validatedPq =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
+
+  /** Open-time torn-artifact guard + config read for the stored PQ tier:
+    * returns (nSub, subDim, nPlanes, idBuckets) after validating the
+    * codes count and codebook fingerprint against the sidecar, once per
+    * (dir, sidecar) in this process. */
+  private def openPqIndex(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
+    val cfg = graft.ops.ConfigFile.readInts(dir, "pq_commit", 7)
+    if (!validatedPq.contains((dir, cfg))) {
+      val nc = (spark.read.parquet(s"$dir/codes").count() % 1000000000L).toInt
+      val fp = pqCodebookFp(spark, dir)
+      require(nc == cfg(4) && fp == cfg(5),
+        s"stored PQ index at $dir does not match its commit sidecar " +
+          s"(codes $nc vs ${cfg(4)}, codebook fp $fp vs ${cfg(5)}) — " +
+          "torn artifact: re-run writePqIndex")
+      if (cfg(6) != 0) {
+        // the centroid store's cell column is whichever one is neither
+        // dim nor centroid — inferred so every open form can validate
+        val cellName = spark.read.parquet(s"$dir/centroids").columns
+          .filterNot(Set("dim", "centroid")).head
+        val cfp = centroidFp(spark, dir, cellName)
+        require(cfp == cfg(6),
+          s"stored PQ centroids at $dir do not match the commit sidecar " +
+            s"(fp $cfp vs ${cfg(6)}) — torn artifact: re-run writePqIndex")
+      }
+      validatedPq.add((dir, cfg))
+    }
+    (cfg.head, cfg(1), cfg(2), cfg(3))
+  }
+
+  /** The stored codes table with `pcell` pinned back to STRING — bare
+    * reads re-type partition directory values by inference ("007" →
+    * int 7), the ivfSearchStored lesson. Flat (empty-corpus) layouts
+    * read as-is. */
+  private def pqStoredCodes(spark: SparkSession, dir: String): DataFrame = {
+    val inferred = spark.read.parquet(s"$dir/codes")
+    if (inferred.columns.contains("pcell"))
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+          inferred.schema.map(f =>
+            if (f.name == "pcell")
+              f.copy(dataType = org.apache.spark.sql.types.StringType)
+            else f)))
+        .parquet(s"$dir/codes")
+    else inferred
+  }
+
+  /** [[ivfAdcTopK]] over the persisted tier — value-identical (shared
+    * [[adcScoreCells]] tail; the stored codebook/codes ARE the in-plan
+    * derivations, parquet-roundtripped): each query probes its own cell
+    * (the x14 contract — queries carry `cellCol`), the probe rows
+    * materialize once on the driver (|queries| rows — a serving-sized
+    * collect, the ivfSearchStored pattern), the probed cells become
+    * LITERAL pcell filters on the codes scan (listing-time pruning of
+    * the cell partition tree), and reconstruction joins the broadcast
+    * stored codebook. The probe side broadcasts explicitly (the corpus-
+    * side codes must stream at 100 TB). Point/serving probes only;
+    * batch analytical scoring goes through [[ivfAdcTopK]]. */
+  def ivfAdcSearchStored(spark: SparkSession, queries: DataFrame,
+                         dir: String, idCol: String, vecCol: String,
+                         cellCol: String, k: Int): DataFrame = {
+    val (nSub, _, nPlanes, _) = openPqIndex(spark, dir)
+    val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
+    val qDf = queries.select(col(cellCol), col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("pcell_lit", col(cellCol).cast("string"))
+    val qrows = qDf.collect()
+    val q = spark.createDataFrame(
+        spark.sparkContext.parallelize(qrows.toSeq, 1), qDf.schema)
+      .drop("pcell_lit")
+    val cellLits = qrows.map(_.getString(qDf.schema.length - 1))
+      .distinct.toSeq
+    val c0 = pqStoredCodes(spark, dir)
+    val partitioned = c0.columns.contains("pcell")
+    val cands = (
+      if (cellLits.isEmpty) c0.limit(0)
+      else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
+      else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
+      .crossJoin(broadcast(book))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        adcRecon(nSub, nPlanes).as("rv"))
+    adcScoreCells(broadcast(q), cands, cellCol, k)
+  }
+
+  /** The in-plan MULTIPROBE IVFADC twin ([[ivfAdcMultiprobeStored]]'s
+    * batch-analytics form): probe selection against an explicit centroid
+    * table (shared [[ivfProbes]] — each query ranks cells by centroid
+    * distance, keeps `nProbe`), ADC scoring over the probed cells'
+    * codes (shared [[adcScoreCells]]). This is the composition a query
+    * that does NOT carry its own cell runs — [[ivfAdcTopK]] is the
+    * own-cell special case. */
+  def ivfAdcTopKMultiprobe(queries: DataFrame, corpus: DataFrame,
+                           cells: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String, cellCol: String,
+                           k: Int, nProbe: Int,
+                           nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                           centroidFn: (DataFrame, String, String) => DataFrame =
+                             cellCentroids): DataFrame = {
+    val book = codebookToMap(
+      pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn))
+    val c = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+      .join(cells.select(col(idCol), col(cellCol)), idCol)
+      .crossJoin(broadcast(book))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        adcRecon(nSub, nPlanes).as("rv"))
+    adcScoreCells(
+      ivfProbes(queries, centroids, idCol, vecCol, cellCol, nProbe),
+      c, cellCol, k)
+  }
+
+  /** MULTIPROBE IVFADC over the persisted tier — the full production ANN
+    * composition in one stored call: probe selection against the STORED
+    * coarse centroids (shared [[ivfProbes]]; the artifact must have been
+    * written with `centroids = Some(...)`), the probed cells become
+    * LITERAL pcell filters on the code store (listing-time pruning), and
+    * ADC scores against the broadcast stored codebook (shared
+    * [[adcScoreCells]] — value-identical to [[ivfAdcTopKMultiprobe]]
+    * over the same frames). The probe rows materialize once on the
+    * driver (|queries|·nProbe rows — the ivfSearchStored pattern) and
+    * broadcast into the cell join; the code store streams. Point/serving
+    * probes only; batch scoring goes through [[ivfAdcTopKMultiprobe]]. */
+  def ivfAdcMultiprobeStored(spark: SparkSession, queries: DataFrame,
+                             dir: String, idCol: String, vecCol: String,
+                             cellCol: String, k: Int, nProbe: Int): DataFrame = {
+    val (nSub, _, nPlanes, _) = openPqIndex(spark, dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
+    val probesDf = ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe)
+      .withColumn("pcell_lit", col(cellCol).cast("string"))
+    val prows = probesDf.collect()
+    val probes = spark.createDataFrame(
+        spark.sparkContext.parallelize(prows.toSeq, 1), probesDf.schema)
+      .drop("pcell_lit")
+    val cellLits = prows.map(_.getString(probesDf.schema.length - 1))
+      .distinct.toSeq
+    val c0 = pqStoredCodes(spark, dir)
+    val partitioned = c0.columns.contains("pcell")
+    val cands = (
+      if (cellLits.isEmpty) c0.limit(0)
+      else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
+      else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
+      .crossJoin(broadcast(book))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        adcRecon(nSub, nPlanes).as("rv"))
+    adcScoreCells(broadcast(probes), cands, cellCol, k)
+  }
+
+  /** Two-stage PQ search over the persisted tier — the compressed-scan
+    * analog of [[sq8TopKStored]]: stage 1 scores exact queries against
+    * the ADC reconstruction of EVERY stored code (the compressed-tier
+    * contract — that 4 B/dim scan IS the index; no cell restriction, so
+    * recall is bounded by quantization alone, not probe choice) and
+    * shortlists `kShort`; stage 2 re-ranks by exact cosine against the
+    * raw vectors, pruned by LITERAL pbucket filters + a pushed In(id)
+    * (shared [[sq8Rerank]] tail). Output: (query_id, rank, neighbor_id,
+    * adc_sim, sim). Point/serving probes only. */
+  def pqTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
+                   idCol: String, vecCol: String, k: Int,
+                   kShort: Int = 20): DataFrame = {
+    val (nSub, _, nPlanes, buckets) = openPqIndex(spark, dir)
+    val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = pqStoredCodes(spark, dir)
+      .crossJoin(broadcast(book))
+      .select(col(idCol).as("neighbor_id"), adcRecon(nSub, nPlanes).as("rv"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_sim", round(dot(col("qv"), col("rv")), 6))
-    val w = Window.partitionBy(col("query_id"))
+    val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_sim"))
+    val shortDf = sims.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= kShort)
+      .select(col("query_id"), col("neighbor_id"), col("adc_sim"), col("qv"))
+    val shortRows = shortDf.collect()
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
+    val ids = shortRows.map(_.get(1)).distinct.toSeq
+    val idLongs = ids.map(_.asInstanceOf[Number].longValue)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    val partitioned = stored.columns.contains("pbucket")
+    val raw0 =
+      if (partitioned) stored.select(col("pbucket"),
+        col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      else stored.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+    val raw =
+      if (ids.isEmpty) raw0.limit(0).drop("pbucket")
+      else if (partitioned) raw0.filter(
+        col("pbucket").isin(
+          idLongs.map(i => (((i % buckets) + buckets) % buckets).toInt)
+            .distinct: _*)
+          && col("neighbor_id").isin(ids: _*))
+        .drop("pbucket")
+      else raw0.filter(col("neighbor_id").isin(ids: _*))
+    sq8Rerank(short, raw, k, stage1Col = "adc_sim")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by

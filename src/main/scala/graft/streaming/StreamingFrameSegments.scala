@@ -170,6 +170,72 @@ object StreamingIvfMaintenance {
   * under the same stats (spec-pinned) and tombstone deletes are exact.
   * Serve with `Cosine.sq8SearchCodes(queries, readLatest(spark, dir),
   * stats, …)`. */
+/** Streaming maintenance for the Matryoshka prefix index (the x20/x24b
+  * serving form driven from a stream): each micro-batch of finalized
+  * vectors lands as one immutable segment of (id, prefix, full) rows —
+  * prefix computed map-side under the PINNED geometry (p, and optionally
+  * the stored artifact's rotation: never retrained per batch, exactly
+  * the SQ8 stats contract above), so unioned segments equal the one-pass
+  * derivation of everything streamed and tombstone deletes are exact.
+  * [[publish]] ships the live frame into the pruned serving layout
+  * (`prefixTopKStored`'s pbucket partition tree + sidecar), carrying the
+  * pinned rotation forward. */
+object StreamingPrefixMaintenance {
+
+  private def prefixExpr(vecCol: String, p: Int,
+                         rotation: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    if (rotation.isEmpty)
+      org.apache.spark.sql.functions.slice(
+        graft.similarity.Cosine.toDouble(col(vecCol)), 1, p)
+    else graft.similarity.Cosine.rotatedPrefix(
+      graft.similarity.Cosine.toDouble(col(vecCol)), rotation)
+
+  def rowSink(spark: SparkSession, dir: String, idCol: String,
+              vecCol: String, p: Int,
+              rotation: Seq[Seq[Double]] = Nil, maxSegments: Int = 8)(
+              batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments)(
+      batch.select(col(idCol), prefixExpr(vecCol, p, rotation).as("prefix"),
+        col(vecCol).as("full")))
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  /** Tombstone a batch of vector ids ([[FrameSegments.deleteFold]]) —
+    * prefix rows are per-document pure, so the id anti-join is exact. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+
+  /** PUBLISH the streamed store into the pruned serving layout (the
+    * StreamingIvfMaintenance.publish cadence contract): the live
+    * (id, prefix, full) frame lands pbucket-partitioned with the
+    * matching sidecar — `prefix_rot_config` + the pinned rotation store
+    * when the stream was rotated, the plain `prefix_config` otherwise —
+    * so `prefixTopKStored` serves it exactly like a batch-built
+    * artifact. `servingDir` must not be the segment store itself. */
+  def publish(spark: SparkSession, dir: String, idCol: String, p: Int,
+              servingDir: String, rotation: Seq[Seq[Double]] = Nil): Unit = {
+    graft.similarity.Cosine.writePrefixRows(
+      readLatest(spark, dir), idCol, servingDir)
+    if (rotation.isEmpty)
+      graft.ops.ConfigFile.writeAtomic(servingDir, "prefix_config",
+        Seq(p, graft.similarity.Cosine.PrefixBuckets))
+    else {
+      graft.similarity.Cosine.writeRotationStore(spark, rotation, servingDir)
+      graft.ops.ConfigFile.writeAtomic(servingDir, "prefix_rot_config",
+        Seq(p, graft.similarity.Cosine.PrefixBuckets,
+          graft.similarity.Cosine.rotationFp(spark, servingDir)))
+    }
+  }
+}
+
 object StreamingSq8Maintenance {
 
   def codeSink(spark: SparkSession, dir: String, idCol: String,

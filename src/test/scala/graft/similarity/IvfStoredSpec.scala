@@ -74,6 +74,39 @@ class IvfStoredSpec extends SparkSpec {
       "probe side should broadcast into the cell join")
   }
 
+  test("numeric-LOOKING string cells survive the partition-column roundtrip") {
+    // bare parquet reads re-type partition directory values by inference
+    // ("007" → int 7), after which pcell-vs-string-literal comparisons
+    // ride whichever way Catalyst's IN coercion happens to cast — a
+    // version-sensitive accident (cast toward string drops every
+    // zero-padded cell; it also merges distinct "007"/"7" directories).
+    // ivfSearchStored pins pcell back to string with an explicit read
+    // schema so no coercion is involved at all; this spec pins the
+    // roundtrip: zero-padded string cell labels must serve exactly the
+    // in-plan search's rows.
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("slabel", format_string("%03d", col("label")))
+    val cents = Cosine.cellCentroidsSorted(emb, "slabel", "embedding")
+    val cells = emb.select(col("vec_id"), col("slabel"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfstrcell").toString
+    Cosine.writeIvfIndex(emb.select(col("vec_id"), col("embedding")), cells,
+      cents, "vec_id", "embedding", "slabel", dir)
+    // the on-disk layout must actually contain zero-padded directories —
+    // otherwise this fixture proves nothing
+    assert(new java.io.File(s"$dir/lists").listFiles()
+        .exists(_.getName.matches("pcell=0\\d+")),
+      "fixture lost its zero-padded directory names")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val stored = Cosine.ivfSearchStored(spark, queries, dir, "vec_id",
+      "embedding", "slabel", k = 5, nProbe = 3)
+    val inplan = Cosine.ivfSearchIndex(queries,
+      emb.select(col("vec_id"), col("embedding")), cells, cents,
+      "vec_id", "embedding", "slabel", k = 5, nProbe = 3)
+    assert(stored.count() > 0, "string-cell stored search served nothing")
+    assert(stored.collect().toSet == inplan.collect().toSet)
+  }
+
   test("torn re-train fails loudly: changed centroids under a stale sidecar") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")

@@ -186,6 +186,50 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     cents.unpersist()
   }
 
+  test("prefix: streamed rotated segments == one-pass derivation; publish serves pruned") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    // rotation pinned from an 80% base — the streamed waves include the
+    // rest, proving the sink derives under the PINNED basis, never
+    // retrains per batch (the SQ8 stats contract)
+    val rot = Cosine.moment2Rotation(emb.filter(col("vec_id") % 5 =!= 4),
+      "embedding", p = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spref").toString
+    val sink = StreamingPrefixMaintenance.rowSink(sp, dir, "vec_id",
+      "embedding", p = 16, rotation = rot, maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(StreamingPrefixMaintenance.latestMaxBatch(dir) == 2L)
+    val got = StreamingPrefixMaintenance.readLatest(sp, dir)
+    val want = emb.select(col("vec_id"),
+      Cosine.rotatedPrefix(Cosine.toDouble(col("embedding")), rot).as("prefix"),
+      col("embedding").as("full"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed prefix rows != one-pass derivation under the pinned rotation")
+    // compaction tripped (3 > 2); re-delivery stays a no-op
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    // tombstone, then PUBLISH into the pruned serving layout
+    StreamingPrefixMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 3L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_spref_s").toString
+    StreamingPrefixMaintenance.publish(sp, dir, "vec_id", p = 16, serving,
+      rotation = rot)
+    assert(new java.io.File(s"$serving/vectors").listFiles()
+      .exists(_.getName.startsWith("pbucket=")), "publish must lay out the bucket tree")
+    val queries = emb.filter(col("vec_id") < 3)
+    val pruned = Cosine.prefixTopKStored(sp, queries, serving,
+      "vec_id", "embedding", k = 3, kShort = 8)
+    val live = Cosine.prefixTopKRotated(queries,
+      emb.filter(col("vec_id") =!= 7L), "vec_id", "embedding", rot,
+      k = 3, kShort = 8)
+    assert(pruned.count() > 0)
+    assert(pruned.collect().toSet == live.collect().toSet)
+    assert(pruned.filter(col("neighbor_id") === 7L).count() == 0)
+  }
+
   test("IVF publish: streamed cells -> pruned per-cell serving artifact, search-identical") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
