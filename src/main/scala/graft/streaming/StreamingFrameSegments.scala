@@ -170,6 +170,71 @@ object StreamingIvfMaintenance {
   * under the same stats (spec-pinned) and tombstone deletes are exact.
   * Serve with `Cosine.sq8SearchCodes(queries, readLatest(spark, dir),
   * stats, …)`. */
+/** Streaming maintenance for the PQ code store (the x26/x28 serving form
+  * driven from a stream): each micro-batch of finalized vectors lands as
+  * one immutable segment of (id, codes, cell) rows — codes are a pure
+  * per-document function of the vector under the FIXED deterministic
+  * hyperplanes (no codebook involved in coding; the codebook only enters
+  * at reconstruction), and the cell assignment runs map-side against the
+  * STORED coarse centroids (no retraining — the IVF sink's contract). So
+  * unioned segments equal the one-pass derivation of everything streamed
+  * and tombstone deletes are exact. [[publish]] ships the live corpus
+  * into the full [[graft.similarity.Cosine.writePqIndex]] serving
+  * artifact on snapshot cadence (the codebook — a per-(subspace, code)
+  * mean, one corpus pass — retrains from the published corpus there,
+  * which is the rebuild-per-release semantic of a corpus-derived
+  * statistic). */
+object StreamingPqMaintenance {
+
+  def codeSink(spark: SparkSession, dir: String, idCol: String,
+               vecCol: String, centroids: DataFrame, cellCol: String,
+               nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+               maxSegments: Int = 8)(batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments)(
+      graft.similarity.Cosine
+        .pqCodes(batch, idCol, vecCol, nSub, subDim, nPlanes)
+        .join(graft.similarity.Cosine
+          .assignToCentroids(batch, idCol, vecCol, centroids, cellCol)
+          .select(col(idCol), col("assigned_cell").as(cellCol)), Seq(idCol)))
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  /** Tombstone a batch of vector ids ([[FrameSegments.deleteFold]]) —
+    * code rows are per-document pure, so the id anti-join is exact. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+
+  /** PUBLISH the streamed store into the full stored PQ tier: the live
+    * ids (segments ∪ minus tombstones) select their vectors, and
+    * [[graft.similarity.Cosine.writePqIndex]] lays out codebook +
+    * cell-partitioned codes + rerank vectors + centroids under the
+    * commit sidecar (codes are pure functions of the vectors under the
+    * fixed planes, so re-deriving them in the one-pass write equals the
+    * streamed rows — the spec pins it). `servingDir` must not be the
+    * segment store itself. */
+  def publish(spark: SparkSession, dir: String, vectors: DataFrame,
+              centroids: DataFrame, idCol: String, vecCol: String,
+              cellCol: String, servingDir: String,
+              nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+              centroidFn: (DataFrame, String, String) => DataFrame =
+                graft.similarity.Cosine.cellCentroids): Unit = {
+    val live = readLatest(spark, dir)
+    val corpus = vectors.join(live.select(col(idCol)), Seq(idCol), "left_semi")
+    graft.similarity.Cosine.writePqIndex(corpus,
+      live.select(col(idCol), col(cellCol)), idCol, vecCol, cellCol,
+      servingDir, nSub, subDim, nPlanes, centroidFn,
+      centroids = Some(centroids))
+  }
+}
+
 /** Streaming maintenance for the Matryoshka prefix index (the x20/x24b
   * serving form driven from a stream): each micro-batch of finalized
   * vectors lands as one immutable segment of (id, prefix, full) rows —

@@ -186,6 +186,54 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     cents.unpersist()
   }
 
+  test("PQ: streamed code segments == one-pass derivation; publish serves the stored tier") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spq").toString
+    val sink = StreamingPqMaintenance.codeSink(sp, dir, "vec_id",
+      "embedding", cents, "label", maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    assert(StreamingPqMaintenance.latestMaxBatch(dir) == 2L)
+    val got = StreamingPqMaintenance.readLatest(sp, dir)
+    val want = Cosine.pqCodes(emb, "vec_id", "embedding")
+      .join(Cosine.assignToCentroids(emb, "vec_id", "embedding", cents, "label")
+        .select(col("vec_id"), col("assigned_cell").as("label")), Seq("vec_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed PQ code rows != one-pass derivation")
+    assert(Segments.latest(dir).get.segments == Seq("cmp2"))
+    // tombstone, then publish into the FULL stored tier
+    StreamingPqMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 3L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_spq_s").toString
+    StreamingPqMaintenance.publish(sp, dir, emb, cents,
+      "vec_id", "embedding", "label", serving,
+      centroidFn = Cosine.cellCentroidsSorted)
+    assert(new java.io.File(s"$serving/codes").listFiles()
+      .exists(_.getName.startsWith("pcell=")), "publish must lay out the cell tree")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val pruned = Cosine.ivfAdcMultiprobeStored(sp, queries, serving,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    val liveEmb = emb.filter(col("vec_id") =!= 7L)
+    // the twin's cells must be the ASSIGNED cells (the sink assigns
+    // against the stored centroids), not the fixture's raw labels
+    val liveCells = Cosine.assignToCentroids(liveEmb, "vec_id", "embedding",
+        cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    val inplan = Cosine.ivfAdcTopKMultiprobe(queries, liveEmb,
+      liveCells, cents,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2,
+      centroidFn = Cosine.cellCentroidsSorted)
+    assert(pruned.count() > 0)
+    assert(pruned.collect().toSet == inplan.collect().toSet)
+    assert(pruned.filter(col("neighbor_id") === 7L).count() == 0)
+    cents.unpersist()
+  }
+
   test("prefix: streamed rotated segments == one-pass derivation; publish serves pruned") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
