@@ -42,8 +42,10 @@ private[queries] object GateArtifacts {
           // mistaken for a servable layout by a later open
           try {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            val walk = java.nio.file.Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
           } catch { case _: java.io.IOException => () }
           throw e
       }

@@ -579,23 +579,11 @@ object Cosine {
       .drop("pcell_lit")
     val cellLits = prows.map(_.getString(probesDf.schema.length - 1))
       .distinct.toSeq
-    // pcell is WRITTEN as a string directory key, but bare parquet reads
-    // re-type partition-column values by inference ("007" → int 7,
-    // "1e3" → double 1000.0) — and a re-typed pcell no longer equals the
-    // probe's string literal, silently dropping candidates for
-    // numeric-LOOKING string cells. Pin pcell back to string with an
-    // explicit read schema (data columns keep their inferred types).
-    val inferred = spark.read.parquet(s"$dir/lists")
-    val partitioned = inferred.columns.contains("pcell")
-    val l0 =
-      if (partitioned)
-        spark.read.schema(org.apache.spark.sql.types.StructType(
-            inferred.schema.map(f =>
-              if (f.name == "pcell")
-                f.copy(dataType = org.apache.spark.sql.types.StringType)
-              else f)))
-          .parquet(s"$dir/lists")
-      else inferred
+    // pcell is WRITTEN as a string directory key; pin it back to string
+    // on read (shared [[pinnedStringPartitionRead]] — the inference
+    // re-typing lesson, one body for every string-keyed layout)
+    val l0 = pinnedStringPartitionRead(spark, s"$dir/lists", "pcell")
+    val partitioned = l0.columns.contains("pcell")
     val cands0 = (
       if (cellLits.isEmpty) l0.limit(0)
       else if (partitioned) l0.filter(col("pcell").isin(cellLits: _*))
@@ -1260,11 +1248,34 @@ object Cosine {
 
   def writePrefixIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        p: Int, dir: String): Unit = {
+    // a prefix dir holds AT MOST one sidecar family: rebuilding a
+    // previously-ROTATED dir with this unrotated writer must first
+    // retire the rotated sidecar + rotation store, or prefixTopKStored
+    // (which prefers prefix_rot_config) would rotate probes against the
+    // fresh RAW prefixes — silently garbage psim. Deleting the sidecar
+    // FIRST keeps every crash window loud: no sidecar at all reads as a
+    // missing-config failure, never a mixed-family artifact.
+    dropPrefixFamily(corpus.sparkSession, dir, "prefix_rot_config",
+      dropRotation = true)
     writePrefixRows(corpus.select(col(idCol),
       slice(col(vecCol), 1, p).as("prefix"), col(vecCol).as("full")),
       idCol, dir)
     graft.ops.ConfigFile.writeAtomic(dir, "prefix_config",
       Seq(p, PrefixBuckets))
+  }
+
+  /** Retire the OTHER sidecar family before a prefix-layout rewrite —
+    * shared by both writers and the streamed publish. */
+  private[graft] def dropPrefixFamily(spark: SparkSession, dir: String,
+                                      sidecar: String,
+                                      dropRotation: Boolean): Unit = {
+    val cfgPath = java.nio.file.Paths.get(dir, sidecar)
+    java.nio.file.Files.deleteIfExists(cfgPath)
+    if (dropRotation) {
+      val rot = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+      val fs = rot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rot)) fs.delete(rot, true)
+    }
   }
 
   /** Train the prefix ROTATION for non-MRL embeddings — the engine's
@@ -1287,16 +1298,24 @@ object Cosine {
     * dim-vector); empty corpus → Nil (no rotation derivable). */
   def moment2Rotation(corpus: DataFrame, vecCol: String, p: Int): Seq[Seq[Double]] = {
     val v = toDouble(col(vecCol))
+    // slot 0 carries a per-row 1.0 so the SAME pass yields the row count
+    // (slots 1.. are the flattened outer product)
     val sums = corpus
-      .select(posexplode(flatten(transform(v,
-        x => transform(v, y => x * y)))).as(Seq("pos", "x")))
+      .select(posexplode(concat(array(lit(1.0d)), flatten(transform(v,
+        x => transform(v, y => x * y))))).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(sum(col("x")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     if (sums.isEmpty) Nil
     else {
-      val dim = math.sqrt(sums.size.toDouble).round.toInt
-      require(dim * dim == sums.size, s"non-square moment frame: ${sums.size}")
-      val m = Array.tabulate(dim, dim)((i, j) => sums(i * dim + j))
+      val dim = math.sqrt((sums.size - 1).toDouble).round.toInt
+      require(dim * dim == sums.size - 1,
+        s"non-square moment frame: ${sums.size - 1}")
+      // normalize by the corpus size (eigenvectors unchanged) so the
+      // eigensolver's convergence scale is data-magnitude, not N —
+      // unnormalized sums grow with the corpus and would keep the
+      // off-diagonal norm above any absolute floor forever
+      val nRows = sums(0).max(1.0)
+      val m = Array.tabulate(dim, dim)((i, j) => sums(1 + i * dim + j) / nRows)
       EigSym.leadingColumns(m, p)
     }
   }
@@ -1341,6 +1360,9 @@ object Cosine {
                               vecCol: String, p: Int,
                               dir: String): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
+    // retire the UNROTATED sidecar first (see writePrefixIndex — the
+    // same mixed-family hazard in the other direction)
+    dropPrefixFamily(spark, dir, "prefix_config", dropRotation = false)
     writeRotationStore(spark, moment2Rotation(corpus, vecCol, p), dir)
     val rot = readRotation(spark, dir)
     val pref =
@@ -1436,22 +1458,23 @@ object Cosine {
     // leaves the stored prefix column at a width the config no longer
     // describes — zip_with would then null-pad every stage-1 dot product
     // and the shortlist silently degenerates. Validate one row per
-    // pbucket DIRECTORY (a bucket-bounded aggregate — a single unordered
-    // sample could land in an already-rewritten directory and wave the
-    // torn remainder through); the flat layout is the zero-row empty
-    // edge, where first() over no groups checks nothing and serves
-    // nothing. Paid once per (dir, p) in this process.
+    // pbucket DIRECTORY (PartitionSample: ≤ bucket-count independent
+    // limit(1) scans — a single unordered sample could land in an
+    // already-rewritten directory and wave the torn remainder through,
+    // a whole-store aggregate would scan every row first-probe); the
+    // flat layout is the zero-row empty edge, where one limit(1) checks
+    // nothing and serves nothing. Paid once per (dir, p) per process.
     if (!validatedPrefix.contains((dir, p))) {
-      val widths =
+      val widths: Seq[(String, Int)] =
         if (partitioned)
-          stored.groupBy(col("pbucket"))
-            .agg(first(size(col("prefix"))).as("w"))
-            .select(col("w"), col("pbucket").cast("string"))
+          graft.ops.PartitionSample.firstRows(spark, s"$dir/vectors", "pbucket")(
+            _.select(size(col("prefix")))).map { case (v, r) => (v, r.getInt(0)) }
         else
-          stored.select(size(col("prefix")).as("w"), lit("flat")).limit(1)
-      widths.collect().foreach(r => require(r.getInt(0) == p,
-        s"stored prefix at $dir (partition ${r.getString(1)}) is " +
-          s"${r.getInt(0)} dims but prefix_config claims $p — torn artifact"))
+          stored.select(size(col("prefix"))).limit(1).collect()
+            .map(r => ("flat", r.getInt(0))).toSeq
+      widths.foreach { case (pd, w) => require(w == p,
+        s"stored prefix at $dir (partition $pd) is $w dims but the " +
+          s"config claims $p — torn artifact") }
       validatedPrefix.add((dir, p))
     }
     val cPref = stored.select(col(idCol).as("neighbor_id"),
@@ -1682,10 +1705,14 @@ object Cosine {
           pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("pbucket")
         .parquet(s"$dir/vectors")
+    // the presence FLAG is its own slot: a fingerprint of 0 is a legal
+    // value (empty centroid frame, 1-in-1e9 hash sum), so overloading 0
+    // as "no centroids" would silently skip the torn-centroid check
     graft.ops.ConfigFile.writeAtomic(dir, "pq_commit",
       Seq(nSub, subDim, nPlanes, PrefixBuckets,
         (nCodes % 1000000000L).toInt, pqCodebookFp(spark, dir),
-        if (centroids.isDefined) centroidFp(spark, dir, cellCol) else 0))
+        if (centroids.isDefined) centroidFp(spark, dir, cellCol) else 0,
+        if (centroids.isDefined) 1 else 0))
   }
 
   /** Content fingerprint of the WRITTEN codebook parquet (order-free sum
@@ -1708,7 +1735,7 @@ object Cosine {
     * codes count and codebook fingerprint against the sidecar, once per
     * (dir, sidecar) in this process. */
   private def openPqIndex(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
-    val cfg = graft.ops.ConfigFile.readInts(dir, "pq_commit", 7)
+    val cfg = graft.ops.ConfigFile.readInts(dir, "pq_commit", 8)
     if (!validatedPq.contains((dir, cfg))) {
       val nc = (spark.read.parquet(s"$dir/codes").count() % 1000000000L).toInt
       val fp = pqCodebookFp(spark, dir)
@@ -1716,7 +1743,7 @@ object Cosine {
         s"stored PQ index at $dir does not match its commit sidecar " +
           s"(codes $nc vs ${cfg(4)}, codebook fp $fp vs ${cfg(5)}) — " +
           "torn artifact: re-run writePqIndex")
-      if (cfg(6) != 0) {
+      if (cfg(7) == 1) {
         // the centroid store's cell column is whichever one is neither
         // dim nor centroid — inferred so every open form can validate
         val cellName = spark.read.parquet(s"$dir/centroids").columns
@@ -1731,20 +1758,60 @@ object Cosine {
     (cfg.head, cfg(1), cfg(2), cfg(3))
   }
 
-  /** The stored codes table with `pcell` pinned back to STRING — bare
-    * reads re-type partition directory values by inference ("007" →
-    * int 7), the ivfSearchStored lesson. Flat (empty-corpus) layouts
-    * read as-is. */
-  private def pqStoredCodes(spark: SparkSession, dir: String): DataFrame = {
-    val inferred = spark.read.parquet(s"$dir/codes")
-    if (inferred.columns.contains("pcell"))
+  /** Read a partitioned store with `partCol` pinned back to STRING —
+    * bare reads re-type partition directory values by inference
+    * ("007" → int 7), after which string-literal filters ride whichever
+    * way coercion casts (version-sensitive) and distinct "007"/"7"
+    * directories merge. ONE body for every string-keyed stored layout
+    * (IVF lists, PQ codes) so a future partition-typing fix cannot
+    * miss a path. Flat (empty-corpus) layouts read as-is. */
+  private def pinnedStringPartitionRead(spark: SparkSession, path: String,
+                                        partCol: String): DataFrame = {
+    val inferred = spark.read.parquet(path)
+    if (inferred.columns.contains(partCol))
       spark.read.schema(org.apache.spark.sql.types.StructType(
           inferred.schema.map(f =>
-            if (f.name == "pcell")
+            if (f.name == partCol)
               f.copy(dataType = org.apache.spark.sql.types.StringType)
             else f)))
-        .parquet(s"$dir/codes")
+        .parquet(path)
     else inferred
+  }
+
+  /** Materialize a serving-sized probe frame ONCE on the driver and hand
+    * back (re-parallelized frame, distinct pcell literals) — the
+    * collect-once recipe every cell-pruned stored search shares: the
+    * literal partition filters and the join side must come from the
+    * SAME materialized rows. The input must carry `cellCol`. */
+  private def collectProbeFrame(spark: SparkSession, probe: DataFrame,
+                                cellCol: String): (DataFrame, Seq[String]) = {
+    val withLit = probe.withColumn("pcell_lit", col(cellCol).cast("string"))
+    val rows = withLit.collect()
+    val frame = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), withLit.schema)
+      .drop("pcell_lit")
+    (frame, rows.map(_.getString(withLit.schema.length - 1)).distinct.toSeq)
+  }
+
+  /** Pruned, reconstructed ADC candidate frame over the stored code
+    * tree — shared by the own-cell ([[ivfAdcSearchStored]]) and
+    * multiprobe ([[ivfAdcMultiprobeStored]]) serving searches: probed
+    * cells become LITERAL pcell filters (flat layouts fall back to a
+    * data-column filter), reconstruction joins the broadcast stored
+    * codebook. */
+  private def prunedAdcCandidates(spark: SparkSession, dir: String,
+                                  idCol: String, cellCol: String,
+                                  cellLits: Seq[String],
+                                  nSub: Int, nPlanes: Int): DataFrame = {
+    val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
+    val c0 = pinnedStringPartitionRead(spark, s"$dir/codes", "pcell")
+    val partitioned = c0.columns.contains("pcell")
+    (if (cellLits.isEmpty) c0.limit(0)
+     else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
+     else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
+      .crossJoin(broadcast(book))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        adcRecon(nSub, nPlanes).as("rv"))
   }
 
   /** [[ivfAdcTopK]] over the persisted tier — value-identical (shared
@@ -1762,26 +1829,12 @@ object Cosine {
                          dir: String, idCol: String, vecCol: String,
                          cellCol: String, k: Int): DataFrame = {
     val (nSub, _, nPlanes, _) = openPqIndex(spark, dir)
-    val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
-    val qDf = queries.select(col(cellCol), col(idCol).as("query_id"),
-        toDouble(col(vecCol)).as("qv"))
-      .withColumn("pcell_lit", col(cellCol).cast("string"))
-    val qrows = qDf.collect()
-    val q = spark.createDataFrame(
-        spark.sparkContext.parallelize(qrows.toSeq, 1), qDf.schema)
-      .drop("pcell_lit")
-    val cellLits = qrows.map(_.getString(qDf.schema.length - 1))
-      .distinct.toSeq
-    val c0 = pqStoredCodes(spark, dir)
-    val partitioned = c0.columns.contains("pcell")
-    val cands = (
-      if (cellLits.isEmpty) c0.limit(0)
-      else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
-      else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
-      .crossJoin(broadcast(book))
-      .select(col(cellCol), col(idCol).as("neighbor_id"),
-        adcRecon(nSub, nPlanes).as("rv"))
-    adcScoreCells(broadcast(q), cands, cellCol, k)
+    val (q, cellLits) = collectProbeFrame(spark,
+      queries.select(col(cellCol), col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv")), cellCol)
+    adcScoreCells(broadcast(q),
+      prunedAdcCandidates(spark, dir, idCol, cellCol, cellLits, nSub, nPlanes),
+      cellCol, k)
   }
 
   /** The in-plan MULTIPROBE IVFADC twin ([[ivfAdcMultiprobeStored]]'s
@@ -1826,25 +1879,11 @@ object Cosine {
                              cellCol: String, k: Int, nProbe: Int): DataFrame = {
     val (nSub, _, nPlanes, _) = openPqIndex(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
-    val probesDf = ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe)
-      .withColumn("pcell_lit", col(cellCol).cast("string"))
-    val prows = probesDf.collect()
-    val probes = spark.createDataFrame(
-        spark.sparkContext.parallelize(prows.toSeq, 1), probesDf.schema)
-      .drop("pcell_lit")
-    val cellLits = prows.map(_.getString(probesDf.schema.length - 1))
-      .distinct.toSeq
-    val c0 = pqStoredCodes(spark, dir)
-    val partitioned = c0.columns.contains("pcell")
-    val cands = (
-      if (cellLits.isEmpty) c0.limit(0)
-      else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
-      else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
-      .crossJoin(broadcast(book))
-      .select(col(cellCol), col(idCol).as("neighbor_id"),
-        adcRecon(nSub, nPlanes).as("rv"))
-    adcScoreCells(broadcast(probes), cands, cellCol, k)
+    val (probes, cellLits) = collectProbeFrame(spark,
+      ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe), cellCol)
+    adcScoreCells(broadcast(probes),
+      prunedAdcCandidates(spark, dir, idCol, cellCol, cellLits, nSub, nPlanes),
+      cellCol, k)
   }
 
   /** Two-stage PQ search over the persisted tier — the compressed-scan
@@ -1863,7 +1902,7 @@ object Cosine {
     val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-    val c = pqStoredCodes(spark, dir)
+    val c = pinnedStringPartitionRead(spark, s"$dir/codes", "pcell")
       .crossJoin(broadcast(book))
       .select(col(idCol).as("neighbor_id"), adcRecon(nSub, nPlanes).as("rv"))
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))

@@ -27,8 +27,20 @@ object EigSym {
       while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
       s
     }
+    // RELATIVE convergence floor: `tol` scales by the input's squared
+    // Frobenius norm, so a matrix of large-magnitude entries (an
+    // unnormalized moment sum, a covariance in big units) converges in
+    // the usual ~8-12 sweeps instead of burning every sweep against an
+    // absolute floor its rounding noise can never reach. A zero matrix
+    // (normF2 = 0) exits immediately.
+    val normF2 = {
+      var s = 0.0; var i = 0
+      while (i < n) { var j = 0; while (j < n) { s += m(i)(j) * m(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val floor = tol * normF2
     var sweep = 0
-    while (sweep < maxSweeps && off() > tol) {
+    while (sweep < maxSweeps && off() > floor) {
       var p = 0
       while (p < n - 1) {
         var q = p + 1

@@ -287,6 +287,17 @@ object StreamingPrefixMaintenance {
     * artifact. `servingDir` must not be the segment store itself. */
   def publish(spark: SparkSession, dir: String, idCol: String, p: Int,
               servingDir: String, rotation: Seq[Seq[Double]] = Nil): Unit = {
+    // retire the OTHER sidecar family first (the writePrefixIndex /
+    // writeRotatedPrefixIndex contract): republishing unrotated onto a
+    // previously-rotated servingDir must not leave a stale
+    // prefix_rot_config + rotation store that would rotate probes
+    // against raw prefixes
+    if (rotation.isEmpty)
+      graft.similarity.Cosine.dropPrefixFamily(spark, servingDir,
+        "prefix_rot_config", dropRotation = true)
+    else
+      graft.similarity.Cosine.dropPrefixFamily(spark, servingDir,
+        "prefix_config", dropRotation = false)
     graft.similarity.Cosine.writePrefixRows(
       readLatest(spark, dir), idCol, servingDir)
     if (rotation.isEmpty)

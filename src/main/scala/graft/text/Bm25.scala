@@ -231,19 +231,21 @@ object Bm25 {
     // torn-artifact guard: a crashed in-place rewrite can leave postings
     // bucketed under a DIFFERENT modulus than the config claims — the
     // bucket filter would then silently prune real postings. Validate
-    // one row per tbucket DIRECTORY (a modulus-bounded aggregate, ≤ mod
-    // rows to the driver): a single unordered sample could land in a
+    // one row per tbucket DIRECTORY (PartitionSample: ≤ mod independent
+    // limit(1) scans — a single unordered sample could land in a
     // directory the partial rewrite already re-bucketed and wave the
-    // torn remainder through. Paid once per (dir, modulus).
+    // torn remainder through, while a whole-store aggregate would pay a
+    // first-probe scan proportional to CORPUS size). Paid once per
+    // (dir, modulus).
     if (partitioned && !validatedPostings.contains((dir, mod))) {
-      p0.groupBy(col("tbucket")).agg(first(col("term")).as("t"))
-        .select(col("tbucket"),
-          pmod(xxhash64(col("t")), lit(mod.toLong)).cast("int").as("want"))
-        .collect()
-        .foreach(r => require(r.getInt(0) == r.getInt(1),
-          s"stored postings at $dir: directory tbucket=${r.getInt(0)} " +
-            s"holds terms bucketed as ${r.getInt(1)} under the config's " +
-            s"modulus $mod — torn artifact"))
+      graft.ops.PartitionSample.firstRows(spark, s"$dir/postings", "tbucket")(
+          _.select(pmod(xxhash64(col("term")), lit(mod.toLong)).cast("int")))
+        .foreach { case (dirVal, r) =>
+          require(dirVal.toInt == r.getInt(0),
+            s"stored postings at $dir: directory tbucket=$dirVal holds " +
+              s"terms bucketed as ${r.getInt(0)} under the config's " +
+              s"modulus $mod — torn artifact")
+        }
       validatedPostings.add((dir, mod))
     }
     val toks = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")

@@ -103,6 +103,31 @@ class PrefixRotationSpec extends SparkSpec {
     assert(e.getMessage.contains("torn artifact"))
   }
 
+  test("rebuilding across sidecar families retires the stale one") {
+    // rebuilding a previously-ROTATED dir with the UNROTATED writer must
+    // not leave prefix_rot_config + rotation/ behind: prefixTopKStored
+    // prefers the rotated sidecar, and a stale one would rotate probes
+    // against the fresh RAW prefixes — silently garbage stage-1 scores
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("preffam").toString
+    Cosine.writeRotatedPrefixIndex(emb, "vec_id", "embedding", p = 16, dir)
+    Cosine.writePrefixIndex(emb, "vec_id", "embedding", p = 16, dir)
+    assert(!graft.ops.ConfigFile.exists(dir, "prefix_rot_config"),
+      "stale rotated sidecar survived the unrotated rebuild")
+    assert(!new java.io.File(s"$dir/rotation").exists(),
+      "stale rotation store survived the unrotated rebuild")
+    val stored = Cosine.prefixTopKStored(spark, queries, dir,
+      "vec_id", "embedding", k = 5, kShort = 20)
+    val inline = Cosine.prefixTopK(queries, emb, "vec_id", "embedding",
+      p = 16, k = 5, kShort = 20)
+    assert(stored.collect().toSet == inline.collect().toSet)
+    // and back: the rotated writer retires the plain sidecar
+    Cosine.writeRotatedPrefixIndex(emb, "vec_id", "embedding", p = 16, dir)
+    assert(!graft.ops.ConfigFile.exists(dir, "prefix_config"),
+      "stale plain sidecar survived the rotated rebuild")
+  }
+
   test("empty corpus: rotated writer degrades to a readable unrotated layout") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val none = emb.filter(lit(false))
