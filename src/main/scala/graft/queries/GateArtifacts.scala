@@ -40,13 +40,17 @@ private[queries] object GateArtifacts {
         case e: Throwable =>
           // a half-built artifact must not survive to be memoized or
           // mistaken for a servable layout by a later open
+          // the cleanup must never mask the BUILD failure: walk-stream
+          // iteration surfaces I/O errors as UncheckedIOException (not
+          // IOException), so swallow every non-fatal cleanup error and
+          // always rethrow the original
           try {
             import scala.jdk.CollectionConverters._
             val walk = java.nio.file.Files.walk(p)
             try walk.iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
             finally walk.close()
-          } catch { case _: java.io.IOException => () }
+          } catch { case scala.util.control.NonFatal(_) => () }
           throw e
       }
     })

@@ -1552,8 +1552,14 @@ object SimilarityQueries extends QueryPack {
          |$annExactTruthCtes
          |$annMetricTailSql""".stripMargin,
     // x24b: x24's chain with stage 1 in the STASHED trained basis —
-    // each rotated-prefix component is one literal dot product
+    // each rotated-prefix component is one literal dot product. An
+    // EMPTY stash (oracle rendered before the gate ran in this process)
+    // must replay LOUDLY, never as a structurally-valid [] basis whose
+    // NULL psims would read as a mysterious hash mismatch.
     "x24b_prefix_rotated_recall" ->
+      (if (lastPrefixRotation.isEmpty)
+        "SELECT error('x24b: rotation not stashed — run the gate before its oracle')"
+      else
       s"""WITH $vCte,
          |pv AS (SELECT vec_id, [${lastPrefixRotation.map(r =>
              s"list_dot_product(emb, [${r.mkString(", ")}])").mkString(", ")}] AS pemb
@@ -1571,7 +1577,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM s1),
          |$annRerankCtes
          |$annExactTruthCtes
-         |$annMetricTailSql""".stripMargin,
+         |$annMetricTailSql""".stripMargin),
     "x11_embedding_stats" ->
       s"""WITH $vCte,
          |e AS (SELECT t.i AS dim, emb[t.i] AS x

@@ -1055,14 +1055,7 @@ object Cosine {
     val statsDisk = spark.read.parquet(s"$dir/stats")
     sq8PackedCodes(corpus, statsDisk, idCol, vecCol, dim)
       .write.mode("overwrite").parquet(s"$dir/codes")
-    val rows = corpus.select(col(idCol), col(vecCol))
-    if (rows.isEmpty)
-      rows.write.mode("overwrite").parquet(s"$dir/vectors")
-    else
-      rows.withColumn("pbucket",
-          pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("pbucket")
-        .parquet(s"$dir/vectors")
+    writePrefixRows(corpus.select(col(idCol), col(vecCol)), idCol, dir)
     graft.ops.ConfigFile.writeAtomic(dir, "sq8_config",
       Seq(dim, PrefixBuckets, sq8StatsFp(spark, dir)))
   }
@@ -1231,10 +1224,13 @@ object Cosine {
     * value-identity spec-pinned. Empty corpus writes unpartitioned
     * (partitionBy writes no dirs for zero rows — the RepIndex.write
     * edge), and [[prefixTopKStored]] degrades to the unpruned join. */
-  /** The shared (id, prefix, full) vectors-table writer every prefix
+  /** The shared id-bucketed vectors-table writer every rerank-capable
     * artifact rides ([[writePrefixIndex]], [[writeRotatedPrefixIndex]],
-    * the streamed store's publish step) — pbucket-partitioned, with the
-    * zero-row flat edge. */
+    * [[writeSq8Index]]'s and [[writePqIndex]]'s raw stores, the
+    * streamed publishes): whatever row shape the caller selects,
+    * partitioned by `pbucket = pmod(id, PrefixBuckets)`, with the
+    * zero-row flat edge (partitionBy writes no directories for zero
+    * rows and the read-back would fail schema inference). */
   private[graft] def writePrefixRows(rows: DataFrame, idCol: String,
                                      dir: String): Unit = {
     if (rows.isEmpty)
@@ -1370,8 +1366,14 @@ object Cosine {
       else rotatedPrefix(toDouble(col(vecCol)), rot)
     writePrefixRows(corpus.select(col(idCol), pref.as("prefix"),
       col(vecCol).as("full")), idCol, dir)
+    // the sidecar pins the ACTUAL written width: leadingColumns caps the
+    // rotation at dim rows, so a p > dim request would otherwise record
+    // a width the width-guard must reject on a perfectly healthy
+    // artifact (empty corpus keeps the requested p — zero rows, nothing
+    // to contradict it)
     graft.ops.ConfigFile.writeAtomic(dir, "prefix_rot_config",
-      Seq(p, PrefixBuckets, rotationFp(spark, dir)))
+      Seq(if (rot.isEmpty) p else rot.size, PrefixBuckets,
+        rotationFp(spark, dir)))
     rot
   }
 
@@ -1423,9 +1425,13 @@ object Cosine {
   // Bm25.searchStored convention)
   private val validatedPrefix =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
-  // (dir, sidecar) pairs whose rotation-fingerprint check passed
+  // (dir, sidecar) → validated rotation rows: the fingerprint check AND
+  // the p×dim driver collect both amortize to once per (dir, sidecar) —
+  // the rotation cannot change without the sidecar (and so the key)
+  // changing, and re-collecting it per probe would tax the serving hot
+  // path with a Spark job for an immutable value
   private val validatedRotation =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Int]), Seq[Seq[Double]]]()
 
   def prefixTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
                        idCol: String, vecCol: String, k: Int,
@@ -1441,15 +1447,14 @@ object Cosine {
     val rotation =
       if (!rotated) None
       else {
-        if (!validatedRotation.contains((dir, cfg))) {
+        val r = validatedRotation.computeIfAbsent((dir, cfg), { _ =>
           val fp = rotationFp(spark, dir)
           require(fp == cfg(2),
             s"stored rotation at $dir does not match its sidecar " +
               s"(fp $fp vs ${cfg(2)}) — torn artifact: re-run " +
               "writeRotatedPrefixIndex")
-          validatedRotation.add((dir, cfg))
-        }
-        val r = readRotation(spark, dir)
+          readRotation(spark, dir)
+        })
         if (r.isEmpty) None else Some(r)
       }
     val stored = spark.read.parquet(s"$dir/vectors")
@@ -1697,14 +1702,7 @@ object Cosine {
             .parquet(s"$dir/codes")
         codes.count()
       } finally codes.unpersist()
-    val rows = corpus.select(col(idCol), col(vecCol))
-    if (rows.isEmpty)
-      rows.write.mode("overwrite").parquet(s"$dir/vectors")
-    else
-      rows.withColumn("pbucket",
-          pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("pbucket")
-        .parquet(s"$dir/vectors")
+    writePrefixRows(corpus.select(col(idCol), col(vecCol)), idCol, dir)
     // the presence FLAG is its own slot: a fingerprint of 0 is a legal
     // value (empty centroid frame, 1-in-1e9 hash sum), so overloading 0
     // as "no centroids" would silently skip the torn-centroid check

@@ -3,8 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Diagnostic for the r12 verdict's one scale-killer: what actually
   * transits the SELECTION stage of DSIR under (a) the old un-partitioned
@@ -34,18 +32,8 @@ object DsirSelectProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"POOL scored=${scored.count()}")
 
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-        case q: QueryStageExec => exchanges(q.plan)
-        case s: ShuffleExchangeExec => s +: s.children.flatMap(exchanges)
-        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          // the pool is persisted: the window/top-k consumes the cached
-          // relation, whose own build plan is not this query's exchange
-          Seq.empty
-        case other =>
-          other.children.flatMap(exchanges) ++ other.subqueries.flatMap(exchanges)
-      }
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan) =
+      PlanWalk.exchanges(p)
     def report(tag: String, df: org.apache.spark.sql.DataFrame): Set[(Any, Any, Any, Any, Any, Any)] = {
       val t0 = System.nanoTime()
       val rows = df.collect()

@@ -2,8 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Measurement harness for the stored PQ/IVFADC tier (the StoredServingProbe
   * pattern): runtime scan metrics — partitions/files/bytes actually read —
@@ -34,13 +32,7 @@ object PqStoredProbe {
     }
     println(s"BYTES codes=${duDir(s"$tmp/codes")} vectors=${duDir(s"$tmp/vectors")} " +
       s"codebook=${duDir(s"$tmp/codebook")}")
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec => scans(q.plan)
-        case f: FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-      }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan) = PlanWalk.scans(p)
     def report(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val n = df.collect().length

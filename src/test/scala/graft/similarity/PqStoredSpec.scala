@@ -1,8 +1,6 @@
 package graft.similarity
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 
 /** The PERSISTED PQ/IVFADC serving tier ([[Cosine.writePqIndex]] /
@@ -17,13 +15,8 @@ class PqStoredSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-    p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-    }
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan) =
+    graft.PlanWalk.scans(p)
 
   private def writeFixture(dir: String): Unit = {
     val emb = graft.Tables.embeddings(spark, sfDir)
