@@ -1685,8 +1685,23 @@ object Cosine {
     // the COARSE centroid table (optional): stored so probe selection —
     // the full IVFADC composition, [[ivfAdcMultiprobeStored]] — can rank
     // cells per query without the caller shipping centroids around;
-    // fingerprinted in the sidecar exactly like writeIvfIndex's
-    centroids.foreach(_.write.mode("overwrite").parquet(s"$dir/centroids"))
+    // fingerprinted in the sidecar exactly like writeIvfIndex's. The
+    // cell column persists under the NORMALIZED name 'cell' (readers
+    // rename back to their cellCol) — open-time validation must never
+    // INFER which column is the key, and a caller's column literally
+    // named 'dim'/'centroid' must not break it. A re-train WITHOUT
+    // centroids retires a previous train's store first (the
+    // dropPrefixFamily treatment): the sidecar's presence flag goes to
+    // 0, openPqIndex skips the centroid check, and a stale store left
+    // behind would otherwise serve the OLD train's coarse geometry to
+    // multiprobe silently.
+    if (centroids.isEmpty) {
+      val cpath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+      val cfs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (cfs.exists(cpath)) cfs.delete(cpath, true)
+    }
+    centroids.foreach(_.withColumnRenamed(cellCol, "cell")
+      .write.mode("overwrite").parquet(s"$dir/centroids"))
     // persisted around the emptiness probe so the code+cell join lineage
     // is not evaluated twice (the writeIvfIndex convention)
     val codes = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
@@ -1709,7 +1724,7 @@ object Cosine {
     graft.ops.ConfigFile.writeAtomic(dir, "pq_commit",
       Seq(nSub, subDim, nPlanes, PrefixBuckets,
         (nCodes % 1000000000L).toInt, pqCodebookFp(spark, dir),
-        if (centroids.isDefined) centroidFp(spark, dir, cellCol) else 0,
+        if (centroids.isDefined) centroidFp(spark, dir, "cell") else 0,
         if (centroids.isDefined) 1 else 0))
   }
 
@@ -1729,10 +1744,15 @@ object Cosine {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
 
   /** Open-time torn-artifact guard + config read for the stored PQ tier:
-    * returns (nSub, subDim, nPlanes, idBuckets) after validating the
-    * codes count and codebook fingerprint against the sidecar, once per
-    * (dir, sidecar) in this process. */
-  private def openPqIndex(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
+    * returns (nSub, subDim, nPlanes, idBuckets, hasCentroids) after
+    * validating the codes count and codebook fingerprint against the
+    * sidecar, once per (dir, sidecar) in this process. The centroid
+    * store is validated under its WRITE-NORMALIZED 'cell' column —
+    * never inferred from "whichever column is neither dim nor centroid"
+    * (a store with extra columns would misvalidate; one with only
+    * dim/centroid would throw NoSuchElementException instead of the
+    * torn-artifact message). */
+  private def openPqIndex(spark: SparkSession, dir: String): (Int, Int, Int, Int, Boolean) = {
     val cfg = graft.ops.ConfigFile.readInts(dir, "pq_commit", 8)
     if (!validatedPq.contains((dir, cfg))) {
       val nc = (spark.read.parquet(s"$dir/codes").count() % 1000000000L).toInt
@@ -1742,18 +1762,19 @@ object Cosine {
           s"(codes $nc vs ${cfg(4)}, codebook fp $fp vs ${cfg(5)}) — " +
           "torn artifact: re-run writePqIndex")
       if (cfg(7) == 1) {
-        // the centroid store's cell column is whichever one is neither
-        // dim nor centroid — inferred so every open form can validate
-        val cellName = spark.read.parquet(s"$dir/centroids").columns
-          .filterNot(Set("dim", "centroid")).head
-        val cfp = centroidFp(spark, dir, cellName)
+        val ccols = spark.read.parquet(s"$dir/centroids").columns
+        require(ccols.contains("cell"),
+          s"stored PQ centroids at $dir carry no 'cell' column (found " +
+            s"${ccols.mkString(", ")}) — torn or foreign artifact: " +
+            "re-run writePqIndex")
+        val cfp = centroidFp(spark, dir, "cell")
         require(cfp == cfg(6),
           s"stored PQ centroids at $dir do not match the commit sidecar " +
             s"(fp $cfp vs ${cfg(6)}) — torn artifact: re-run writePqIndex")
       }
       validatedPq.add((dir, cfg))
     }
-    (cfg.head, cfg(1), cfg(2), cfg(3))
+    (cfg.head, cfg(1), cfg(2), cfg(3), cfg(7) == 1)
   }
 
   /** Read a partitioned store with `partCol` pinned back to STRING —
@@ -1826,7 +1847,7 @@ object Cosine {
   def ivfAdcSearchStored(spark: SparkSession, queries: DataFrame,
                          dir: String, idCol: String, vecCol: String,
                          cellCol: String, k: Int): DataFrame = {
-    val (nSub, _, nPlanes, _) = openPqIndex(spark, dir)
+    val (nSub, _, nPlanes, _, _) = openPqIndex(spark, dir)
     val (q, cellLits) = collectProbeFrame(spark,
       queries.select(col(cellCol), col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("qv")), cellCol)
@@ -1875,8 +1896,19 @@ object Cosine {
   def ivfAdcMultiprobeStored(spark: SparkSession, queries: DataFrame,
                              dir: String, idCol: String, vecCol: String,
                              cellCol: String, k: Int, nProbe: Int): DataFrame = {
-    val (nSub, _, nPlanes, _) = openPqIndex(spark, dir)
+    val (nSub, _, nPlanes, _, hasCentroids) = openPqIndex(spark, dir)
+    // the sidecar's presence FLAG gates the read, not the directory's
+    // existence: a store left behind by an earlier centroid-bearing
+    // train (crash before writePqIndex's stale-delete, an external
+    // copy) would otherwise rank probe cells against STALE coarse
+    // centroids — silent recall loss, the mixed-family hazard
+    require(hasCentroids,
+      s"stored PQ index at $dir was committed without coarse centroids " +
+        "(writePqIndex centroids=None) — multiprobe needs them: re-run " +
+        "writePqIndex with centroids=Some(...), or probe own cells via " +
+        "ivfAdcSearchStored")
     val cents = spark.read.parquet(s"$dir/centroids")
+      .withColumnRenamed("cell", cellCol)
     val (probes, cellLits) = collectProbeFrame(spark,
       ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe), cellCol)
     adcScoreCells(broadcast(probes),
@@ -1896,7 +1928,7 @@ object Cosine {
   def pqTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
                    idCol: String, vecCol: String, k: Int,
                    kShort: Int = 20): DataFrame = {
-    val (nSub, _, nPlanes, buckets) = openPqIndex(spark, dir)
+    val (nSub, _, nPlanes, buckets, _) = openPqIndex(spark, dir)
     val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))

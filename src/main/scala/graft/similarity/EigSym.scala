@@ -78,6 +78,20 @@ object EigSym {
       }
       sweep += 1
     }
+    // LOUD non-convergence: exhausting the sweep budget with off() still
+    // above the floor means the diagonal is NOT eigenvalues —
+    // leadingColumns would order columns by unconverged values and
+    // moment2Rotation would pin a silently-degraded rotation into a
+    // stored artifact (still orthogonal, sims exact, but prefix recall
+    // quietly suffers). Cyclic Jacobi converges quadratically (~8-12
+    // sweeps at these sizes), so hitting 64 sweeps means a broken input
+    // (non-finite entries — NaN also fails this check, since NaN <= floor
+    // is false) rather than a hard matrix.
+    require(off() <= floor,
+      s"Jacobi failed to converge in $maxSweeps sweeps " +
+        s"(off-diagonal norm² ${off()} > floor $floor) — the diagonal is " +
+        "not eigenvalues; check the input for non-finite values or raise " +
+        "maxSweeps")
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 

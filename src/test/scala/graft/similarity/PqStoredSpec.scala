@@ -151,6 +151,34 @@ class PqStoredSpec extends SparkSpec {
     assert(e.getMessage.contains("torn artifact"))
   }
 
+  test("multiprobe refuses a store committed without centroids — even " +
+      "when a stale centroids/ dir would otherwise be servable") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("pqnocent").toString
+    writeFixture(dir) // leaves a centroid-bearing train on disk
+    assert(new java.io.File(s"$dir/centroids").exists(),
+      "test setup: first train wrote no centroids")
+    // re-train WITHOUT centroids over the same dir: the stale centroid
+    // store must be retired (not left servable under flag 0)
+    Cosine.writePqIndex(emb, emb.select(col("vec_id"), col("label")),
+      "vec_id", "embedding", "label", dir,
+      centroidFn = Cosine.cellCentroidsSorted)
+    assert(!new java.io.File(s"$dir/centroids").exists(),
+      "re-train without centroids left the previous train's coarse " +
+        "centroids on disk")
+    // and even if one re-appeared (external copy, crash window), the
+    // sidecar flag — not directory existence — gates the multiprobe read
+    val e = intercept[IllegalArgumentException] {
+      Cosine.ivfAdcMultiprobeStored(spark,
+        emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
+        dir, "vec_id", "embedding", "label", k = 5, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("without coarse centroids"), e.getMessage)
+    // the own-cell form needs no centroids and still serves
+    assert(Cosine.ivfAdcSearchStored(spark, emb.filter(col("vec_id") < 3),
+      dir, "vec_id", "embedding", "label", k = 5).count() > 0)
+  }
+
   test("empty corpus writes a readable layout and serves zero rows") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val none = emb.filter(lit(false))

@@ -41,6 +41,17 @@ class PrefixRotationSpec extends SparkSpec {
     assert((0 until n).forall(i => math.abs(math.abs(got(i)) - math.abs(v(i)(expectCol))) < 1e-9))
   }
 
+  test("EigSym: non-convergence is loud, not a silently-degraded diagonal") {
+    // a NaN entry keeps the off-diagonal norm incomparable to any floor —
+    // the solver must refuse rather than hand leadingColumns an
+    // unconverged diagonal to order a stored rotation by
+    val bad = Array(
+      Array(1.0, Double.NaN),
+      Array(Double.NaN, 1.0))
+    val e = intercept[IllegalArgumentException] { EigSym.eigSym(bad) }
+    assert(e.getMessage.contains("failed to converge"), e.getMessage)
+  }
+
   private def recallAt5(exact: DataFrame, approx: DataFrame): Double = {
     val overlap = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
     overlap.toDouble / exact.count()
