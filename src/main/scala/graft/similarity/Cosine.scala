@@ -1489,27 +1489,46 @@ object Cosine {
     val shortRows = shortDf.collect()
     val short = spark.createDataFrame(
       spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
-    // ids keep their ORIGINAL values/types for the pushed In filter
-    // (writePrefixIndex accepts any numeric id — int ids must not crash
-    // the stored path that the write path accepted); the bucket math
-    // runs on the widened long, exactly like the write side's pmod
     val ids = shortRows.map(_.get(1)).distinct.toSeq
-    val idLongs = ids.map(_.asInstanceOf[Number].longValue)
-    val full0 =
-      if (partitioned) stored.select(col("pbucket"),
-        col(idCol).as("neighbor_id"), toDouble(col("full")).as("cv"))
-      else stored.select(col(idCol).as("neighbor_id"),
-        toDouble(col("full")).as("cv"))
-    val full =
-      if (ids.isEmpty) full0.limit(0)
-      else if (partitioned) full0.filter(
-        col("pbucket").isin(   // pmod, matching the written layout
-          idLongs.map(i => (((i % buckets) + buckets) % buckets).toInt)
-            .distinct: _*)
-          && col("neighbor_id").isin(ids: _*))
-      else full0.filter(col("neighbor_id").isin(ids: _*))
+    val (full, _) = prunedRawVectors(spark, dir, idCol, "full", ids, buckets)
     prefixRerank(short, queries, full, idCol, vecCol, k,
       if (partitioned) Some(buckets) else None)
+  }
+
+  /** The ONE pruned stage-2 raw-vector frame every stored two-stage
+    * search rides ([[prefixTopKStored]], [[pqTopKStored]] — the
+    * sq8Rerank/scoreTail convention applied to the rerank PRUNING, so
+    * the two stored forms cannot drift): reads `$dir/vectors`, projects
+    * (pbucket?, neighbor_id, cv) from `valueCol`, and prunes to the
+    * shortlist `ids` by LITERAL pbucket filters (partition pruning at
+    * listing time) + a pushed In(id) (parquet row-group stats pruning).
+    * Ids keep their ORIGINAL values/types for the In filter (the write
+    * path accepted any numeric id — int ids must not crash the stored
+    * path); the bucket math runs on the widened long, exactly like the
+    * write side's pmod. The pbucket column is retained when the layout
+    * is partitioned ([[prefixRerank]] keys the rerank join on it);
+    * callers that key on neighbor_id alone drop it. The flat
+    * (empty-corpus) layout skips the partition filter. */
+  private def prunedRawVectors(spark: SparkSession, dir: String,
+                               idCol: String, valueCol: String,
+                               ids: Seq[Any], buckets: Int): (DataFrame, Boolean) = {
+    val stored = spark.read.parquet(s"$dir/vectors")
+    val partitioned = stored.columns.contains("pbucket")
+    val base =
+      if (partitioned) stored.select(col("pbucket"),
+        col(idCol).as("neighbor_id"), toDouble(col(valueCol)).as("cv"))
+      else stored.select(col(idCol).as("neighbor_id"),
+        toDouble(col(valueCol)).as("cv"))
+    val pruned =
+      if (ids.isEmpty) base.limit(0)
+      else if (partitioned) base.filter(
+        col("pbucket").isin(   // pmod, matching the written layout
+          ids.map(i => (((i.asInstanceOf[Number].longValue % buckets)
+              + buckets) % buckets).toInt)
+            .distinct: _*)
+          && col("neighbor_id").isin(ids: _*))
+      else base.filter(col("neighbor_id").isin(ids: _*))
+    (pruned, partitioned)
   }
 
   /** Product-quantization CODES (Jégou et al. 2011, "Product Quantization
@@ -1946,24 +1965,8 @@ object Cosine {
     val short = spark.createDataFrame(
       spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
     val ids = shortRows.map(_.get(1)).distinct.toSeq
-    val idLongs = ids.map(_.asInstanceOf[Number].longValue)
-    val stored = spark.read.parquet(s"$dir/vectors")
-    val partitioned = stored.columns.contains("pbucket")
-    val raw0 =
-      if (partitioned) stored.select(col("pbucket"),
-        col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      else stored.select(col(idCol).as("neighbor_id"),
-        toDouble(col(vecCol)).as("cv"))
-    val raw =
-      if (ids.isEmpty) raw0.limit(0).drop("pbucket")
-      else if (partitioned) raw0.filter(
-        col("pbucket").isin(
-          idLongs.map(i => (((i % buckets) + buckets) % buckets).toInt)
-            .distinct: _*)
-          && col("neighbor_id").isin(ids: _*))
-        .drop("pbucket")
-      else raw0.filter(col("neighbor_id").isin(ids: _*))
-    sq8Rerank(short, raw, k, stage1Col = "adc_sim")
+    val (raw, _) = prunedRawVectors(spark, dir, idCol, vecCol, ids, buckets)
+    sq8Rerank(short, raw.drop("pbucket"), k, stage1Col = "adc_sim")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
