@@ -326,16 +326,25 @@ object RepIndex {
     // torn-artifact guard: an in-place rewrite that crashed between the
     // bands write and the config rename leaves bands bucketed under a
     // DIFFERENT modulus than the config claims — the pruned equi-join
-    // would then silently drop cross-bucket collisions. One sampled row
-    // turns that into a loud failure — paid ONCE per (dir, modulus) in
-    // this process, not per probe (a rewrite under a new modulus changes
-    // the config, so it re-validates under the new key)
+    // would then silently drop cross-bucket collisions. Validate one row
+    // per (band, pbucket) LEAF directory (PartitionSample.firstRowsNested:
+    // ≤ bandCount × modulus independent limit(1) scans — a single
+    // unordered sample could land in a directory a PARTIAL rewrite
+    // already re-bucketed and wave the torn remainder through, the exact
+    // hazard the Bm25/prefix guards validate per-directory; a whole-store
+    // aggregate would pay a first-probe scan proportional to INDEX size).
+    // Paid ONCE per (dir, modulus) in this process, not per probe (a
+    // rewrite under a new modulus changes the config, so it re-validates
+    // under the new key)
     if (bands.columns.contains("pbucket") && !validatedBands.contains((dir, mod))) {
-      bands.select(col("band_hash"), col("pbucket").cast("long"))
-        .limit(1).collect().foreach { r =>
-          require(r.getLong(0) % mod == r.getLong(1),
-            s"stored bands under $dir bucketed with a modulus other than " +
-              s"the config's $mod — torn artifact, rewrite it")
+      graft.ops.PartitionSample.firstRowsNested(spark, s"$dir/bands",
+          "band", "pbucket")(
+          _.select(pmod(col("band_hash"), lit(mod.toLong)).cast("int")))
+        .foreach { case (band, pb, r) =>
+          require(pb.toInt == r.getInt(0),
+            s"stored bands at $dir: directory band=$band/pbucket=$pb holds " +
+              s"hashes bucketed as ${r.getInt(0)} under the config's " +
+              s"modulus $mod — torn artifact, rewrite it")
         }
       validatedBands.add((dir, mod))
     }

@@ -28,4 +28,24 @@ object PartitionSample {
           .headOption.map(v -> _)
       }
   }
+
+  /** Two-level variant for `outer=/inner=` trees (the RepIndex
+    * (band, pbucket) layout): one row from EACH leaf directory, returned
+    * as (outerValue, innerValue, row). Cost is bounded by the leaf
+    * directory count — bandCount × modulus for the band trees, both
+    * pinned constants — never by store size. */
+  def firstRowsNested(spark: SparkSession, base: String, outerCol: String,
+                      innerCol: String)(
+      project: DataFrame => DataFrame): Seq[(String, String, Row)] = {
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bp)) Nil
+    else fs.listStatus(bp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(outerCol + "="))
+      .flatMap { st =>
+        val outer = st.getPath.getName.drop(outerCol.length + 1)
+        firstRows(spark, st.getPath.toString, innerCol)(project)
+          .map { case (inner, r) => (outer, inner, r) }
+      }
+  }
 }

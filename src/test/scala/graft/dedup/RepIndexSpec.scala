@@ -163,6 +163,38 @@ class RepIndexSpec extends SparkSpec {
     assert(RepIndex.searchStored(sp, probe, dir, "doc_id").count() == 0)
   }
 
+  test("torn guard fires on a PARTIALLY re-bucketed band tree") {
+    val sp = spark
+    val st0 = RepIndex.build(sharrOf(Seq(5L -> groupA, 7L -> groupA,
+      11L -> loner, 13L -> groupB, 17L -> groupB, 23L -> novelT)), "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_reptorn").toString
+    RepIndex.write(st0, dir)
+    // simulate a crashed in-place rewrite: ONE leaf directory lands under
+    // a wrong pbucket while every other directory stays consistent — the
+    // single-sample guard this test retires passes whenever its one row
+    // comes from any of the untouched directories; the per-directory
+    // guard must fire regardless of which leaf the sample lands in
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      sp.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+      .flatMap(b => fs.listStatus(b.getPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pbucket="))
+    assert(leaves.length > 1, s"fixture too small: ${leaves.length} leaf dirs")
+    val victim = leaves.head.getPath
+    val present = fs.listStatus(victim.getParent).map(_.getPath.getName).toSet
+    val free = (0 until MinHash.ProbeBuckets)
+      .find(p => !present.contains(s"pbucket=$p")).get
+    assert(fs.rename(victim,
+      new org.apache.hadoop.fs.Path(victim.getParent, s"pbucket=$free")),
+      "test setup: rename failed")
+    val e = intercept[IllegalArgumentException] {
+      RepIndex.searchStored(sp, sharrOf(Seq(100L -> groupA)), dir, "doc_id")
+        .collect()
+    }
+    assert(e.getMessage.contains("torn artifact"), e.getMessage)
+  }
+
   test("over-cap probe: geometry-bounded pairs on the driver, identical hits") {
     val sp = spark
     val st0 = RepIndex.build(sharrOf(Seq(5L -> groupA, 7L -> groupA,
