@@ -120,4 +120,18 @@ private[queries] object GateArtifacts {
         centroids = Some(graft.similarity.Cosine.cellCentroidsSorted(
           emb, "label", "embedding")))
     }
+
+  /** x27b's TRAINED PQ tier: per-subspace k-means codebooks
+    * (writeTrainedPqIndex, 4 Lloyd rounds from the deterministic SRP
+    * init, sorted-fold centroid step so the whole trainer is
+    * bit-reproducible) — the acceptance-matrix row that prices TRAINING
+    * against x27's hash quantizer at the same 4 B/vector. */
+  def trainedPqIndexDir(s: SparkSession, dir: String): String =
+    memo("pqtidx", s, dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Cosine.writeTrainedPqIndex(emb,
+        emb.select(col("vec_id"), col("label")), "vec_id", "embedding",
+        "label", p, iters = 4,
+        centroidFn = graft.similarity.Cosine.cellCentroidsSorted)
+    }
 }

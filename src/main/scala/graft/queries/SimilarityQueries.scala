@@ -260,6 +260,39 @@ object SimilarityQueries extends QueryPack {
       recallOf(exact, approx)
     }),
 
+    // ---- X27B: the TRAINED-PQ row of the acceptance matrix — x27's
+    //      exact chain (stored two-stage: full-code ADC shortlist 20,
+    //      exact rerank, recall@5 vs brute-force truth) over an artifact
+    //      whose codebooks are per-subspace k-means
+    //      (Cosine.trainPqCodebook: 4 Lloyd rounds from the
+    //      deterministic SRP init) instead of hyperplane sign buckets.
+    //      Same 4 B/vector; only the codebook content and the code
+    //      assignment change. Trained codewords cut quantization MSE 24%
+    //      on this corpus (0.71 → 0.56 per unit vector) and lift
+    //      recall@5 0.42 → 0.50 at sf0.01 — bounded gains, measured
+    //      honestly: the synthetic corpus is isotropic unit-norm, so
+    //      neighbor gaps sit inside the quantization noise either way
+    //      (SCALE.md publishes the curve; real anisotropic embeddings
+    //      are where Jégou's trained ≫ hash gap opens). The trained
+    //      book is STASHED for the oracle (the x24b rotation pattern),
+    //      which replays assignment as literal per-codeword distance
+    //      folds.
+    "x27b_trained_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val tdir = GateArtifacts.trainedPqIndexDir(s, dir)
+      lastTrainedPqBook = s.read.parquet(s"$tdir/codebook")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+      val approx = Cosine.pqTopKStored(s, queries, tdir,
+          "vec_id", "embedding", k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
+    }),
+
     // ---- C12: SEMANTIC decontamination — the embedding-space member of
     //      the decontamination family (c3/c5 are lexical 8-gram overlap,
     //      t25 is novelty ppm): a train doc whose embedding is too close
@@ -708,6 +741,42 @@ object SimilarityQueries extends QueryPack {
     * the gate run so the oracle replays stage 1 under the EXACT trained
     * basis — the [[lastX8Config]] pattern at matrix size. */
   @volatile private var lastPrefixRotation: Seq[Seq[Double]] = Nil
+
+  /** x27b's trained PQ codebook ((cell, codeword) rows read back from
+    * the stored artifact), stashed so the oracle replays code assignment
+    * and reconstruction under the EXACT trained codewords — the
+    * [[lastPrefixRotation]] pattern at codebook size
+    * (nSub·2^nPlanes·subDim = 1024 doubles). */
+  @volatile private var lastTrainedPqBook: Seq[(Long, Seq[Double])] = Nil
+
+  /** The stashed trained codebook as SQL CTEs: `cwv(cell, cvec)` literal
+    * codewords, `sub` subvectors, `asg` nearest-codeword assignment
+    * (sequential index-order distance fold, ties to the smaller cell —
+    * [[Cosine.nearestSubCell]]'s exact rule), `recon` the concatenated
+    * codeword reconstruction. Mirrors [[pqReconCtes]]' shape with the
+    * derived codebook swapped for the stashed literals. */
+  private def trainedPqReconCtes: String = {
+    val values = lastTrainedPqBook.map { case (cell, cw) =>
+      s"($cell, CAST([${cw.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""cwv AS (SELECT * FROM (VALUES
+       |    $values) AS t(cell, cvec)),
+       |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv
+       |  FROM v, (SELECT unnest(range(0, 8)) AS j) t),
+       |sc AS (SELECT s.vec_id, s.j, w.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 9),
+       |        i -> (s.subv[i] - w.cvec[i]) * (s.subv[i] - w.cvec[i]))),
+       |      (a, b) -> a + b) AS d
+       |  FROM sub s JOIN cwv w ON w.cell // 16 = s.j),
+       |asg AS (SELECT vec_id, j, cell FROM (
+       |    SELECT vec_id, j, cell, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY d ASC, cell ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |recon AS (SELECT a.vec_id, flatten(list(w.cvec ORDER BY a.j)) AS rv
+       |  FROM asg a JOIN cwv w ON w.cell = a.cell
+       |  GROUP BY a.vec_id)""".stripMargin
+  }
 
   /** Multi-table SRP bucketing as a UNION ALL of per-table sign-bit rows
     * — generated from the same seeded hyperplanes as
@@ -1658,6 +1727,28 @@ object SimilarityQueries extends QueryPack {
          |$annRerankCtes
          |$annExactTruthCtes
          |$annMetricTailSql""".stripMargin,
+    // x27b: x27's chain with assignment + reconstruction under the
+    // STASHED trained codebook (the x24b rotation pattern). An EMPTY
+    // stash must replay LOUDLY, never as a structurally-valid empty
+    // codebook whose NULL reconstructions would read as a mysterious
+    // hash mismatch.
+    "x27b_trained_pq_recall" ->
+      (if (lastTrainedPqBook.isEmpty)
+        "SELECT error('x27b: trained codebook not stashed — run the gate before its oracle')"
+      else
+      s"""WITH $vCte,
+         |$trainedPqReconCtes,
+         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+         |  FROM v q JOIN recon r ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, neighbor_id, adc_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_sim DESC, neighbor_id ASC) AS srank
+         |  FROM sq),
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin),
     "x10_pq_adc_topk" ->
       s"""WITH $vCte,
          |$pqReconCtes,

@@ -1555,6 +1555,109 @@ object Cosine {
     corpus.select(col(idCol), array(codes: _*).as("codes"))
   }
 
+  /** The (id, j, subv) subvector frame — one row per (vector, subspace),
+    * the reshape [[trainPqCodebook]]'s centroid step consumes. */
+  private def subvectorRows(corpus: DataFrame, idCol: String, vecCol: String,
+                            nSub: Int, subDim: Int): DataFrame =
+    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("j"))
+      .select(col(idCol), col("j"),
+        slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("subv"))
+
+  /** Nearest-codeword CELL (argmin d², ties to the smaller cell — the
+    * assignToCentroids rule) for a (j, subv) pair against the one-row
+    * broadcast codebook map (`book` column, [[codebookToMap]]'s shape):
+    * one sequential index-order distance fold per codeword, all inside a
+    * single expression — assignment is map-side with ZERO shuffles and
+    * no row explosion. Codewords a training round dropped (lost every
+    * member) probe as NULL and are filtered out; an external engine
+    * replays the same fold as k literal distance computations. */
+  private def nearestSubCell(j: Column, subv: Column, nPlanes: Int): Column = {
+    val k = 1 << nPlanes
+    val scored = filter(
+      transform(sequence(lit(0L), lit((k - 1).toLong)),
+        c => struct(
+          aggregate(zip_with(subv,
+              try_element_at(col("book"), j.cast("long") * k + c),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          (j.cast("long") * k + c).as("cell"))),
+      s => s.getField("d").isNotNull)
+    try_element_at(array_sort(scored), lit(1)).getField("cell")
+  }
+
+  /** TRAINED per-subspace PQ codebooks (Jégou et al. 2011 §III: each
+    * sub-quantizer is k-means over its own subspace): Lloyd rounds over
+    * the (id, j, subv) frame, initialized from the deterministic SRP
+    * code assignment ([[pqCodes]] — no RNG, so the trained book is
+    * reproducible end-to-end), each round's assignment constrained
+    * WITHIN its subspace (a subvector competes only for its own
+    * subspace's 2^nPlanes codewords). Returns (cell, dim, centroid)
+    * under the flattened key cell = j·2^nPlanes + code — the
+    * [[pqCodebook]] schema, so every downstream form (ADC
+    * reconstruction, the stored tier, the streaming publishes) is
+    * unchanged.
+    *
+    * Why train: the hash (SRP sign-bucket) quantizer needs no iteration
+    * but pays recall — x27 measures 0.42 recall@5 at 4 bit/subspace
+    * where SQ8 holds 1.0; k-means codewords adapt to the residual
+    * distribution (Jégou reports trained PQ ≫ random projections at
+    * equal bits), and x27b gates the lift. Scale shape per round: one
+    * combine-enabled centroid aggregation (≤ nSub·2^nPlanes·subDim
+    * values out) + one fully map-side re-assignment against the
+    * broadcast codebook map ([[nearestSubCell]]) — the corpus shuffles
+    * ZERO times per round (the lloydIterations contract), and each
+    * round's assignment is localCheckpoint'ed so iteration depth never
+    * chains lineage. Cells that lose every member drop out — standard
+    * Lloyd. */
+  def trainPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                      iters: Int = 8,
+                      centroidFn: (DataFrame, String, String) => DataFrame =
+                        cellCentroids): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    val k = 1 << nPlanes
+    val subs = subvectorRows(corpus, idCol, vecCol, nSub, subDim)
+    // SRP init: the hash assignment IS round 0's cells
+    var asg = subs.join(
+      pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+        .select(col(idCol), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col(idCol), col("j"), (col("j") * k + col("code")).as("cell")),
+      Seq(idCol, "j")).localCheckpoint()
+    var book: DataFrame = null
+    (0 until iters).foreach { i =>
+      book = centroidFn(asg.select(col("cell"), col("subv")), "cell", "subv")
+      if (i < iters - 1)
+        asg = asg.select(col(idCol), col("j"), col("subv"))
+          .crossJoin(broadcast(codebookToMap(book)))
+          .withColumn("cell", nearestSubCell(col("j"), col("subv"), nPlanes))
+          .select(col(idCol), col("j"), col("subv"), col("cell"))
+          .localCheckpoint()
+    }
+    book
+  }
+
+  /** PQ codes ASSIGNED from an explicit codebook (the freeze step of the
+    * trained tier, and the form an appended batch must use against a
+    * stored trained book): nearest codeword per subspace
+    * ([[nearestSubCell]] — map-side against the one-row broadcast map,
+    * zero shuffles, the [[pqCodes]] plan shape), pivoted to the same
+    * (id, codes) frame. Codes are LOCAL (0-based within the subspace),
+    * matching [[pqCodes]], so [[adcRecon]] and the stored searches read
+    * both quantizers' output identically. */
+  def pqCodesFromBook(corpus: DataFrame, idCol: String, vecCol: String,
+                      book: DataFrame, nSub: Int = 8, subDim: Int = 8,
+                      nPlanes: Int = 4): DataFrame = {
+    val k = 1 << nPlanes
+    val v = toDouble(col(vecCol))
+    val codes = (0 until nSub).map { j =>
+      nearestSubCell(lit(j), slice(v, j * subDim + 1, subDim), nPlanes) -
+        lit(j.toLong * k)
+    }
+    corpus.crossJoin(broadcast(codebookToMap(book)))
+      .select(col(idCol), array(codes: _*).as("codes"))
+  }
+
   /** PQ CODEBOOK: per (subspace, code) centroid of the member subvectors —
     * the same training step as [[cellCentroids]] run per subspace, with
     * the flattened key `cell = j * 2^nPlanes + code`. `centroidFn` picks
@@ -1701,19 +1804,59 @@ object Cosine {
     val spark = corpus.sparkSession
     pqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, centroidFn)
       .write.mode("overwrite").parquet(s"$dir/codebook")
-    // the COARSE centroid table (optional): stored so probe selection —
-    // the full IVFADC composition, [[ivfAdcMultiprobeStored]] — can rank
-    // cells per query without the caller shipping centroids around;
-    // fingerprinted in the sidecar exactly like writeIvfIndex's. The
-    // cell column persists under the NORMALIZED name 'cell' (readers
-    // rename back to their cellCol) — open-time validation must never
-    // INFER which column is the key, and a caller's column literally
-    // named 'dim'/'centroid' must not break it. A re-train WITHOUT
-    // centroids retires a previous train's store first (the
-    // dropPrefixFamily treatment): the sidecar's presence flag goes to
-    // 0, openPqIndex skips the centroid check, and a stale store left
-    // behind would otherwise serve the OLD train's coarse geometry to
-    // multiprobe silently.
+    writePqCentroids(spark, centroids, cellCol, dir)
+    writePqTail(spark,
+      pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes), corpus, cells,
+      idCol, vecCol, cellCol, dir, nSub, subDim, nPlanes, centroids.isDefined)
+  }
+
+  /** [[writePqIndex]] with TRAINED per-subspace k-means codebooks
+    * ([[trainPqCodebook]]) instead of the hash quantizer — same layout,
+    * same sidecar, same stored searches; only the codebook content and
+    * the code assignment change. Codes are assigned under the codebook
+    * AS WRITTEN to disk (read back before coding — the writeSq8Index
+    * stats recipe), so reconstruction at open time uses the exact
+    * rounded codewords the quantizer saw. The streaming maintenance twin
+    * ([[graft.streaming.StreamingPqMaintenance]]) codes segments as a
+    * pure function of the vector (SRP) and therefore pairs with
+    * [[writePqIndex]]; a TRAINED store is a batch artifact — re-run this
+    * writer to refresh it (appending to a trained store without its book
+    * would silently mix quantizers). */
+  def writeTrainedPqIndex(corpus: DataFrame, cells: DataFrame, idCol: String,
+                          vecCol: String, cellCol: String, dir: String,
+                          nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                          iters: Int = 8,
+                          centroidFn: (DataFrame, String, String) => DataFrame =
+                            cellCentroids,
+                          centroids: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    trainPqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, iters,
+        centroidFn)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    writePqCentroids(spark, centroids, cellCol, dir)
+    writePqTail(spark,
+      pqCodesFromBook(corpus, idCol, vecCol,
+        spark.read.parquet(s"$dir/codebook"), nSub, subDim, nPlanes),
+      corpus, cells, idCol, vecCol, cellCol, dir, nSub, subDim, nPlanes,
+      centroids.isDefined)
+  }
+
+  /** The COARSE centroid table (optional): stored so probe selection —
+    * the full IVFADC composition, [[ivfAdcMultiprobeStored]] — can rank
+    * cells per query without the caller shipping centroids around;
+    * fingerprinted in the sidecar exactly like writeIvfIndex's. The
+    * cell column persists under the NORMALIZED name 'cell' (readers
+    * rename back to their cellCol) — open-time validation must never
+    * INFER which column is the key, and a caller's column literally
+    * named 'dim'/'centroid' must not break it. A re-train WITHOUT
+    * centroids retires a previous train's store first (the
+    * dropPrefixFamily treatment): the sidecar's presence flag goes to
+    * 0, openPqIndex skips the centroid check, and a stale store left
+    * behind would otherwise serve the OLD train's coarse geometry to
+    * multiprobe silently. */
+  private def writePqCentroids(spark: SparkSession,
+                               centroids: Option[DataFrame],
+                               cellCol: String, dir: String): Unit = {
     if (centroids.isEmpty) {
       val cpath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
       val cfs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1721,9 +1864,20 @@ object Cosine {
     }
     centroids.foreach(_.withColumnRenamed(cellCol, "cell")
       .write.mode("overwrite").parquet(s"$dir/centroids"))
+  }
+
+  /** The shared store-finishing tail of both PQ writers: join codes to
+    * their coarse cell, write the cell-partitioned code tree, the
+    * pbucket-partitioned raw vectors, and the commit sidecar (LAST,
+    * atomic rename). */
+  private def writePqTail(spark: SparkSession, codesOf: DataFrame,
+                          corpus: DataFrame, cells: DataFrame, idCol: String,
+                          vecCol: String, cellCol: String, dir: String,
+                          nSub: Int, subDim: Int, nPlanes: Int,
+                          hasCentroids: Boolean): Unit = {
     // persisted around the emptiness probe so the code+cell join lineage
     // is not evaluated twice (the writeIvfIndex convention)
-    val codes = pqCodes(corpus, idCol, vecCol, nSub, subDim, nPlanes)
+    val codes = codesOf
       .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCodes =
@@ -1743,8 +1897,8 @@ object Cosine {
     graft.ops.ConfigFile.writeAtomic(dir, "pq_commit",
       Seq(nSub, subDim, nPlanes, PrefixBuckets,
         (nCodes % 1000000000L).toInt, pqCodebookFp(spark, dir),
-        if (centroids.isDefined) centroidFp(spark, dir, "cell") else 0,
-        if (centroids.isDefined) 1 else 0))
+        if (hasCentroids) centroidFp(spark, dir, "cell") else 0,
+        if (hasCentroids) 1 else 0))
   }
 
   /** Content fingerprint of the WRITTEN codebook parquet (order-free sum
