@@ -241,6 +241,35 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- X28B: the recall-vs-nProbe CURVE of the stored multiprobe
+    //      composition — the acceptance matrix's missing row (x12's IVF
+    //      1.0 prices the exact-rerank path, x27's quantization-only
+    //      recall the full-scan path; neither prices the PROBE knob a
+    //      production IVFADC pipeline actually tunes). Per nProbe ∈
+    //      {1, 2, 4}: the same ivfAdcMultiprobeStored call x28 gates,
+    //      top-5 against brute-force truth through the shared x12
+    //      metric tail. Expect monotone nondecreasing recall in nProbe,
+    //      capped by x27's quantization ceiling (SCALE.md publishes the
+    //      curve).
+    "x28b_ivfadc_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val exact = Cosine.topK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pdir = GateArtifacts.pqIndexDir(s, dir)
+      X28bProbes.map { np =>
+        val approx = Cosine.ivfAdcMultiprobeStored(s, queries, pdir,
+            "vec_id", "embedding", "label", k = 5, nProbe = np)
+          .select(col("query_id"), col("neighbor_id"))
+        recallOf(exact, approx).withColumn("n_probe", lit(np))
+      }.reduce(_ unionByName _)
+        .select(col("n_probe"), col("query_id"), col("n_overlap"),
+          col("n_exact"), col("recall"))
+        .orderBy(col("n_probe"), col("query_id"))
+    }),
+
     // ---- X27: the PQ row of the ANN acceptance matrix (x12 = IVF,
     //      x23 = SQ8, x24 = prefix): recall@5 of the stored two-stage
     //      PQ search — ADC over EVERY stored code (the compressed-tier
@@ -871,6 +900,45 @@ object SimilarityQueries extends QueryPack {
        |recon AS (SELECT s.vec_id, flatten(list(cwv.cvec ORDER BY s.j)) AS rv
        |  FROM sub s JOIN cwv ON cwv.j = s.j AND cwv.code = s.code
        |  GROUP BY s.vec_id)""".stripMargin
+
+  /** The coarse-centroid probe ranking of the stored PQ tier, shared by
+    * x28 (nProbe=2) and x28b (the recall-vs-nProbe curve): per-label
+    * sorted-fold centroids (the x15 recipe, CTE names dodging the recon
+    * chain's e/g), each query's cells ranked by centroid distance into
+    * `cd` (query_id, label, prn). Consumers cut at their own prn. */
+  private val pqCentroidCtes =
+    """ce AS (SELECT label, t.i AS dim, emb[t.i] AS x
+      |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
+      |cg AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
+      |      FROM ce GROUP BY label, dim),
+      |cc AS (SELECT label, dim,
+      |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+      |      (a, b) -> a + b) / cnt, 6) AS centroid
+      |  FROM cg),
+      |ccv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM cc GROUP BY label),
+      |cd AS (SELECT query_id, label, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY d2 ASC, label ASC) AS prn
+      |  FROM (SELECT q.vec_id AS query_id, ccv.label,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, 65),
+      |          i -> (q.emb[i] - ccv.cvec[i]) * (q.emb[i] - ccv.cvec[i]))),
+      |        (a, b) -> a + b) AS d2
+      |    FROM v q CROSS JOIN ccv WHERE q.vec_id < 10))""".stripMargin
+
+  /** ADC sims over the cells a probe frame selected — the body of x28's
+    * `sims`, parameterized on the probe CTE's name so x28b's per-nProbe
+    * variants cannot drift from the gated composition. */
+  private def pqProbedSimsSql(prName: String): String =
+    s"""SELECT $prName.query_id, cand.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+       |  FROM $prName
+       |  JOIN v q ON q.vec_id = $prName.query_id
+       |  JOIN v cand ON cand.label = $prName.label AND cand.vec_id <> $prName.query_id
+       |  JOIN recon r ON r.vec_id = cand.vec_id""".stripMargin
+
+  /** The nProbe values x28b prices — the verdict's tuning range: on the
+    * 10-cell corpus that is 10%/20%/40% of cells probed. */
+  private val X28bProbes = Seq(1, 2, 4)
 
   /** x14's own-cell IVFADC ranking — shared verbatim by x14 (in-plan)
     * and x26 (persisted, cell-pruned codes scan). */
@@ -1677,39 +1745,46 @@ object SimilarityQueries extends QueryPack {
     "x28_ivfadc_probed" ->
       s"""WITH $vCte,
          |$pqReconCtes,
-         |ce AS (SELECT label, t.i AS dim, emb[t.i] AS x
-         |      FROM v, (SELECT unnest(range(1, 65)) AS i) t),
-         |cg AS (SELECT label, dim, list_sort(list(x)) AS xs, count(*) AS cnt
-         |      FROM ce GROUP BY label, dim),
-         |cc AS (SELECT label, dim,
-         |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
-         |      (a, b) -> a + b) / cnt, 6) AS centroid
-         |  FROM cg),
-         |ccv AS (SELECT label, list(centroid ORDER BY dim) AS cvec FROM cc GROUP BY label),
-         |cd AS (SELECT q.vec_id AS query_id, ccv.label,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, 65),
-         |        i -> (q.emb[i] - ccv.cvec[i]) * (q.emb[i] - ccv.cvec[i]))),
-         |      (a, b) -> a + b) AS d2
-         |  FROM v q CROSS JOIN ccv WHERE q.vec_id < 10),
-         |pr AS (SELECT query_id, label FROM (
-         |    SELECT query_id, label,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, label ASC)
-         |        AS prn
-         |    FROM cd)
-         |  WHERE prn <= 2),
-         |sims AS (SELECT pr.query_id, cand.vec_id AS neighbor_id,
-         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
-         |  FROM pr
-         |  JOIN v q ON q.vec_id = pr.query_id
-         |  JOIN v cand ON cand.label = pr.label AND cand.vec_id <> pr.query_id
-         |  JOIN recon r ON r.vec_id = cand.vec_id)
+         |$pqCentroidCtes,
+         |pr AS (SELECT query_id, label FROM cd WHERE prn <= 2),
+         |sims AS (${pqProbedSimsSql("pr")})
          |SELECT query_id, rank, neighbor_id, adc_sim FROM (
          |  SELECT query_id, neighbor_id, adc_sim,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
          |  FROM sims)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x28b: the recall-vs-nProbe CURVE of that composition — the number
+    // a pipeline actually tunes (x12's IVF 1.0 is the exact-rerank
+    // path, x27's 0.42 the full-scan path; neither prices the probe
+    // knob). One shared centroid ranking, one shared truth; per-nProbe
+    // probe cut → ADC top-5 → the x12 metric tail.
+    "x28b_ivfadc_recall" ->
+      s"""WITH $vCte,
+         |$pqReconCtes,
+         |$pqCentroidCtes,
+         |$annExactTruthCtes
+         |${X28bProbes.map(np =>
+           s"""pr$np AS (SELECT query_id, label FROM cd WHERE prn <= $np),
+              |sims$np AS (${pqProbedSimsSql(s"pr$np")}),
+              |approx$np AS (SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
+              |    FROM sims$np) WHERE rank <= 5),
+              |ov$np AS (SELECT e2.query_id, count(*) AS n_overlap
+              |  FROM exact e2 JOIN approx$np a
+              |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+              |  GROUP BY e2.query_id)""".stripMargin).mkString(",\n")},
+         |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+         |SELECT * FROM (
+         |${X28bProbes.map(np =>
+           s"""  SELECT $np AS n_probe, ex2.query_id,
+              |    CAST(coalesce(ov$np.n_overlap, 0) AS BIGINT) AS n_overlap,
+              |    CAST(ex2.n_exact AS BIGINT) AS n_exact,
+              |    ROUND(CAST(coalesce(ov$np.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+              |  FROM ex2 LEFT JOIN ov$np ON ov$np.query_id = ex2.query_id""".stripMargin)
+            .mkString("\n  UNION ALL\n")})
+         |ORDER BY n_probe, query_id""".stripMargin,
     // x27: the stored two-stage PQ chain — full-code ADC shortlist
     // (kShort=20), exact rerank, recall vs brute-force truth (the
     // x23/x24 shared tails)

@@ -1286,41 +1286,67 @@ object Cosine {
     * prefix approximation changes. Measured at sf0.01: prefix-16
     * recall@5 0.38 (raw) → 0.52 (rotated); p=32: 0.56 → 0.76.
     *
-    * Scale shape: ONE corpus pass reduces to a dim² moment matrix
-    * (per-row outer product, posexplode, combine-enabled sum — the
-    * shuffle carries dim² rows per partition, never the corpus), and the
-    * dense eigensolve runs on the DRIVER over a 64×64..4096×4096 matrix
-    * ([[EigSym]], no dependency). Returns the p rotation rows (each a
-    * dim-vector); empty corpus → Nil (no rotation derivable). */
+    * Scale shape: ONE corpus pass reduces to a dim² moment matrix via
+    * [[graft.plans.MomentSumAgg]] — each vector's outer product folds
+    * into a dim²+1 primitive-double buffer map-side (no per-product
+    * Catalyst rows; the shuffle carries one combined buffer per
+    * partition, never the corpus) — and the dense eigensolve runs on the
+    * DRIVER ([[EigSym]], no dependency). dim is capped at
+    * [[MaxRotationDim]]: the Jacobi sweep is O(dim³) on the driver
+    * (seconds at 1024, hours at 4096) and [[rotatedPrefix]] builds
+    * p·dim literal expression nodes per use — a wider corpus fails fast
+    * here instead of hanging downstream. Returns the p rotation rows
+    * (each a dim-vector); empty corpus → Nil (no rotation derivable). */
   def moment2Rotation(corpus: DataFrame, vecCol: String, p: Int): Seq[Seq[Double]] = {
     val v = toDouble(col(vecCol))
-    // slot 0 carries a per-row 1.0 so the SAME pass yields the row count
-    // (slots 1.. are the flattened outer product)
-    val sums = corpus
-      .select(posexplode(concat(array(lit(1.0d)), flatten(transform(v,
-        x => transform(v, y => x * y))))).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(sum(col("x")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    if (sums.isEmpty) Nil
+    // fail-fast dim gate BEFORE the corpus pass: one-row limit scan
+    corpus.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull).head(1).foreach { r =>
+      require(r.getInt(0) <= MaxRotationDim,
+        s"moment2Rotation: dim ${r.getInt(0)} exceeds MaxRotationDim " +
+          s"$MaxRotationDim — the driver-side Jacobi eigensolve is " +
+          "O(dim³)/sweep and the rotated-prefix expression carries " +
+          "p·dim literals; reduce the embedding (jlProject/pqCodes) " +
+          "before training a rotation")
+    }
+    // slot 0 carries the row count, slots 1.. the flattened outer product
+    val flat = corpus
+      .select(graft.plans.MomentSumAgg.momentSum(v).as("m"))
+      .head().getSeq[Double](0)
+    if (flat.isEmpty || flat.head == 0.0) Nil
     else {
-      val dim = math.sqrt((sums.size - 1).toDouble).round.toInt
-      require(dim * dim == sums.size - 1,
-        s"non-square moment frame: ${sums.size - 1}")
+      val dim = math.sqrt((flat.size - 1).toDouble).round.toInt
+      require(dim * dim == flat.size - 1,
+        s"non-square moment frame: ${flat.size - 1}")
       // normalize by the corpus size (eigenvectors unchanged) so the
       // eigensolver's convergence scale is data-magnitude, not N —
       // unnormalized sums grow with the corpus and would keep the
       // off-diagonal norm above any absolute floor forever
-      val nRows = sums(0).max(1.0)
-      val m = Array.tabulate(dim, dim)((i, j) => sums(1 + i * dim + j) / nRows)
+      val nRows = flat.head.max(1.0)
+      val m = Array.tabulate(dim, dim)((i, j) => flat(1 + i * dim + j) / nRows)
       EigSym.leadingColumns(m, p)
     }
   }
 
+  /** Widest embedding the rotation trainer accepts — binds on the
+    * driver-side O(dim³) Jacobi sweep and the p·dim literal nodes of
+    * [[rotatedPrefix]], both fine at 1024 and prohibitive at the 4096
+    * the scaladoc once promised. Wider corpora reduce first. */
+  val MaxRotationDim = 1024
+
   /** (R·x)[1..p] as an array Column — each component one [[dot]] against
     * a LITERAL rotation row (the srpBucketSql shape: an external engine
-    * replays it as p literal dot products). */
-  def rotatedPrefix(v: Column, rotation: Seq[Seq[Double]]): Column =
+    * replays it as p literal dot products). The expression carries
+    * p·dim literal nodes, so the product is gated: past ~128k literals
+    * Catalyst analysis itself becomes the bottleneck — fail fast with
+    * the remedy instead of hanging the driver. */
+  def rotatedPrefix(v: Column, rotation: Seq[Seq[Double]]): Column = {
+    val nodes = rotation.iterator.map(_.size.toLong).sum
+    require(nodes <= (1L << 17),
+      s"rotatedPrefix: p·dim = $nodes literal nodes exceeds ${1L << 17} — " +
+        "lower p or reduce the embedding before rotating")
     array(rotation.map(r => dot(v, array(r.map(lit): _*))): _*)
+  }
 
   /** Inline rotated-prefix two-stage search — [[prefixTopK]] with stage 1
     * ranked in the rotated basis (shared [[prefixShortlist]]/
@@ -1341,6 +1367,63 @@ object Cosine {
       queries, full, idCol, vecCol, k, None)
   }
 
+  /** Derive the prefix width `p` from a RECALL TARGET by measurement —
+    * the `radiusFor` convention applied to the one tier whose recall is
+    * NOT analytically derivable: prefix recall decays with corpus
+    * DENSITY at fixed p (x24b: 0.52 at sf0.01 → 0.28 at sf0.1, same
+    * p=16), so any static p = f(target) formula would silently lie as
+    * the corpus grows. Instead, measure: rank a deterministic
+    * `sampleN`-query sample (smallest xxhash64(id) — stable under
+    * re-partitioning), compute brute-force truth ONCE for the sample,
+    * then walk `candidates` ascending running the real two-stage search
+    * under `rotation.take(p)` until the sampled recall@k meets
+    * `targetRecall`. Cost is sample-bounded: one exact topK plus one
+    * prefix search per candidate tried, each with a `sampleN`-row
+    * broadcast side — no corpus×corpus stage at any width.
+    *
+    * Returns (chosen p, the measured (p, recall) curve over the widths
+    * tried). When NO candidate meets the target the widest one returns
+    * with its achieved recall in the curve — the caller reads the curve
+    * and either accepts, widens candidates, or moves to the SQ8 tier
+    * (recall 1.0 at 1 B/dim; past the density crossover that is the
+    * right answer, not a wider prefix). */
+  def calibratePrefixWidth(corpus: DataFrame, idCol: String, vecCol: String,
+                           rotation: Seq[Seq[Double]], targetRecall: Double,
+                           k: Int = 5, kShort: Int = 20,
+                           candidates: Seq[Int] = Seq(8, 16, 32, 64),
+                           sampleN: Int = 32): (Int, Seq[(Int, Double)]) = {
+    require(rotation.nonEmpty, "calibratePrefixWidth needs a trained rotation")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val widths = candidates.filter(_ <= rotation.size).distinct.sorted
+    require(widths.nonEmpty,
+      s"no candidate width fits the ${rotation.size}-row rotation")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+      .select(col(idCol), col(vecCol)).persist(lvl)
+    val exact = topK(sample, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).persist(lvl)
+    val nExact = exact.count().toDouble
+    val curve = Seq.newBuilder[(Int, Double)]
+    var chosen = -1
+    val it = widths.iterator
+    while (it.hasNext && chosen < 0) {
+      val p = it.next()
+      val approx = prefixTopKRotated(sample, corpus, idCol, vecCol,
+          rotation.take(p), k, kShort)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val r = if (nExact == 0) 1.0 else overlap / nExact
+      curve += ((p, r))
+      if (r >= targetRecall) chosen = p
+    }
+    sample.unpersist()
+    exact.unpersist()
+    (if (chosen >= 0) chosen else widths.last, curve.result())
+  }
+
   /** The ROTATED stored Matryoshka layout: same vectors table as
     * [[writePrefixIndex]] (pbucket-partitioned; stage-1 column pruning +
     * pruned rerank both carry over) except `prefix` holds the ROTATED
@@ -1354,12 +1437,50 @@ object Cosine {
     * on disk, loud at first probe. Returns the trained rotation. */
   def writeRotatedPrefixIndex(corpus: DataFrame, idCol: String,
                               vecCol: String, p: Int,
-                              dir: String): Seq[Seq[Double]] = {
+                              dir: String): Seq[Seq[Double]] =
+    writeRotatedPrefixIndexWith(corpus, idCol, vecCol,
+      moment2Rotation(corpus, vecCol, p), p, dir)
+
+  /** [[writeRotatedPrefixIndex]] with the width DERIVED from a recall
+    * target ([[calibratePrefixWidth]]) instead of hand-picked: trains
+    * ONE rotation at the widest candidate (prefix rotations nest — the
+    * p-row rotation IS the first p rows of the wider one, so the
+    * calibrated width reuses the trained basis, no retrain), measures
+    * the width, writes the store under `rotation.take(p)`. Returns the
+    * chosen width and the measured curve; callers log the curve — a
+    * curve that never reaches the target is the signal to serve this
+    * corpus from the SQ8 tier instead. */
+  def writeRotatedPrefixIndexCalibrated(corpus: DataFrame, idCol: String,
+                                        vecCol: String, targetRecall: Double,
+                                        dir: String,
+                                        candidates: Seq[Int] = Seq(8, 16, 32, 64),
+                                        k: Int = 5, kShort: Int = 20,
+                                        sampleN: Int = 32): (Int, Seq[(Int, Double)]) = {
+    val widths = candidates.distinct.sorted
+    require(widths.nonEmpty, "calibration needs candidate widths")
+    val fullRot = moment2Rotation(corpus, vecCol, widths.last)
+    if (fullRot.isEmpty) {
+      // empty corpus: nothing to measure — degrade exactly like the
+      // fixed-width writer (readable empty layout, requested p pinned)
+      writeRotatedPrefixIndexWith(corpus, idCol, vecCol, Nil, widths.head, dir)
+      (widths.head, Nil)
+    } else {
+      val (p, curve) = calibratePrefixWidth(corpus, idCol, vecCol, fullRot,
+        targetRecall, k, kShort, widths, sampleN)
+      writeRotatedPrefixIndexWith(corpus, idCol, vecCol, fullRot.take(p), p, dir)
+      (p, curve)
+    }
+  }
+
+  private def writeRotatedPrefixIndexWith(corpus: DataFrame, idCol: String,
+                                          vecCol: String,
+                                          rotation: Seq[Seq[Double]], p: Int,
+                                          dir: String): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     // retire the UNROTATED sidecar first (see writePrefixIndex — the
     // same mixed-family hazard in the other direction)
     dropPrefixFamily(spark, dir, "prefix_config", dropRotation = false)
-    writeRotationStore(spark, moment2Rotation(corpus, vecCol, p), dir)
+    writeRotationStore(spark, rotation, dir)
     val rot = readRotation(spark, dir)
     val pref =
       if (rot.isEmpty) slice(toDouble(col(vecCol)), 1, p)
@@ -1816,23 +1937,45 @@ object Cosine {
     * the code assignment change. Codes are assigned under the codebook
     * AS WRITTEN to disk (read back before coding — the writeSq8Index
     * stats recipe), so reconstruction at open time uses the exact
-    * rounded codewords the quantizer saw. The streaming maintenance twin
-    * ([[graft.streaming.StreamingPqMaintenance]]) codes segments as a
-    * pure function of the vector (SRP) and therefore pairs with
-    * [[writePqIndex]]; a TRAINED store is a batch artifact — re-run this
-    * writer to refresh it (appending to a trained store without its book
-    * would silently mix quantizers). */
+    * rounded codewords the quantizer saw. Streaming maintenance:
+    * [[graft.streaming.StreamingPqMaintenance]] pairs with
+    * [[writePqIndex]] (codes pure under the fixed SRP planes);
+    * [[graft.streaming.StreamingTrainedPqMaintenance]] pairs with THIS
+    * tier by pinning the trained book (appending to a trained store
+    * without its book would silently mix quantizers — the pinned-book
+    * sink is the only sound append path, and its publish carries the
+    * book forward verbatim via [[writeTrainedPqIndexWith]]). */
   def writeTrainedPqIndex(corpus: DataFrame, cells: DataFrame, idCol: String,
                           vecCol: String, cellCol: String, dir: String,
                           nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
                           iters: Int = 8,
                           centroidFn: (DataFrame, String, String) => DataFrame =
                             cellCentroids,
-                          centroids: Option[DataFrame] = None): Unit = {
+                          centroids: Option[DataFrame] = None): Unit =
+    writeTrainedPqIndexWith(corpus, cells, idCol, vecCol, cellCol,
+      trainPqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, iters,
+        centroidFn),
+      dir, nSub, subDim, nPlanes, centroids)
+
+  /** [[writeTrainedPqIndex]] with the codebook PINNED instead of
+    * retrained — the publish path of the trained tier's streaming twin
+    * ([[graft.streaming.StreamingTrainedPqMaintenance]]): the stream
+    * coded its segments against this exact book, so the published store
+    * must carry it forward verbatim (retraining here would silently
+    * re-quantize under a book the streamed segments never saw — the
+    * mixed-quantizer hazard, answered the way the prefix twin pins its
+    * rotation). Book FIRST, codes second, sidecar last: a crash between
+    * book and sidecar leaves the new book under the OLD sidecar
+    * (codebook-fingerprint mismatch, loud at open), never fresh codes
+    * under a stale book. Codes are assigned from the book AS WRITTEN to
+    * disk (reread before coding — the writeSq8Index stats recipe). */
+  def writeTrainedPqIndexWith(corpus: DataFrame, cells: DataFrame,
+                              idCol: String, vecCol: String, cellCol: String,
+                              book: DataFrame, dir: String,
+                              nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                              centroids: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
-    trainPqCodebook(corpus, idCol, vecCol, nSub, subDim, nPlanes, iters,
-        centroidFn)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
+    book.write.mode("overwrite").parquet(s"$dir/codebook")
     writePqCentroids(spark, centroids, cellCol, dir)
     writePqTail(spark,
       pqCodesFromBook(corpus, idCol, vecCol,

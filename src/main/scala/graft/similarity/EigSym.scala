@@ -3,8 +3,9 @@ package graft.similarity
 /** Cyclic Jacobi eigendecomposition for small SYMMETRIC matrices — the
   * driver-side step of the prefix-rotation trainer ([[Cosine
   * .moment2Rotation]]): the distributed pass reduces the corpus to one
-  * dim×dim second-moment matrix, and dim is an embedding width (64–4096),
-  * so an O(dim³)-per-sweep dense solver on the driver is the right tool —
+  * dim×dim second-moment matrix, and dim is an embedding width — capped
+  * at [[Cosine.MaxRotationDim]] (1024), where each O(dim³) sweep is
+  * ~1 s — so a dense solver on the driver is the right tool:
   * no linear-algebra dependency, fully deterministic (fixed cyclic pivot
   * order, pure sequential IEEE arithmetic), reproducible anywhere.
   * Standard algorithm: Golub & Van Loan, "Matrix Computations" §8.5

@@ -235,6 +235,69 @@ object StreamingPqMaintenance {
   }
 }
 
+/** Streaming maintenance for the TRAINED PQ tier (the x27b artifact
+  * driven from a stream — twin #16, closing the one asymmetric cell the
+  * trained quantizer opened in the serving matrix): identical segment
+  * algebra to [[StreamingPqMaintenance]] except codes are assigned
+  * against a PINNED trained codebook — read once from the stored
+  * artifact, never retrained per batch (the prefix twin's rotation
+  * contract; the SQ8 twin's stats contract). GIVEN the book, a code row
+  * is still a pure per-document function of the vector, so unioned
+  * segments equal the one-pass derivation of everything streamed and
+  * tombstone deletes stay exact. [[publish]] carries the pinned book
+  * forward VERBATIM ([[graft.similarity.Cosine.writeTrainedPqIndexWith]])
+  * — retraining on publish would re-quantize under a book the streamed
+  * segments never saw, the mixed-quantizer hazard the batch writer's
+  * scaladoc warns about. Refreshing the book itself is a batch re-train
+  * ([[graft.similarity.Cosine.writeTrainedPqIndex]]) followed by
+  * restarting the sink against the new store. */
+object StreamingTrainedPqMaintenance {
+
+  def codeSink(spark: SparkSession, dir: String, idCol: String,
+               vecCol: String, book: DataFrame, centroids: DataFrame,
+               cellCol: String, nSub: Int = 8, subDim: Int = 8,
+               nPlanes: Int = 4, maxSegments: Int = 8)(
+               batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments)(
+      graft.similarity.Cosine
+        .pqCodesFromBook(batch, idCol, vecCol, book, nSub, subDim, nPlanes)
+        .join(graft.similarity.Cosine
+          .assignToCentroids(batch, idCol, vecCol, centroids, cellCol)
+          .select(col(idCol), col("assigned_cell").as(cellCol)), Seq(idCol)))
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  /** Tombstone a batch of vector ids ([[FrameSegments.deleteFold]]) —
+    * code rows are per-document pure given the pinned book, so the id
+    * anti-join is exact. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+
+  /** PUBLISH the streamed store into the full stored trained-PQ tier:
+    * live ids select their vectors, the pinned `book` lands verbatim
+    * (book first, codes second, sidecar last — the crash ordering lives
+    * in [[graft.similarity.Cosine.writeTrainedPqIndexWith]]).
+    * `servingDir` must not be the segment store itself. */
+  def publish(spark: SparkSession, dir: String, vectors: DataFrame,
+              book: DataFrame, centroids: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, servingDir: String,
+              nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4): Unit = {
+    val live = readLatest(spark, dir)
+    val corpus = vectors.join(live.select(col(idCol)), Seq(idCol), "left_semi")
+    graft.similarity.Cosine.writeTrainedPqIndexWith(corpus,
+      live.select(col(idCol), col(cellCol)), idCol, vecCol, cellCol,
+      book, servingDir, nSub, subDim, nPlanes, centroids = Some(centroids))
+  }
+}
+
 /** Streaming maintenance for the Matryoshka prefix index (the x20/x24b
   * serving form driven from a stream): each micro-batch of finalized
   * vectors lands as one immutable segment of (id, prefix, full) rows —

@@ -234,6 +234,70 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     cents.unpersist()
   }
 
+  test("trained PQ: streamed codes pure under the PINNED book; publish carries the book verbatim") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val cents = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the pinned book comes from a stored trained artifact (the
+    // documented flow: batch re-train refreshes it, the sink pins it)
+    val trainDir = java.nio.file.Files.createTempDirectory("graft_tpq_t").toString
+    val cells = Cosine.assignToCentroids(emb, "vec_id", "embedding",
+        cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    Cosine.writeTrainedPqIndex(emb, cells, "vec_id", "embedding", "label",
+      trainDir, iters = 2, centroidFn = Cosine.cellCentroidsSorted,
+      centroids = Some(cents))
+    val book = sp.read.parquet(s"$trainDir/codebook")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tpq").toString
+    val sink = StreamingTrainedPqMaintenance.codeSink(sp, dir, "vec_id",
+      "embedding", book, cents, "label", maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    val got = StreamingTrainedPqMaintenance.readLatest(sp, dir)
+    val want = Cosine.pqCodesFromBook(emb, "vec_id", "embedding", book)
+      .join(cells, Seq("vec_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed trained-PQ code rows != one-pass derivation under the book")
+    // tombstone, publish, and pin the CONTRACT: published store ==
+    // batch writeTrainedPqIndexWith over the live corpus with the SAME
+    // book (streamed ≡ rebuild, the twin's whole point) — and the book
+    // itself landed verbatim, never retrained on publish
+    StreamingTrainedPqMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 3L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_tpq_s").toString
+    StreamingTrainedPqMaintenance.publish(sp, dir, emb, book, cents,
+      "vec_id", "embedding", "label", serving)
+    val publishedBook = sp.read.parquet(s"$serving/codebook")
+    assert(publishedBook.exceptAll(book).isEmpty
+        && book.exceptAll(publishedBook).isEmpty,
+      "publish must carry the pinned book verbatim")
+    val liveEmb = emb.filter(col("vec_id") =!= 7L)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_tpq_b").toString
+    Cosine.writeTrainedPqIndexWith(liveEmb,
+      cells.filter(col("vec_id") =!= 7L), "vec_id", "embedding", "label",
+      book, batchDir, centroids = Some(cents))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val published = Cosine.ivfAdcMultiprobeStored(sp, queries, serving,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    val rebuilt = Cosine.ivfAdcMultiprobeStored(sp, queries, batchDir,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    assert(published.count() > 0)
+    assert(published.collect().toSet == rebuilt.collect().toSet)
+    assert(published.filter(col("neighbor_id") === 7L).count() == 0)
+    // the two-stage exact-rerank path serves the published store too
+    val twoStage = Cosine.pqTopKStored(sp, queries, serving,
+      "vec_id", "embedding", k = 3, kShort = 10)
+    val twoStageB = Cosine.pqTopKStored(sp, queries, batchDir,
+      "vec_id", "embedding", k = 3, kShort = 10)
+    assert(twoStage.collect().toSet == twoStageB.collect().toSet)
+    book.unpersist()
+    cents.unpersist()
+  }
+
   test("prefix: streamed rotated segments == one-pass derivation; publish serves pruned") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
