@@ -23,14 +23,21 @@ object ConfigFile {
 
   /** Exactly `n` non-negative ints, or a loud failure naming the torn
     * content — never a silent mis-parse. */
-  def readInts(dir: String, name: String, n: Int): Seq[Int] = {
+  def readInts(dir: String, name: String, n: Int): Seq[Int] =
+    readIntsRange(dir, name, n, n)
+
+  /** Between `nMin` and `nMax` non-negative ints — the back-compat read
+    * for a sidecar format that GREW a trailing field (readers treat a
+    * missing tail as its zero default; a length outside the window is
+    * still a torn config, loud). */
+  def readIntsRange(dir: String, name: String, nMin: Int, nMax: Int): Seq[Int] = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, name)),
       java.nio.charset.StandardCharsets.UTF_8).trim
     val parts = raw.split(",")
-    require(parts.length == n
+    require(parts.length >= nMin && parts.length <= nMax
         && parts.forall(p => p.nonEmpty && p.forall(_.isDigit)),
-      s"torn config $dir/$name: '$raw' (want $n ints)")
+      s"torn config $dir/$name: '$raw' (want $nMin..$nMax ints)")
     parts.toSeq.map(_.toInt)
   }
 }

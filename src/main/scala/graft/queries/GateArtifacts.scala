@@ -134,4 +134,38 @@ private[queries] object GateArtifacts {
         "label", p, iters = 4,
         centroidFn = graft.similarity.Cosine.cellCentroidsSorted)
     }
+
+  /** x28c's RESIDUAL IVFADC tier — the full Jégou composition: coarse
+    * cells TRAINED by k-means (16 cells, deterministic hash-bucket init,
+    * 3 Lloyd rounds — x28b measured that the data-free label cells buy
+    * probe recall only ~linearly in cells read) and the product
+    * quantizer coding residuals x − q₁(x) against that coarse geometry
+    * (writeResidualPqIndex, 4 PQ Lloyd rounds). Sorted-fold centroid
+    * steps throughout so the oracle replays the stored centroids and
+    * book bit-for-bit from their stashed literals. */
+  def residualPqIndexDir(s: SparkSession, dir: String): String =
+    memo("pqridx", s, dir) { p =>
+      val C = graft.similarity.Cosine
+      val emb = Tables.embeddings(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val init = emb.select(col("vec_id"), col("embedding"),
+          pmod(xxhash64(col("vec_id")), lit(16)).as("icell"))
+        val asg = C.lloydIterations(init, "vec_id", "embedding", "icell",
+          3, C.cellCentroidsSorted)
+        // final centroid table = the one the final assignment minimizes
+        // against, recomputed from the LAST round's cells so the stored
+        // (centroids, cells) pair satisfies cells = nearest(centroids)
+        val cents = C.cellCentroidsSorted(
+          asg.select(col("vec_id"), col("assigned_cell").as("cell"))
+            .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+            .select(col("cell"), col("embedding")),
+          "cell", "embedding")
+        val cells = C.assignToCentroids(emb, "vec_id", "embedding",
+            cents, "cell")
+          .select(col("vec_id"), col("assigned_cell").as("cell"))
+        C.writeResidualPqIndex(emb, cells, "vec_id", "embedding", "cell",
+          cents, p, iters = 4, centroidFn = C.cellCentroidsSorted)
+      } finally emb.unpersist()
+    }
 }

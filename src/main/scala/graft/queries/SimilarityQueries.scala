@@ -270,6 +270,59 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("n_probe"), col("query_id"))
     }),
 
+    // ---- X28C: the same recall-vs-nProbe curve over the RESIDUAL
+    //      IVFADC tier — Jégou's actual composition: coarse cells
+    //      TRAINED by k-means instead of taken from the data-free label
+    //      column (x28b measured that label cells buy recall only
+    //      ~linearly in cells probed — no neighborhood structure), and
+    //      the product quantizer coding x − q₁(x) so its codewords
+    //      describe within-cell spread, not cell geometry. Same probe
+    //      widths, same truth, same metric tail as x28b — the two
+    //      curves differ ONLY in the index construction, so their gap
+    //      is the measured value of training the coarse quantizer +
+    //      residual encoding at identical bytes/vector. Stored coarse
+    //      centroids and the trained residual book are stashed for the
+    //      oracle (the x27b pattern).
+    "x28c_residual_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val exact = Cosine.topK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val rdir = GateArtifacts.residualPqIndexDir(s, dir)
+      stashResidualArtifacts(s, rdir)
+      X28bProbes.map { np =>
+        val approx = Cosine.ivfAdcMultiprobeStored(s, queries, rdir,
+            "vec_id", "embedding", "cell", k = 5, nProbe = np)
+          .select(col("query_id"), col("neighbor_id"))
+        recallOf(exact, approx).withColumn("n_probe", lit(np))
+      }.reduce(_ unionByName _)
+        .select(col("n_probe"), col("query_id"), col("n_overlap"),
+          col("n_exact"), col("recall"))
+        .orderBy(col("n_probe"), col("query_id"))
+    }),
+
+    // ---- X27C: the QUANTIZATION-ceiling row of the residual tier —
+    //      x27's full-scan two-stage chain (no probe truncation) over
+    //      the residual construction. Measured at sf0.01: recall@5
+    //      0.42 (hash, x27) → 0.50 (trained, x27b) → 0.64 (residual) —
+    //      the coarse centroids carry ~0.33 of the unit norm even on
+    //      this isotropic corpus, so the codewords describe a genuinely
+    //      smaller spread (ResidualPqProbe decomposes it; SCALE.md).
+    "x27c_residual_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val rdir = GateArtifacts.residualPqIndexDir(s, dir)
+      stashResidualArtifacts(s, rdir)
+      val approx = Cosine.pqTopKStored(s, queries, rdir,
+          "vec_id", "embedding", k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
+    }),
+
     // ---- X27: the PQ row of the ANN acceptance matrix (x12 = IVF,
     //      x23 = SQ8, x24 = prefix): recall@5 of the stored two-stage
     //      PQ search — ADC over EVERY stored code (the compressed-tier
@@ -312,10 +365,7 @@ object SimilarityQueries extends QueryPack {
       val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val tdir = GateArtifacts.trainedPqIndexDir(s, dir)
-      lastTrainedPqBook = s.read.parquet(s"$tdir/codebook")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+      lastTrainedPqBook = readCellVecs(s, s"$tdir/codebook")
       val approx = Cosine.pqTopKStored(s, queries, tdir,
           "vec_id", "embedding", k = 5, kShort = 20)
         .select(col("query_id"), col("neighbor_id"))
@@ -778,6 +828,103 @@ object SimilarityQueries extends QueryPack {
     * (nSub·2^nPlanes·subDim = 1024 doubles). */
   @volatile private var lastTrainedPqBook: Seq[(Long, Seq[Double])] = Nil
 
+  /** x28c's stored coarse k-means centroids (cell → dim-vector) and its
+    * trained RESIDUAL codebook, stashed by the gate run so the oracle
+    * replays coarse assignment, residual encoding, and reconstruction
+    * under the exact stored doubles — [[lastTrainedPqBook]] applied to
+    * both quantization levels of the residual tier. */
+  @volatile private var lastResidualCentroids: Seq[(Long, Seq[Double])] = Nil
+  @volatile private var lastResidualBook: Seq[(Long, Seq[Double])] = Nil
+
+  /** (cell, dim, value) parquet rows → ordered (cell → dense vector)
+    * pairs — the collect shape every stash reader shares (trained book,
+    * residual book, coarse centroids; all k·dim-bounded). */
+  private def readCellVecs(s: org.apache.spark.sql.SparkSession, path: String): Seq[(Long, Seq[Double])] =
+    s.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+
+  /** Stash the residual tier's stored coarse centroids + trained book
+    * for the oracle — shared by x27c and x28c (either may run alone
+    * under SPARK_GRAFT_ONLY; the assignment is idempotent). */
+  private def stashResidualArtifacts(s: org.apache.spark.sql.SparkSession, rdir: String): Unit = {
+    lastResidualCentroids = readCellVecs(s, s"$rdir/centroids")
+    lastResidualBook = readCellVecs(s, s"$rdir/codebook")
+  }
+
+  /** The full-scan ADC shortlist block shared verbatim by the x27
+    * family's oracles (hash / trained / residual — they differ only in
+    * which CTE built `recon`): every reconstruction scored against every
+    * query, ranked per query for the kShort=20 rerank cut. */
+  private val adcFullScanShortSql =
+    """sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+      |  FROM v q JOIN recon r ON r.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |short AS (SELECT query_id, neighbor_id, adc_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_sim DESC, neighbor_id ASC) AS srank
+      |  FROM sq),""".stripMargin
+
+  /** A stashed (cell → vector) table as a literal SQL VALUES CTE. */
+  private def stashedCellVecSql(name: String,
+                                rows: Seq[(Long, Seq[Double])]): String = {
+    val values = rows.map { case (cell, vec) =>
+      s"($cell, CAST([${vec.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""$name AS (SELECT * FROM (VALUES
+       |    $values) AS t(cell, cvec))""".stripMargin
+  }
+
+  /** The residual tier's encode/decode chain from the stashed literals:
+    * coarse assignment (nearest stashed centroid, the assignToCentroids
+    * fold + tie rule), residual = vector − its cell centroid, per-
+    * subspace code assignment against the stashed residual book (the
+    * [[trainedPqReconCtes]] fold), reconstruction = centroid + codeword
+    * concatenation, and the probe ranking `rcd` (query × stashed
+    * centroids — reuses the same distance frame `rd` the assignment
+    * ranked, queries being corpus rows here). */
+  private def residualReconCtes: String =
+    s"""${stashedCellVecSql("rccv", lastResidualCentroids)},
+       |rd AS (SELECT v.vec_id, rccv.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 65),
+       |        i -> (v.emb[i] - rccv.cvec[i]) * (v.emb[i] - rccv.cvec[i]))),
+       |      (a, b) -> a + b) AS d2
+       |  FROM v CROSS JOIN rccv),
+       |rasg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |res AS (SELECT v.vec_id, a.cell,
+       |    list_transform(range(1, 65), i -> v.emb[i] - c.cvec[i]) AS resv
+       |  FROM v JOIN rasg a ON a.vec_id = v.vec_id
+       |  JOIN rccv c ON c.cell = a.cell),
+       |${stashedCellVecSql("rcwv", lastResidualBook)},
+       |rsub AS (SELECT vec_id, t.j, resv[(t.j*8+1):(t.j*8+8)] AS subv
+       |  FROM res, (SELECT unnest(range(0, 8)) AS j) t),
+       |rsc AS (SELECT s.vec_id, s.j, w.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 9),
+       |        i -> (s.subv[i] - w.cvec[i]) * (s.subv[i] - w.cvec[i]))),
+       |      (a, b) -> a + b) AS d
+       |  FROM rsub s JOIN rcwv w ON w.cell // 16 = s.j),
+       |rpasg AS (SELECT vec_id, j, cell FROM (
+       |    SELECT vec_id, j, cell, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY d ASC, cell ASC) AS rn
+       |    FROM rsc) WHERE rn = 1),
+       |rrec AS (SELECT a.vec_id, flatten(list(w.cvec ORDER BY a.j)) AS rres
+       |  FROM rpasg a JOIN rcwv w ON w.cell = a.cell
+       |  GROUP BY a.vec_id),
+       |recon AS (SELECT r.vec_id, res.cell,
+       |    list_transform(range(1, 65), i -> c.cvec[i] + r.rres[i]) AS rv
+       |  FROM rrec r JOIN res ON res.vec_id = r.vec_id
+       |  JOIN rccv c ON c.cell = res.cell),
+       |rcd AS (SELECT vec_id AS query_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS prn
+       |  FROM rd WHERE vec_id < 10)""".stripMargin
+
   /** The stashed trained codebook as SQL CTEs: `cwv(cell, cvec)` literal
     * codewords, `sub` subvectors, `asg` nearest-codeword assignment
     * (sequential index-order distance fold, ties to the smaller cell —
@@ -939,6 +1086,36 @@ object SimilarityQueries extends QueryPack {
   /** The nProbe values x28b prices — the verdict's tuning range: on the
     * 10-cell corpus that is 10%/20%/40% of cells probed. */
   private val X28bProbes = Seq(1, 2, 4)
+
+  /** The per-nProbe recall-curve assembly shared by x28b and x28c: for
+    * each probed width, cut the probe ranking (`prFor`), score the
+    * probed candidates (`simsFor` — must emit (query_id, neighbor_id,
+    * adc_sim)), keep top-5, count the overlap with the brute-force
+    * `exact` truth, and union one recall row per (n_probe, query). One
+    * body so the two curves differ ONLY in index construction. */
+  private def probeRecallCurveSql(prFor: Int => String,
+                                  simsFor: Int => String): String =
+    s"""${X28bProbes.map(np =>
+         s"""pr$np AS (${prFor(np)}),
+            |sims$np AS (${simsFor(np)}),
+            |approx$np AS (SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id, row_number() OVER (
+            |      PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
+            |    FROM sims$np) WHERE rank <= 5),
+            |ov$np AS (SELECT e2.query_id, count(*) AS n_overlap
+            |  FROM exact e2 JOIN approx$np a
+            |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
+            |  GROUP BY e2.query_id)""".stripMargin).mkString(",\n")},
+       |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+       |SELECT * FROM (
+       |${X28bProbes.map(np =>
+         s"""  SELECT $np AS n_probe, ex2.query_id,
+            |    CAST(coalesce(ov$np.n_overlap, 0) AS BIGINT) AS n_overlap,
+            |    CAST(ex2.n_exact AS BIGINT) AS n_exact,
+            |    ROUND(CAST(coalesce(ov$np.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
+            |  FROM ex2 LEFT JOIN ov$np ON ov$np.query_id = ex2.query_id""".stripMargin)
+          .mkString("\n  UNION ALL\n")})
+       |ORDER BY n_probe, query_id""".stripMargin
 
   /** x14's own-cell IVFADC ranking — shared verbatim by x14 (in-plan)
     * and x26 (persisted, cell-pruned codes scan). */
@@ -1764,44 +1941,52 @@ object SimilarityQueries extends QueryPack {
          |$pqReconCtes,
          |$pqCentroidCtes,
          |$annExactTruthCtes
-         |${X28bProbes.map(np =>
-           s"""pr$np AS (SELECT query_id, label FROM cd WHERE prn <= $np),
-              |sims$np AS (${pqProbedSimsSql(s"pr$np")}),
-              |approx$np AS (SELECT query_id, neighbor_id FROM (
-              |    SELECT query_id, neighbor_id, row_number() OVER (
-              |      PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
-              |    FROM sims$np) WHERE rank <= 5),
-              |ov$np AS (SELECT e2.query_id, count(*) AS n_overlap
-              |  FROM exact e2 JOIN approx$np a
-              |    ON a.query_id = e2.query_id AND a.neighbor_id = e2.neighbor_id
-              |  GROUP BY e2.query_id)""".stripMargin).mkString(",\n")},
-         |ex2 AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
-         |SELECT * FROM (
-         |${X28bProbes.map(np =>
-           s"""  SELECT $np AS n_probe, ex2.query_id,
-              |    CAST(coalesce(ov$np.n_overlap, 0) AS BIGINT) AS n_overlap,
-              |    CAST(ex2.n_exact AS BIGINT) AS n_exact,
-              |    ROUND(CAST(coalesce(ov$np.n_overlap, 0) AS DOUBLE) / ex2.n_exact, 6) AS recall
-              |  FROM ex2 LEFT JOIN ov$np ON ov$np.query_id = ex2.query_id""".stripMargin)
-            .mkString("\n  UNION ALL\n")})
-         |ORDER BY n_probe, query_id""".stripMargin,
+         |${probeRecallCurveSql(
+           np => s"SELECT query_id, label FROM cd WHERE prn <= $np",
+           np => pqProbedSimsSql(s"pr$np"))}""".stripMargin,
+    // x28c: the same curve over the RESIDUAL tier — trained coarse
+    // k-means cells (stashed centroid literals) + PQ over x − q₁(x)
+    // (stashed residual book); identical probe widths, truth, and
+    // metric tail, so the x28b→x28c gap prices the construction swap.
+    "x28c_residual_recall" ->
+      (if (lastResidualCentroids.isEmpty || lastResidualBook.isEmpty)
+        "SELECT error('x28c: residual centroids/book not stashed — run the gate before its oracle')"
+      else
+      s"""WITH $vCte,
+         |$residualReconCtes,
+         |$annExactTruthCtes
+         |${probeRecallCurveSql(
+           np => s"SELECT query_id, cell FROM rcd WHERE prn <= $np",
+           np => s"""SELECT pr$np.query_id, r.vec_id AS neighbor_id,
+                    |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
+                    |  FROM pr$np
+                    |  JOIN v q ON q.vec_id = pr$np.query_id
+                    |  JOIN recon r ON r.cell = pr$np.cell
+                    |    AND r.vec_id <> pr$np.query_id""".stripMargin)}""".stripMargin),
     // x27: the stored two-stage PQ chain — full-code ADC shortlist
     // (kShort=20), exact rerank, recall vs brute-force truth (the
     // x23/x24 shared tails)
     "x27_pq_recall" ->
       s"""WITH $vCte,
          |$pqReconCtes,
-         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
-         |  FROM v q JOIN recon r ON r.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         |short AS (SELECT query_id, neighbor_id, adc_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_sim DESC, neighbor_id ASC) AS srank
-         |  FROM sq),
+         |$adcFullScanShortSql
          |$annRerankCtes
          |$annExactTruthCtes
          |$annMetricTailSql""".stripMargin,
+    // x27c: the x27 chain over the RESIDUAL construction — the
+    // quantization-ceiling row of the residual tier (no probe
+    // truncation; the x28c curve prices the probe knob separately):
+    // recon comes from the stashed coarse centroids + residual book.
+    "x27c_residual_pq_recall" ->
+      (if (lastResidualCentroids.isEmpty || lastResidualBook.isEmpty)
+        "SELECT error('x27c: residual centroids/book not stashed — run the gate before its oracle')"
+      else
+      s"""WITH $vCte,
+         |$residualReconCtes,
+         |$adcFullScanShortSql
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin),
     // x27b: x27's chain with assignment + reconstruction under the
     // STASHED trained codebook (the x24b rotation pattern). An EMPTY
     // stash must replay LOUDLY, never as a structurally-valid empty
@@ -1813,14 +1998,7 @@ object SimilarityQueries extends QueryPack {
       else
       s"""WITH $vCte,
          |$trainedPqReconCtes,
-         |sq AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    ROUND(list_dot_product(q.emb, r.rv), 6) AS adc_sim
-         |  FROM v q JOIN recon r ON r.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10),
-         |short AS (SELECT query_id, neighbor_id, adc_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_sim DESC, neighbor_id ASC) AS srank
-         |  FROM sq),
+         |$adcFullScanShortSql
          |$annRerankCtes
          |$annExactTruthCtes
          |$annMetricTailSql""".stripMargin),

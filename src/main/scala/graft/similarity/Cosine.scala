@@ -430,10 +430,7 @@ object Cosine {
                         idCol: String, vecCol: String, cellCol: String,
                         nProbe: Int): DataFrame = {
     require(nProbe >= 1, "need at least one probed cell")
-    val cvec = centroids
-      .groupBy(col(cellCol))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-        s => s.getField("centroid")).as("cv"))
+    val cvec = centroidVectors(centroids, cellCol, "cv")
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", normSq(col("qv")))
     val d2 = aggregate(
@@ -655,19 +652,27 @@ object Cosine {
         round(aggregate(sort_array(col("xs")), lit(0.0), (a, x) => a + x) / col("n"), 6)
           .as("centroid"))
 
+  /** (cell, dim, centroid) rows re-shaped to one dense vector per cell —
+    * the broadcast-side form every centroid consumer shares (assignment,
+    * probe ranking, residual encode/decode): k·dim values, tiny at any
+    * corpus scale. */
+  private def centroidVectors(centroids: DataFrame, cellCol: String,
+                              out: String): DataFrame =
+    centroids
+      .groupBy(col(cellCol))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as(out))
+
   /** IVF assignment step: each vector moves to its nearest centroid
     * (squared euclidean, sequential index-order fold so the distance is
     * the same double on any engine; ties broken by cell id). Centroids
     * frame is (cell, dim, centroid) as produced by [[cellCentroids]] —
-    * it is re-shaped to one array per cell and BROADCAST (k·dim values,
-    * tiny at any corpus scale), so assignment is a map-side pass over the
+    * it is re-shaped to one array per cell and BROADCAST
+    * ([[centroidVectors]]), so assignment is a map-side pass over the
     * corpus. */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, cellCol: String): DataFrame = {
-    val cvec = centroids
-      .groupBy(col(cellCol))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-        s => s.getField("centroid")).as("cv"))
+    val cvec = centroidVectors(centroids, cellCol, "cv")
     val d2 = aggregate(
       zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
@@ -1984,6 +1989,132 @@ object Cosine {
       centroids.isDefined)
   }
 
+  /** Each vector minus its cell's coarse centroid — the residual frame
+    * both residual forms encode from: the corpus joins its assignment
+    * (id-keyed — `cells` is typically [[assignToCentroids]] output, the
+    * one shuffle the batch writer already pays) and subtracts the
+    * BROADCAST centroid vector map-side. Output (idCol, resv). */
+  def residualFrame(corpus: DataFrame, cells: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String): DataFrame =
+    corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
+      .join(broadcast(centroidVectors(centroids, cellCol, "cvec")),
+        Seq(cellCol))
+      .select(col(idCol),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("resv"))
+
+  /** Persist the RESIDUAL IVFADC tier — Jégou et al. 2011 §IV's actual
+    * encoding: the product quantizer codes x − q₁(x) (the vector's
+    * offset from its coarse cell centroid), not x itself, so the
+    * codebook spends its 2^nPlanes codewords per subspace on the
+    * within-cell spread instead of re-describing cell geometry the
+    * coarse quantizer already captured. Decode inverts it: the stored
+    * searches reconstruct centroid + codeword-concatenation (flagged in
+    * the sidecar — slot 8 — so every serving path picks the right
+    * decode without a caller-side switch). x28c measures what this buys
+    * over raw-vector codes at the same 4 bit/subspace.
+    *
+    * Coarse centroids are REQUIRED (decode needs them; openPqIndex
+    * refuses a residual sidecar without the centroid flag) and should be
+    * the table `cells` was assigned against — residuals are computed
+    * from the centroids AS WRITTEN to disk (reread before encoding, the
+    * writeSq8Index stats recipe), so encode and decode subtract/add
+    * bit-identical doubles. Write order: centroids, book (trained on
+    * the residual frame), codes, sidecar LAST — a crash leaves the old
+    * sidecar fingerprint-mismatching whichever store changed, loud at
+    * open. Layout, commit sidecar, and every stored search are shared
+    * with [[writePqIndex]]/[[writeTrainedPqIndex]]. */
+  def writeResidualPqIndex(corpus: DataFrame, cells: DataFrame,
+                           idCol: String, vecCol: String, cellCol: String,
+                           centroids: DataFrame, dir: String,
+                           nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4,
+                           iters: Int = 8,
+                           centroidFn: (DataFrame, String, String) => DataFrame =
+                             cellCentroids): Unit = {
+    val spark = corpus.sparkSession
+    writePqCentroids(spark, Some(centroids), cellCol, dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .withColumnRenamed("cell", cellCol)
+    val res = residualFrame(corpus, cells, cents, idCol, vecCol, cellCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      writeResidualPqTail(spark,
+        trainPqCodebook(res, idCol, "resv", nSub, subDim, nPlanes, iters,
+          centroidFn),
+        res, corpus, cells, idCol, vecCol, cellCol, dir, nSub, subDim,
+        nPlanes)
+    finally res.unpersist()
+  }
+
+  /** [[writeResidualPqIndex]] with the residual codebook PINNED instead
+    * of retrained — the publish path of the residual tier's streaming
+    * twin ([[graft.streaming.StreamingResidualPqMaintenance]]), exactly
+    * the [[writeTrainedPqIndexWith]] relationship: streamed segments
+    * were coded against this (book, centroids) pair, so the published
+    * store must carry BOTH forward verbatim (retraining either would
+    * silently mix quantizers — and for a residual store the centroids
+    * are part of the quantizer, not just probe metadata). */
+  def writeResidualPqIndexWith(corpus: DataFrame, cells: DataFrame,
+                               idCol: String, vecCol: String,
+                               cellCol: String, book: DataFrame,
+                               centroids: DataFrame, dir: String,
+                               nSub: Int = 8, subDim: Int = 8,
+                               nPlanes: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    writePqCentroids(spark, Some(centroids), cellCol, dir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .withColumnRenamed("cell", cellCol)
+    val res = residualFrame(corpus, cells, cents, idCol, vecCol, cellCol)
+    writeResidualPqTail(spark, book, res, corpus, cells, idCol, vecCol,
+      cellCol, dir, nSub, subDim, nPlanes)
+  }
+
+  /** Shared finish of the two residual writers: book to disk (reread
+    * before coding — the writeSq8Index stats recipe), residual codes,
+    * then the common [[writePqTail]] with the residual sidecar flag. */
+  private def writeResidualPqTail(spark: SparkSession, book: DataFrame,
+                                  res: DataFrame, corpus: DataFrame,
+                                  cells: DataFrame, idCol: String,
+                                  vecCol: String, cellCol: String,
+                                  dir: String, nSub: Int, subDim: Int,
+                                  nPlanes: Int): Unit = {
+    book.write.mode("overwrite").parquet(s"$dir/codebook")
+    writePqTail(spark,
+      pqCodesFromBook(res, idCol, "resv",
+        spark.read.parquet(s"$dir/codebook"), nSub, subDim, nPlanes),
+      corpus, cells, idCol, vecCol, cellCol, dir, nSub, subDim, nPlanes,
+      hasCentroids = true, residual = true)
+  }
+
+  /** The in-plan residual-IVFADC multiprobe twin
+    * ([[ivfAdcMultiprobeStored]] over a residual store, batch-analytics
+    * form — the ivfAdcTopKMultiprobe relationship with the encode/decode
+    * swapped to residual): codes assigned from the EXPLICIT trained
+    * `book` over the residual frame, candidates reconstruct centroid +
+    * codewords, probe selection and scoring ride the shared
+    * [[ivfProbes]]/[[adcScoreCells]] bodies. The spec pins stored ≡
+    * this over the same frames. */
+  def ivfAdcResidualMultiprobe(queries: DataFrame, corpus: DataFrame,
+                               cells: DataFrame, centroids: DataFrame,
+                               book: DataFrame, idCol: String,
+                               vecCol: String, cellCol: String,
+                               k: Int, nProbe: Int,
+                               nSub: Int = 8, subDim: Int = 8,
+                               nPlanes: Int = 4): DataFrame = {
+    val res = residualFrame(corpus, cells, centroids, idCol, vecCol, cellCol)
+    val c = pqCodesFromBook(res, idCol, "resv", book, nSub, subDim, nPlanes)
+      .join(cells.select(col(idCol), col(cellCol)), Seq(idCol))
+      .crossJoin(broadcast(codebookToMap(book)))
+      .join(broadcast(centroidVectors(centroids, cellCol, "cvec")),
+        Seq(cellCol))
+      .select(col(cellCol), col(idCol).as("neighbor_id"),
+        zip_with(col("cvec"), adcRecon(nSub, nPlanes), (a, b) => a + b).as("rv"))
+    adcScoreCells(
+      ivfProbes(queries, centroids, idCol, vecCol, cellCol, nProbe),
+      c, cellCol, k)
+  }
+
   /** The COARSE centroid table (optional): stored so probe selection —
     * the full IVFADC composition, [[ivfAdcMultiprobeStored]] — can rank
     * cells per query without the caller shipping centroids around;
@@ -2017,7 +2148,8 @@ object Cosine {
                           corpus: DataFrame, cells: DataFrame, idCol: String,
                           vecCol: String, cellCol: String, dir: String,
                           nSub: Int, subDim: Int, nPlanes: Int,
-                          hasCentroids: Boolean): Unit = {
+                          hasCentroids: Boolean,
+                          residual: Boolean = false): Unit = {
     // persisted around the emptiness probe so the code+cell join lineage
     // is not evaluated twice (the writeIvfIndex convention)
     val codes = codesOf
@@ -2037,11 +2169,14 @@ object Cosine {
     // the presence FLAG is its own slot: a fingerprint of 0 is a legal
     // value (empty centroid frame, 1-in-1e9 hash sum), so overloading 0
     // as "no centroids" would silently skip the torn-centroid check
+    // slot 8 (residual) grew the format in place: readers accept the
+    // 8-field sidecars earlier writers left behind as residual=0
     graft.ops.ConfigFile.writeAtomic(dir, "pq_commit",
       Seq(nSub, subDim, nPlanes, PrefixBuckets,
         (nCodes % 1000000000L).toInt, pqCodebookFp(spark, dir),
         if (hasCentroids) centroidFp(spark, dir, "cell") else 0,
-        if (hasCentroids) 1 else 0))
+        if (hasCentroids) 1 else 0,
+        if (residual) 1 else 0))
   }
 
   /** Content fingerprint of the WRITTEN codebook parquet (order-free sum
@@ -2060,16 +2195,19 @@ object Cosine {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
 
   /** Open-time torn-artifact guard + config read for the stored PQ tier:
-    * returns (nSub, subDim, nPlanes, idBuckets, hasCentroids) after
-    * validating the codes count and codebook fingerprint against the
-    * sidecar, once per (dir, sidecar) in this process. The centroid
+    * returns (nSub, subDim, nPlanes, idBuckets, hasCentroids, residual)
+    * after validating the codes count and codebook fingerprint against
+    * the sidecar, once per (dir, sidecar) in this process. The centroid
     * store is validated under its WRITE-NORMALIZED 'cell' column —
     * never inferred from "whichever column is neither dim nor centroid"
     * (a store with extra columns would misvalidate; one with only
     * dim/centroid would throw NoSuchElementException instead of the
-    * torn-artifact message). */
-  private def openPqIndex(spark: SparkSession, dir: String): (Int, Int, Int, Int, Boolean) = {
-    val cfg = graft.ops.ConfigFile.readInts(dir, "pq_commit", 8)
+    * torn-artifact message). The residual slot arrived after the format
+    * shipped, so 8-field sidecars read as residual=0 (every pre-residual
+    * store codes raw vectors). */
+  private def openPqIndex(spark: SparkSession,
+                          dir: String): (Int, Int, Int, Int, Boolean, Boolean) = {
+    val cfg = graft.ops.ConfigFile.readIntsRange(dir, "pq_commit", 8, 9)
     if (!validatedPq.contains((dir, cfg))) {
       val nc = (spark.read.parquet(s"$dir/codes").count() % 1000000000L).toInt
       val fp = pqCodebookFp(spark, dir)
@@ -2090,7 +2228,13 @@ object Cosine {
       }
       validatedPq.add((dir, cfg))
     }
-    (cfg.head, cfg(1), cfg(2), cfg(3), cfg(7) == 1)
+    val residual = cfg.lift(8).contains(1)
+    require(!residual || cfg(7) == 1,
+      s"stored PQ index at $dir claims residual codes but carries no " +
+        "coarse centroids — residual reconstruction is centroid + " +
+        "codeword, undecodable without them: torn or hand-edited " +
+        "artifact, re-run writeResidualPqIndex")
+    (cfg.head, cfg(1), cfg(2), cfg(3), cfg(7) == 1, residual)
   }
 
   /** Read a partitioned store with `partCol` pinned back to STRING —
@@ -2133,20 +2277,32 @@ object Cosine {
     * multiprobe ([[ivfAdcMultiprobeStored]]) serving searches: probed
     * cells become LITERAL pcell filters (flat layouts fall back to a
     * data-column filter), reconstruction joins the broadcast stored
-    * codebook. */
+    * codebook. A RESIDUAL store ([[writeResidualPqIndex]]) decodes as
+    * centroid + codeword-concatenation — the cell's coarse centroid
+    * joins in broadcast next to the codebook, same plan shape. */
   private def prunedAdcCandidates(spark: SparkSession, dir: String,
                                   idCol: String, cellCol: String,
                                   cellLits: Seq[String],
-                                  nSub: Int, nPlanes: Int): DataFrame = {
+                                  nSub: Int, nPlanes: Int,
+                                  residual: Boolean): DataFrame = {
     val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
     val c0 = pinnedStringPartitionRead(spark, s"$dir/codes", "pcell")
     val partitioned = c0.columns.contains("pcell")
-    (if (cellLits.isEmpty) c0.limit(0)
-     else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
-     else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
-      .crossJoin(broadcast(book))
-      .select(col(cellCol), col(idCol).as("neighbor_id"),
+    val pruned =
+      (if (cellLits.isEmpty) c0.limit(0)
+       else if (partitioned) c0.filter(col("pcell").isin(cellLits: _*))
+       else c0.filter(col(cellCol).cast("string").isin(cellLits: _*)))
+        .crossJoin(broadcast(book))
+    if (!residual)
+      pruned.select(col(cellCol), col(idCol).as("neighbor_id"),
         adcRecon(nSub, nPlanes).as("rv"))
+    else
+      pruned
+        .join(broadcast(centroidVectors(
+          spark.read.parquet(s"$dir/centroids").withColumnRenamed("cell", cellCol),
+          cellCol, "cvec")), Seq(cellCol))
+        .select(col(cellCol), col(idCol).as("neighbor_id"),
+          zip_with(col("cvec"), adcRecon(nSub, nPlanes), (a, b) => a + b).as("rv"))
   }
 
   /** [[ivfAdcTopK]] over the persisted tier — value-identical (shared
@@ -2163,12 +2319,13 @@ object Cosine {
   def ivfAdcSearchStored(spark: SparkSession, queries: DataFrame,
                          dir: String, idCol: String, vecCol: String,
                          cellCol: String, k: Int): DataFrame = {
-    val (nSub, _, nPlanes, _, _) = openPqIndex(spark, dir)
+    val (nSub, _, nPlanes, _, _, residual) = openPqIndex(spark, dir)
     val (q, cellLits) = collectProbeFrame(spark,
       queries.select(col(cellCol), col(idCol).as("query_id"),
         toDouble(col(vecCol)).as("qv")), cellCol)
     adcScoreCells(broadcast(q),
-      prunedAdcCandidates(spark, dir, idCol, cellCol, cellLits, nSub, nPlanes),
+      prunedAdcCandidates(spark, dir, idCol, cellCol, cellLits, nSub, nPlanes,
+        residual),
       cellCol, k)
   }
 
@@ -2212,7 +2369,7 @@ object Cosine {
   def ivfAdcMultiprobeStored(spark: SparkSession, queries: DataFrame,
                              dir: String, idCol: String, vecCol: String,
                              cellCol: String, k: Int, nProbe: Int): DataFrame = {
-    val (nSub, _, nPlanes, _, hasCentroids) = openPqIndex(spark, dir)
+    val (nSub, _, nPlanes, _, hasCentroids, residual) = openPqIndex(spark, dir)
     // the sidecar's presence FLAG gates the read, not the directory's
     // existence: a store left behind by an earlier centroid-bearing
     // train (crash before writePqIndex's stale-delete, an external
@@ -2228,7 +2385,8 @@ object Cosine {
     val (probes, cellLits) = collectProbeFrame(spark,
       ivfProbes(queries, cents, idCol, vecCol, cellCol, nProbe), cellCol)
     adcScoreCells(broadcast(probes),
-      prunedAdcCandidates(spark, dir, idCol, cellCol, cellLits, nSub, nPlanes),
+      prunedAdcCandidates(spark, dir, idCol, cellCol, cellLits, nSub, nPlanes,
+        residual),
       cellCol, k)
   }
 
@@ -2244,13 +2402,32 @@ object Cosine {
   def pqTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
                    idCol: String, vecCol: String, k: Int,
                    kShort: Int = 20): DataFrame = {
-    val (nSub, _, nPlanes, buckets, _) = openPqIndex(spark, dir)
+    val (nSub, _, nPlanes, buckets, _, residual) = openPqIndex(spark, dir)
     val book = codebookToMap(spark.read.parquet(s"$dir/codebook"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
-    val c = pinnedStringPartitionRead(spark, s"$dir/codes", "pcell")
+    val coded = pinnedStringPartitionRead(spark, s"$dir/codes", "pcell")
       .crossJoin(broadcast(book))
-      .select(col(idCol).as("neighbor_id"), adcRecon(nSub, nPlanes).as("rv"))
+    val c =
+      if (!residual)
+        coded.select(col(idCol).as("neighbor_id"),
+          adcRecon(nSub, nPlanes).as("rv"))
+      else if (!coded.columns.contains("pcell"))
+        // flat layout = empty corpus (the writer only skips partitioning
+        // then): zero rows to decode, keep the schema
+        coded.limit(0).select(col(idCol).as("neighbor_id"),
+          adcRecon(nSub, nPlanes).as("rv"))
+      else {
+        // residual decode without knowing the caller's cell column NAME:
+        // the pcell partition value IS the cell cast to string (writer
+        // invariant), so the broadcast centroid join keys on it
+        val cv = broadcast(centroidVectors(
+            spark.read.parquet(s"$dir/centroids"), "cell", "cvec")
+          .select(col("cell").cast("string").as("pcell"), col("cvec")))
+        coded.join(cv, Seq("pcell"))
+          .select(col(idCol).as("neighbor_id"),
+            zip_with(col("cvec"), adcRecon(nSub, nPlanes), (a, b) => a + b).as("rv"))
+      }
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_sim", round(dot(col("qv"), col("rv")), 6))
     val ws = Window.partitionBy(col("query_id"))

@@ -298,6 +298,69 @@ object StreamingTrainedPqMaintenance {
   }
 }
 
+/** Streaming maintenance for the RESIDUAL PQ tier (the x27c/x28c
+  * artifact driven from a stream — twin #17): the segment algebra of
+  * [[StreamingTrainedPqMaintenance]] with BOTH halves of the residual
+  * quantizer pinned — the coarse centroids (which here define the
+  * encoding, not just probe metadata: codes quantize x − q₁(x)) and the
+  * trained residual book, each read once from the stored artifact.
+  * GIVEN the pair, a code row is a pure per-document function of the
+  * vector, so unioned segments equal the one-pass derivation and
+  * tombstone deletes stay exact; [[publish]] carries the pair forward
+  * VERBATIM ([[graft.similarity.Cosine.writeResidualPqIndexWith]]).
+  * Refreshing either half is a batch re-train
+  * ([[graft.similarity.Cosine.writeResidualPqIndex]]) + sink restart. */
+object StreamingResidualPqMaintenance {
+
+  def codeSink(spark: SparkSession, dir: String, idCol: String,
+               vecCol: String, book: DataFrame, centroids: DataFrame,
+               cellCol: String, nSub: Int = 8, subDim: Int = 8,
+               nPlanes: Int = 4, maxSegments: Int = 8)(
+               batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments)({
+      val C = graft.similarity.Cosine
+      val cells = C.assignToCentroids(batch, idCol, vecCol, centroids, cellCol)
+        .select(col(idCol), col("assigned_cell").as(cellCol))
+      C.pqCodesFromBook(
+          C.residualFrame(batch, cells, centroids, idCol, vecCol, cellCol),
+          idCol, "resv", book, nSub, subDim, nPlanes)
+        .join(cells, Seq(idCol))
+    })
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  /** Tombstone a batch of vector ids ([[FrameSegments.deleteFold]]) —
+    * residual code rows are per-document pure given the pinned
+    * (book, centroids) pair, so the id anti-join is exact. */
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+
+  /** PUBLISH the streamed store into the full stored residual tier:
+    * live ids select their vectors, the pinned (book, centroids) pair
+    * lands verbatim (centroids first, book second, codes, sidecar last —
+    * the crash ordering lives in
+    * [[graft.similarity.Cosine.writeResidualPqIndexWith]]).
+    * `servingDir` must not be the segment store itself. */
+  def publish(spark: SparkSession, dir: String, vectors: DataFrame,
+              book: DataFrame, centroids: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, servingDir: String,
+              nSub: Int = 8, subDim: Int = 8, nPlanes: Int = 4): Unit = {
+    val live = readLatest(spark, dir)
+    val corpus = vectors.join(live.select(col(idCol)), Seq(idCol), "left_semi")
+    graft.similarity.Cosine.writeResidualPqIndexWith(corpus,
+      live.select(col(idCol), col(cellCol)), idCol, vecCol, cellCol,
+      book, centroids, servingDir, nSub, subDim, nPlanes)
+  }
+}
+
 /** Streaming maintenance for the Matryoshka prefix index (the x20/x24b
   * serving form driven from a stream): each micro-batch of finalized
   * vectors lands as one immutable segment of (id, prefix, full) rows —

@@ -298,6 +298,78 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     cents.unpersist()
   }
 
+  test("residual PQ: streamed codes pure under the pinned (book, centroids) pair; publish carries both verbatim") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    // the pinned pair comes from a stored residual artifact (the
+    // documented flow: batch re-train refreshes it, the sink pins it)
+    val cents0 = Cosine.cellCentroidsSorted(emb, "label", "embedding")
+    val cells = Cosine.assignToCentroids(emb, "vec_id", "embedding",
+        cents0, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    val trainDir = java.nio.file.Files.createTempDirectory("graft_rpq_t").toString
+    Cosine.writeResidualPqIndex(emb, cells, "vec_id", "embedding", "label",
+      cents0, trainDir, iters = 2, centroidFn = Cosine.cellCentroidsSorted)
+    val book = sp.read.parquet(s"$trainDir/codebook")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = sp.read.parquet(s"$trainDir/centroids")
+      .withColumnRenamed("cell", "label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq").toString
+    val sink = StreamingResidualPqMaintenance.codeSink(sp, dir, "vec_id",
+      "embedding", book, cents, "label", maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    val got = StreamingResidualPqMaintenance.readLatest(sp, dir)
+    val wantCells = Cosine.assignToCentroids(emb, "vec_id", "embedding",
+        cents, "label")
+      .select(col("vec_id"), col("assigned_cell").as("label"))
+    val want = Cosine.pqCodesFromBook(
+        Cosine.residualFrame(emb, wantCells, cents, "vec_id", "embedding",
+          "label"),
+        "vec_id", "resv", book)
+      .join(wantCells, Seq("vec_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed residual code rows != one-pass derivation under the pair")
+    // tombstone, publish, pin: published store == batch
+    // writeResidualPqIndexWith over the live corpus with the SAME pair,
+    // and both halves of the pair landed verbatim
+    StreamingResidualPqMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 3L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_rpq_s").toString
+    StreamingResidualPqMaintenance.publish(sp, dir, emb, book, cents,
+      "vec_id", "embedding", "label", serving)
+    val pubBook = sp.read.parquet(s"$serving/codebook")
+    assert(pubBook.exceptAll(book).isEmpty && book.exceptAll(pubBook).isEmpty,
+      "publish must carry the pinned book verbatim")
+    val pubCents = sp.read.parquet(s"$serving/centroids")
+      .withColumnRenamed("cell", "label")
+    assert(pubCents.exceptAll(cents).isEmpty && cents.exceptAll(pubCents).isEmpty,
+      "publish must carry the pinned centroids verbatim")
+    val liveEmb = emb.filter(col("vec_id") =!= 7L)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_rpq_b").toString
+    Cosine.writeResidualPqIndexWith(liveEmb,
+      wantCells.filter(col("vec_id") =!= 7L), "vec_id", "embedding", "label",
+      book, cents, batchDir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val published = Cosine.ivfAdcMultiprobeStored(sp, queries, serving,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    val rebuilt = Cosine.ivfAdcMultiprobeStored(sp, queries, batchDir,
+      "vec_id", "embedding", "label", k = 3, nProbe = 2)
+    assert(published.count() > 0)
+    assert(published.collect().toSet == rebuilt.collect().toSet)
+    assert(published.filter(col("neighbor_id") === 7L).count() == 0)
+    val twoStage = Cosine.pqTopKStored(sp, queries, serving,
+      "vec_id", "embedding", k = 3, kShort = 10)
+    val twoStageB = Cosine.pqTopKStored(sp, queries, batchDir,
+      "vec_id", "embedding", k = 3, kShort = 10)
+    assert(twoStage.collect().toSet == twoStageB.collect().toSet)
+    book.unpersist()
+    cents.unpersist()
+  }
+
   test("prefix: streamed rotated segments == one-pass derivation; publish serves pruned") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
