@@ -1398,11 +1398,32 @@ object Cosine {
                            candidates: Seq[Int] = Seq(8, 16, 32, 64),
                            sampleN: Int = 32): (Int, Seq[(Int, Double)]) = {
     require(rotation.nonEmpty, "calibratePrefixWidth needs a trained rotation")
-    require(targetRecall > 0.0 && targetRecall <= 1.0,
-      s"targetRecall must be in (0, 1], got $targetRecall")
     val widths = candidates.filter(_ <= rotation.size).distinct.sorted
     require(widths.nonEmpty,
       s"no candidate width fits the ${rotation.size}-row rotation")
+    calibrateWalk(corpus, idCol, vecCol, k, sampleN, widths, targetRecall) {
+      (sample, p) =>
+        prefixTopKRotated(sample, corpus, idCol, vecCol,
+          rotation.take(p), k, kShort)
+    }
+  }
+
+  /** The shared measure-until-target walker behind every recall
+    * calibrator ([[calibratePrefixWidth]], [[calibrateNProbe]]): exact
+    * truth ONCE for a deterministic `sampleN`-query sample (smallest
+    * xxhash64(id) — stable under re-partitioning), then the candidate
+    * knob values ascending through `search` (must return (query_id,
+    * neighbor_id) rows) until the sampled recall@k meets the target.
+    * Cost is sample-bounded: one exact topK plus one search per
+    * candidate tried. When no candidate reaches the target, the widest
+    * returns with the honest curve — the caller reads it and escalates
+    * (a wider candidate set, or the next tier up). */
+  private def calibrateWalk(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, sampleN: Int, candidates: Seq[Int],
+                            targetRecall: Double)(
+                            search: (DataFrame, Int) => DataFrame): (Int, Seq[(Int, Double)]) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sample = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
@@ -1412,21 +1433,47 @@ object Cosine {
     val nExact = exact.count().toDouble
     val curve = Seq.newBuilder[(Int, Double)]
     var chosen = -1
-    val it = widths.iterator
+    val it = candidates.iterator
     while (it.hasNext && chosen < 0) {
-      val p = it.next()
-      val approx = prefixTopKRotated(sample, corpus, idCol, vecCol,
-          rotation.take(p), k, kShort)
+      val c = it.next()
+      val approx = search(sample, c)
         .select(col("query_id"), col("neighbor_id"))
       val overlap = exact
         .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
       val r = if (nExact == 0) 1.0 else overlap / nExact
-      curve += ((p, r))
-      if (r >= targetRecall) chosen = p
+      curve += ((c, r))
+      if (r >= targetRecall) chosen = c
     }
     sample.unpersist()
     exact.unpersist()
-    (if (chosen >= 0) chosen else widths.last, curve.result())
+    (if (chosen >= 0) chosen else candidates.last, curve.result())
+  }
+
+  /** Derive the IVFADC probe width `nProbe` from a RECALL TARGET by
+    * measurement against a STORED index — the [[calibratePrefixWidth]]
+    * convention applied to the knob x28b/x28c price: the curve's shape
+    * is corpus- and construction-dependent (label cells vs k-means
+    * cells vs residual codes all bend it differently), so a pipeline
+    * derives the knob from its target instead of hand-reading the gate
+    * curves. Walks `candidates` ascending through the real
+    * [[ivfAdcMultiprobeStored]] serving path. NOTE the reachable
+    * ceiling: with every cell probed, recall equals the store's
+    * QUANTIZATION ceiling (the x27-family row), never 1.0 — a curve
+    * that plateaus below the target is the signal to raise `kShort`
+    * on [[pqTopKStored]]'s rerank path or move tiers, not to probe
+    * wider. Returns (chosen nProbe, the measured curve). */
+  def calibrateNProbe(spark: SparkSession, dir: String, corpus: DataFrame,
+                      idCol: String, vecCol: String, cellCol: String,
+                      targetRecall: Double, k: Int = 5,
+                      candidates: Seq[Int] = Seq(1, 2, 4, 8),
+                      sampleN: Int = 32): (Int, Seq[(Int, Double)]) = {
+    val widths = candidates.distinct.sorted
+    require(widths.nonEmpty, "calibrateNProbe needs candidate widths")
+    calibrateWalk(corpus, idCol, vecCol, k, sampleN, widths, targetRecall) {
+      (sample, np) =>
+        ivfAdcMultiprobeStored(spark, sample, dir, idCol, vecCol, cellCol,
+          k, nProbe = np)
+    }
   }
 
   /** The ROTATED stored Matryoshka layout: same vectors table as
