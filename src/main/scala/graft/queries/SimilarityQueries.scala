@@ -932,11 +932,7 @@ object SimilarityQueries extends QueryPack {
     * codeword reconstruction. Mirrors [[pqReconCtes]]' shape with the
     * derived codebook swapped for the stashed literals. */
   private def trainedPqReconCtes: String = {
-    val values = lastTrainedPqBook.map { case (cell, cw) =>
-      s"($cell, CAST([${cw.mkString(", ")}] AS DOUBLE[]))"
-    }.mkString(",\n    ")
-    s"""cwv AS (SELECT * FROM (VALUES
-       |    $values) AS t(cell, cvec)),
+    s"""${stashedCellVecSql("cwv", lastTrainedPqBook)},
        |sub AS (SELECT vec_id, t.j, emb[(t.j*8+1):(t.j*8+8)] AS subv
        |  FROM v, (SELECT unnest(range(0, 8)) AS j) t),
        |sc AS (SELECT s.vec_id, s.j, w.cell,

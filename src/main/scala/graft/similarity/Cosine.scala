@@ -1346,11 +1346,20 @@ object Cosine {
     * Catalyst analysis itself becomes the bottleneck — fail fast with
     * the remedy instead of hanging the driver. */
   def rotatedPrefix(v: Column, rotation: Seq[Seq[Double]]): Column = {
+    requireRotationBudget(rotation)
+    array(rotation.map(r => dot(v, array(r.map(lit): _*))): _*)
+  }
+
+  /** The p·dim literal-node gate, standalone so WRITERS can reject an
+    * oversized rotation BEFORE mutating a store ([[rotatedPrefix]] fires
+    * it at expression-build time, but by then
+    * writeRotatedPrefixIndexWith has already retired the old sidecar —
+    * a predictable argument error must fail with zero writes). */
+  private def requireRotationBudget(rotation: Seq[Seq[Double]]): Unit = {
     val nodes = rotation.iterator.map(_.size.toLong).sum
     require(nodes <= (1L << 17),
       s"rotatedPrefix: p·dim = $nodes literal nodes exceeds ${1L << 17} — " +
         "lower p or reduce the embedding before rotating")
-    array(rotation.map(r => dot(v, array(r.map(lit): _*))): _*)
   }
 
   /** Inline rotated-prefix two-stage search — [[prefixTopK]] with stage 1
@@ -1430,23 +1439,26 @@ object Cosine {
       .select(col(idCol), col(vecCol)).persist(lvl)
     val exact = topK(sample, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id")).persist(lvl)
-    val nExact = exact.count().toDouble
-    val curve = Seq.newBuilder[(Int, Double)]
-    var chosen = -1
-    val it = candidates.iterator
-    while (it.hasNext && chosen < 0) {
-      val c = it.next()
-      val approx = search(sample, c)
-        .select(col("query_id"), col("neighbor_id"))
-      val overlap = exact
-        .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
-      val r = if (nExact == 0) 1.0 else overlap / nExact
-      curve += ((c, r))
-      if (r >= targetRecall) chosen = c
+    try {
+      val nExact = exact.count().toDouble
+      val curve = Seq.newBuilder[(Int, Double)]
+      var chosen = -1
+      val it = candidates.iterator
+      while (it.hasNext && chosen < 0) {
+        val c = it.next()
+        val approx = search(sample, c)
+          .select(col("query_id"), col("neighbor_id"))
+        val overlap = exact
+          .join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val r = if (nExact == 0) 1.0 else overlap / nExact
+        curve += ((c, r))
+        if (r >= targetRecall) chosen = c
+      }
+      (if (chosen >= 0) chosen else candidates.last, curve.result())
+    } finally {
+      sample.unpersist()
+      exact.unpersist()
     }
-    sample.unpersist()
-    exact.unpersist()
-    (if (chosen >= 0) chosen else candidates.last, curve.result())
   }
 
   /** Derive the IVFADC probe width `nProbe` from a RECALL TARGET by
@@ -1529,6 +1541,9 @@ object Cosine {
                                           rotation: Seq[Seq[Double]], p: Int,
                                           dir: String): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
+    // argument validation BEFORE any mutation: an oversized rotation
+    // must be rejected while the previous store is still servable
+    requireRotationBudget(rotation)
     // retire the UNROTATED sidecar first (see writePrefixIndex — the
     // same mixed-family hazard in the other direction)
     dropPrefixFamily(spark, dir, "prefix_config", dropRotation = false)
@@ -2264,10 +2279,15 @@ object Cosine {
           "torn artifact: re-run writePqIndex")
       if (cfg(7) == 1) {
         val ccols = spark.read.parquet(s"$dir/centroids").columns
+        // pre-normalization stores (written before the centroid column
+        // was pinned to 'cell') fail here by DESIGN — accepting a
+        // caller-named column would reintroduce the inference hazard
+        // the normalization closed; the one-time migration is a re-run
         require(ccols.contains("cell"),
           s"stored PQ centroids at $dir carry no 'cell' column (found " +
-            s"${ccols.mkString(", ")}) — torn or foreign artifact: " +
-            "re-run writePqIndex")
+            s"${ccols.mkString(", ")}) — either a torn/foreign artifact " +
+            "or a store written before centroid-column normalization: " +
+            "re-run writePqIndex once to migrate")
         val cfp = centroidFp(spark, dir, "cell")
         require(cfp == cfg(6),
           s"stored PQ centroids at $dir do not match the commit sidecar " +

@@ -89,9 +89,10 @@ object EigSym {
     // (non-finite entries — NaN also fails this check, since NaN <= floor
     // is false) rather than a hard matrix.
     require(off() <= floor,
-      s"Jacobi failed to converge in $maxSweeps sweeps " +
+      s"Jacobi failed to converge after $sweep of $maxSweeps sweeps " +
         s"(off-diagonal norm² ${off()} > floor $floor) — the diagonal is " +
-        "not eigenvalues; check the input for non-finite values or raise " +
+        "not eigenvalues; a sweep count of 0 means non-finite input " +
+        "(NaN fails the loop guard immediately), otherwise raise " +
         "maxSweeps")
     (Array.tabulate(n)(i => a(i)(i)), v)
   }

@@ -17,23 +17,8 @@ object TrainedPqProbe2 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()
     // mean ||x - recon||^2 given a dir with codebook+codes
-    def mse(storeDir: String): Double = {
-      val book = spark.read.parquet(s"$storeDir/codebook")
-      val codes = spark.read.parquet(s"$storeDir/codes")
-        .select(col("vec_id"), col("codes"))
-      val bm = book.groupBy(col("cell"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-          s => s.getField("centroid")).as("cw"))
-        .agg(map_from_entries(sort_array(collect_list(
-          struct(col("cell"), col("cw"))))).as("book"))
-      val recon = flatten(transform(sequence(lit(0), lit(7)),
-        j => element_at(col("book"),
-          (j * 16 + element_at(col("codes"), j + 1)).cast("long"))))
-      emb.join(codes, "vec_id").crossJoin(broadcast(bm))
-        .select(aggregate(zip_with(Cosine.toDouble(col("embedding")), recon,
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("e"))
-        .agg(avg(col("e"))).head().getDouble(0)
-    }
+    def mse(storeDir: String): Double =
+      graft.similarity.PqTestMse.reconMse(spark, emb, storeDir)
     val srpDir = java.nio.file.Files.createTempDirectory("pq_srp").toString
     Cosine.writePqIndex(emb, emb.select(col("vec_id"), col("label")),
       "vec_id", "embedding", "label", srpDir)

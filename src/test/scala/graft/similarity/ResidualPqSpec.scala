@@ -146,39 +146,8 @@ class ResidualPqSpec extends SparkSpec {
       rawDir, iters = 2)
     Cosine.writeResidualPqIndex(emb, cells, "vec_id", "embedding", "label",
       cents, resDir, iters = 2)
-    // reconstruction error through the SERVING decode: score every
-    // vector as its own query at full shortlist; 1 − adc_sim of the
-    // self-pair is the decode's cosine error... simpler and stronger:
-    // mean squared error vector-vs-reconstruction via pqTopKStored's
-    // stage-1 frame is not exposed, so measure on first principles
-    def mse(dir: String, residual: Boolean): Double = {
-      val codes = spark.read.parquet(s"$dir/codes")
-      val bm = spark.read.parquet(s"$dir/codebook")
-        .groupBy(col("cell"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-          s => s.getField("centroid")).as("cw"))
-        .agg(map_from_entries(sort_array(collect_list(
-          struct(col("cell"), col("cw"))))).as("book"))
-      val recon = flatten(transform(sequence(lit(0), lit(7)),
-        j => element_at(col("book"),
-          (j * 16 + element_at(col("codes"), j + 1)).cast("long"))))
-      val base = emb.join(codes.select(col("vec_id"), col("codes"),
-          col("label")), Seq("vec_id"))
-        .crossJoin(broadcast(bm))
-      val withRv =
-        if (!residual) base.withColumn("rv", recon)
-        else base.join(broadcast(spark.read.parquet(s"$dir/centroids")
-            .groupBy(col("cell"))
-            .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-              s => s.getField("centroid")).as("cvec"))
-            .withColumnRenamed("cell", "label")), Seq("label"))
-          .withColumn("rv", zip_with(col("cvec"), recon, (a, b) => a + b))
-      withRv.select(aggregate(zip_with(Cosine.toDouble(col("embedding")),
-          col("rv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("e"))
-        .agg(avg(col("e"))).head().getDouble(0)
-    }
-    val (mRaw, mRes) = (mse(rawDir, residual = false), mse(resDir, residual = true))
+    val (mRaw, mRes) = (PqTestMse.reconMse(spark, emb, rawDir),
+      PqTestMse.reconMse(spark, emb, resDir, residual = true))
     assert(mRes < mRaw, s"residual MSE $mRes not below raw-coding MSE $mRaw")
     info(f"reconstruction MSE: trained-raw $mRaw%.4f -> residual $mRes%.4f")
     emb.unpersist()

@@ -16,24 +16,8 @@ class TrainedPqSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def mse(dir: String): Double = {
-    val emb = graft.Tables.embeddings(spark, sfDir)
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("vec_id"), col("codes"))
-    val bm = spark.read.parquet(s"$dir/codebook")
-      .groupBy(col("cell"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
-        s => s.getField("centroid")).as("cw"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("cell"), col("cw"))))).as("book"))
-    val recon = flatten(transform(sequence(lit(0), lit(7)),
-      j => element_at(col("book"),
-        (j * 16 + element_at(col("codes"), j + 1)).cast("long"))))
-    emb.join(codes, "vec_id").crossJoin(broadcast(bm))
-      .select(aggregate(zip_with(Cosine.toDouble(col("embedding")), recon,
-        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("e"))
-      .agg(avg(col("e"))).head().getDouble(0)
-  }
+  private def mse(dir: String): Double =
+    PqTestMse.reconMse(spark, graft.Tables.embeddings(spark, sfDir), dir)
 
   test("trained book keeps the pqCodebook schema/key space; codes in range; MSE strictly improves") {
     val emb = graft.Tables.embeddings(spark, sfDir)
