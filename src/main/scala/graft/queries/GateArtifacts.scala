@@ -135,6 +135,15 @@ private[queries] object GateArtifacts {
         centroidFn = graft.similarity.Cosine.cellCentroidsSorted)
     }
 
+  /** x29's stored BINARY-QUANTIZED tier: sign-bit words (8 B/vector at
+    * dim=64) + pbucket raw vectors under the bq_config commit sidecar —
+    * parameter-free, so the oracle replays it with no stash. */
+  def bqIndexDir(s: SparkSession, dir: String): String =
+    memo("bqidx", s, dir) { p =>
+      graft.similarity.Cosine.writeBqIndex(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 64, p)
+    }
+
   /** x28c's RESIDUAL IVFADC tier — the full Jégou composition: coarse
     * cells TRAINED by k-means (16 cells, deterministic hash-bucket init,
     * 3 Lloyd rounds — x28b measured that the data-free label cells buy

@@ -303,6 +303,38 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("n_probe"), col("query_id"))
     }),
 
+    // ---- X29: the BINARY-QUANTIZED tier (1 bit/dim — the cheapest end
+    //      of the quantization ladder: SQ8 1 B/dim recall 1.0, PQ 4 bit
+    //      per 8-dim subspace 0.42–0.64; BQ serves a 64-dim vector from
+    //      EIGHT bytes): stored two-stage search — Hamming-ranked sign
+    //      words shortlist kShort=20, exact cosine rerank (the x19/x25
+    //      chain at word granularity). Parameter-free quantizer, so the
+    //      oracle replays the whole chain with no stashed artifact.
+    "x29_bq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      val bdir = GateArtifacts.bqIndexDir(s, dir)
+      Cosine.bqTopKStored(s, queries, bdir, "vec_id", "embedding",
+          k = 5, kShort = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- X29B: the BQ row of the ANN acceptance matrix — recall@5 of
+    //      the stored two-stage BQ search vs brute-force truth (the
+    //      x23/x24/x27 shared metric chain), pricing 1 bit/dim.
+    "x29b_bq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val bdir = GateArtifacts.bqIndexDir(s, dir)
+      val approx = Cosine.bqTopKStored(s, queries, bdir,
+          "vec_id", "embedding", k = 5, kShort = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      recallOf(exact, approx)
+    }),
+
     // ---- X27C: the QUANTIZATION-ceiling row of the residual tier —
     //      x27's full-scan two-stage chain (no probe truncation) over
     //      the residual construction. Measured at sf0.01: recall@5
@@ -852,6 +884,33 @@ object SimilarityQueries extends QueryPack {
     lastResidualCentroids = readCellVecs(s, s"$rdir/centroids")
     lastResidualBook = readCellVecs(s, s"$rdir/codebook")
   }
+
+  /** The x29 family's stage 1, generated to the exact
+    * bqCodes/bqHamming arithmetic: sign-bit words (two 32-bit words at
+    * dim=64 — 32 dims/word keeps every word inside BIGINT with no
+    * sign-bit hazard), per-pair Hamming via bit_count(xor), shortlist
+    * ranked (hamming asc, id asc) for the kShort=20 rerank cut. */
+  private val bqShortCtes =
+    """bw AS (SELECT vec_id, list_transform(range(0, 2), w ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 33), i ->
+      |        CASE WHEN emb[w*32 + i] > 0
+      |          THEN (CAST(1 AS BIGINT) << (i - 1))
+      |          ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a + b)) AS words
+      |  FROM v),
+      |hm AS (SELECT q.vec_id AS query_id, cw.vec_id AS neighbor_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 3),
+      |        w -> CAST(bit_count(xor(qw.words[w], cw.words[w])) AS BIGINT))),
+      |      (a, b) -> a + b) AS hamming
+      |  FROM v q JOIN bw qw ON qw.vec_id = q.vec_id
+      |  JOIN bw cw ON cw.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |short AS (SELECT query_id, neighbor_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming ASC, neighbor_id ASC) AS srank
+      |  FROM hm),""".stripMargin
 
   /** The full-scan ADC shortlist block shared verbatim by the x27
     * family's oracles (hash / trained / residual — they differ only in
@@ -1966,6 +2025,32 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $vCte,
          |$pqReconCtes,
          |$adcFullScanShortSql
+         |$annRerankCtes
+         |$annExactTruthCtes
+         |$annMetricTailSql""".stripMargin,
+    // x29: the stored binary-quantized two-stage search — sign words,
+    // Hamming shortlist, exact rerank carrying the stage-1 score.
+    "x29_bq_topk" ->
+      s"""WITH $vCte,
+         |$bqShortCtes
+         |rr AS (SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+         |    ROUND(list_dot_product(q.emb, c2.emb) / (sqrt(qn.nsq) * sqrt(cn.nsq)), 6) AS sim
+         |  FROM short sh
+         |  JOIN v q ON q.vec_id = sh.query_id
+         |  JOIN v c2 ON c2.vec_id = sh.neighbor_id
+         |  JOIN n qn ON qn.vec_id = sh.query_id
+         |  JOIN n cn ON cn.vec_id = sh.neighbor_id
+         |  WHERE sh.srank <= 20)
+         |SELECT query_id, rank, neighbor_id, hamming, sim FROM (
+         |  SELECT query_id, neighbor_id, hamming, sim, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM rr)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x29b: that chain's recall row vs brute-force truth (the shared
+    // metric tail).
+    "x29b_bq_recall" ->
+      s"""WITH $vCte,
+         |$bqShortCtes
          |$annRerankCtes
          |$annExactTruthCtes
          |$annMetricTailSql""".stripMargin,

@@ -1135,6 +1135,148 @@ object Cosine {
     sq8Rerank(short, raw, k)
   }
 
+  // ---- Binary quantization (1 bit/dim) ---------------------------------
+
+  /** Sign-bit words — the 1-bit/dim extreme of the quantization ladder
+    * (SQ8 = 8 bit/dim recall 1.0; PQ = 4 bit/subspace-dim; this tier is
+    * 1 bit/dim: a 64-dim float vector serves from EIGHT bytes): bit
+    * (i mod 32) of word ⌊i/32⌋ is set iff x_i > 0 (the srpBucketSql
+    * sign convention). 32 dims per word keeps every word in [0, 2³²) so
+    * an external engine's BIGINT arithmetic reproduces the pack with no
+    * sign-bit hazard, and the pack is pure shift/or column arithmetic
+    * inside whole-stage codegen. Parameter-free (no stats, no training)
+    * — code rows are per-document pure with NO pinned state, the
+    * simplest append/delete algebra of any tier. */
+  def bqCodes(v: Column, dim: Int): Column = {
+    require(dim >= 1, s"bqCodes: dim $dim")
+    array((0 until (dim + 31) / 32).map { w =>
+      (w * 32 until math.min(w * 32 + 32, dim)).map { i =>
+        when(element_at(v, i + 1) > lit(0.0), lit(1L << (i - w * 32)))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two sign-word arrays: Σ popcount(a XOR b)
+    * — one codegen'd pass over ⌈dim/32⌉ longs. */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized two-stage top-k (the [[sq8TopK]] shape at 1
+    * bit/dim): stage 1 ranks by HAMMING distance between sign words
+    * (ascending — fewest sign disagreements ≈ highest cosine; ties on
+    * neighbor id) and shortlists `kShort`; stage 2 re-ranks the
+    * shortlist by exact cosine ([[sq8Rerank]], the one shared tail).
+    * Scale shape: the scored corpus representation is ⌈dim/32⌉ longs
+    * per vector — at dim=64 a 100 TB float corpus scans as ~3% of its
+    * bytes — and the query side broadcasts. Output: (query_id, rank,
+    * neighbor_id, hamming, sim). */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int, kShort: Int = 20): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      bqCodes(toDouble(col(vecCol)), dim).as("bwords"))
+    bqRerank(bqShortlist(queries, c, idCol, vecCol, dim, kShort),
+      corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv")),
+      k)
+  }
+
+  /** Stage 1 of the BQ search — shared by the inline and stored forms:
+    * broadcast queries (with their own sign words) against a (neighbor_id,
+    * bwords) code frame, rank per query by (hamming asc, id asc), keep
+    * `kShort` rows of (query_id, neighbor_id, hamming, qv). */
+  private def bqShortlist(queries: DataFrame, codes: DataFrame,
+                          idCol: String, vecCol: String, dim: Int,
+                          kShort: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qwords", bqCodes(col("qv"), dim))
+    val sims = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", bqHamming(col("qwords"), col("bwords")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    sims.withColumn("srank", row_number().over(w)).filter(col("srank") <= kShort)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("qv"))
+  }
+
+  /** [[sq8Rerank]] carrying the Hamming stage-1 score. */
+  private def bqRerank(short: DataFrame, raw: DataFrame, k: Int): DataFrame =
+    sq8Rerank(short, raw, k, stage1Col = "hamming")
+
+  /** Stored BQ serving artifact (the [[writeSq8Index]] recipe minus the
+    * stats — sign codes are parameter-free): the PLAIN word store (stage
+    * 1 reads every code by design; that ⌈dim/32⌉-long scan IS the
+    * compressed tier), the raw vectors pbucket-partitioned for the
+    * pruned exact rerank, and a `bq_config` sidecar written LAST
+    * pinning (dim, buckets, codes count mod 1e9, codes content
+    * fingerprint) — count and fingerprint re-derived FROM DISK at open,
+    * so codes and vectors from different trains cannot serve together
+    * silently. Empty corpus writes vectors unpartitioned. */
+  def writeBqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val nCodes = {
+      val codes = corpus.select(col(idCol),
+          bqCodes(toDouble(col(vecCol)), dim).as("bwords"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        codes.write.mode("overwrite").parquet(s"$dir/codes")
+        codes.count()
+      } finally codes.unpersist()
+    }
+    writePrefixRows(corpus.select(col(idCol), col(vecCol)), idCol, dir)
+    graft.ops.ConfigFile.writeAtomic(dir, "bq_config",
+      Seq(dim, PrefixBuckets, (nCodes % 1000000000L).toInt,
+        bqCodesFp(spark, dir)))
+  }
+
+  /** Content fingerprint of the written word store (order-free per-row
+    * json hash, mod 1e9) — derived from DISK, the sq8StatsFp recipe. */
+  private def bqCodesFp(spark: SparkSession, dir: String): Int =
+    (spark.read.parquet(s"$dir/codes")
+      .agg(coalesce(sum(pmod(xxhash64(to_json(struct(col("*")))),
+        lit(1000000000L))), lit(0L)))
+      .head().getLong(0) % 1000000000L).toInt
+
+  // (dir, sidecar-contents) pairs whose check already passed
+  private val validatedBq =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Seq[Int])]()
+
+  /** [[bqTopK]] over the persisted layout — value-identical (shared
+    * [[bqShortlist]]/[[sq8Rerank]] bodies; sign words are pure, so the
+    * stored codes ARE the inline derivation parquet-roundtripped):
+    * stage 1 scans the plain word store, the shortlist materializes on
+    * the driver (|q|·kShort rows — the sq8TopKStored pattern), and the
+    * rerank prunes by LITERAL pbucket filters + a pushed In(id)
+    * ([[prunedRawVectors]]). `dim` comes from the artifact, never the
+    * caller. Point/serving probes only; batch scoring goes through
+    * [[bqTopK]]. */
+  def bqTopKStored(spark: SparkSession, queries: DataFrame, dir: String,
+                   idCol: String, vecCol: String, k: Int,
+                   kShort: Int = 20): DataFrame = {
+    val cfg = graft.ops.ConfigFile.readInts(dir, "bq_config", 4)
+    val (dim, buckets) = (cfg.head, cfg(1))
+    if (!validatedBq.contains((dir, cfg))) {
+      val nc = (spark.read.parquet(s"$dir/codes").count() % 1000000000L).toInt
+      val fp = bqCodesFp(spark, dir)
+      require(nc == cfg(2) && fp == cfg(3),
+        s"stored BQ index at $dir does not match its commit sidecar " +
+          s"(codes $nc vs ${cfg(2)}, fp $fp vs ${cfg(3)}) — torn " +
+          "artifact: re-run writeBqIndex")
+      validatedBq.add((dir, cfg))
+    }
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col(idCol).as("neighbor_id"), col("bwords"))
+    val shortDf = bqShortlist(queries, codes, idCol, vecCol, dim, kShort)
+    val shortRows = shortDf.collect()
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toSeq, 1), shortDf.schema)
+    val ids = shortRows.map(_.get(1)).distinct.toSeq
+    val (raw, _) = prunedRawVectors(spark, dir, idCol, vecCol, ids, buckets)
+    bqRerank(short, raw.drop("pbucket"), k)
+  }
+
   // ---- Matryoshka prefix search ----------------------------------------
 
   /** Matryoshka-style two-stage search (Kusupati et al. 2022, MRL):

@@ -469,3 +469,48 @@ object StreamingSq8Maintenance {
   def prune(dir: String, keepManifests: Int = 2): Unit =
     Segments.prune(dir, keepManifests)
 }
+
+/** Streaming maintenance for the BINARY-QUANTIZED tier (the x29 serving
+  * form driven from a stream — twin #18, and the simplest of all:
+  * sign-bit words are parameter-free, so code rows are per-document
+  * pure with NOTHING pinned — no stats, no book, no rotation. Segments
+  * union exactly, tombstones are exact anti-joins, and [[publish]] is a
+  * plain [[graft.similarity.Cosine.writeBqIndex]] over the live
+  * vectors: rebuild ≡ streamed by construction, nothing to carry
+  * forward). */
+object StreamingBqMaintenance {
+
+  def codeSink(spark: SparkSession, dir: String, idCol: String,
+               vecCol: String, dim: Int,
+               maxSegments: Int = 8)(batch: DataFrame, batchId: Long): Unit =
+    FrameSegments.fold(spark, dir, batchId, maxSegments)(
+      batch.select(col(idCol), graft.similarity.Cosine
+        .bqCodes(graft.similarity.Cosine.toDouble(col(vecCol)), dim)
+        .as("bwords")))
+
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    FrameSegments.readLatest(spark, dir)
+
+  def deleteSink(spark: SparkSession, dir: String, idCol: String,
+                 maxSegments: Int = 8)(tombs: DataFrame, batchId: Long): Unit =
+    FrameSegments.deleteFold(spark, dir, batchId, maxSegments, tombs, idCol)
+
+  def latestMaxBatch(dir: String): Long =
+    Segments.latest(dir).map(_.maxBatch).getOrElse(-1L)
+
+  def prune(dir: String, keepManifests: Int = 2): Unit =
+    Segments.prune(dir, keepManifests)
+
+  /** PUBLISH the streamed store into the full stored BQ tier: live ids
+    * select their vectors; codes are re-derived (pure function, no
+    * pinned state — the spec pins published ≡ streamed word rows).
+    * `servingDir` must not be the segment store itself. */
+  def publish(spark: SparkSession, dir: String, vectors: DataFrame,
+              idCol: String, vecCol: String, dim: Int,
+              servingDir: String): Unit = {
+    val live = readLatest(spark, dir)
+    val corpus = vectors.join(live.select(col(idCol)), Seq(idCol), "left_semi")
+    graft.similarity.Cosine.writeBqIndex(corpus, idCol, vecCol, dim,
+      servingDir)
+  }
+}

@@ -298,6 +298,38 @@ class StreamingFrameSegmentsSpec extends SparkSpec {
     cents.unpersist()
   }
 
+  test("BQ: parameter-free streamed sign words == one-pass coding; publish rebuilds the stored tier") {
+    val sp = spark; import sp.implicits._
+    val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bqs").toString
+    val sink = StreamingBqMaintenance.codeSink(sp, dir, "vec_id",
+      "embedding", dim = 64, maxSegments = 2) _
+    sink(emb.filter(col("vec_id") % 3 === 0), 0L)
+    sink(emb.filter(col("vec_id") % 3 === 1), 1L)
+    sink(emb.filter(col("vec_id") % 3 === 2), 2L)
+    val got = StreamingBqMaintenance.readLatest(sp, dir)
+    val want = emb.select(col("vec_id"),
+      Cosine.bqCodes(Cosine.toDouble(col("embedding")), 64).as("bwords"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed BQ word rows != one-pass derivation")
+    StreamingBqMaintenance.deleteSink(sp, dir, "vec_id")(
+      Seq(7L).map(Tuple1(_)).toDF("vec_id"), 3L)
+    val serving = java.nio.file.Files.createTempDirectory("graft_bqs_s").toString
+    StreamingBqMaintenance.publish(sp, dir, emb, "vec_id", "embedding",
+      64, serving)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val published = Cosine.bqTopKStored(sp, queries, serving,
+      "vec_id", "embedding", k = 3, kShort = 10)
+    val liveEmb = emb.filter(col("vec_id") =!= 7L)
+    val inline = Cosine.bqTopK(queries, liveEmb, "vec_id", "embedding",
+      dim = 64, k = 3, kShort = 10)
+    assert(published.count() > 0)
+    assert(published.collect().toSet == inline.collect().toSet,
+      "published BQ store != inline search over the live corpus")
+    assert(published.filter(col("neighbor_id") === 7L).count() == 0)
+  }
+
   test("residual PQ: streamed codes pure under the pinned (book, centroids) pair; publish carries both verbatim") {
     val sp = spark; import sp.implicits._
     val emb = graft.Tables.embeddings(sp, "/root/testdata/sf0.001")
