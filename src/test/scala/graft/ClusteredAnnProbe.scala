@@ -12,7 +12,7 @@ package graft
   * full-scan quantization ceilings for hash-PQ / trained-PQ /
   * residual-PQ / BQ. Run:
   *   sbt 'Test/runMain graft.ClusteredAnnProbe [n] [spread]' */
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.similarity.Cosine
 
