@@ -87,7 +87,7 @@ object ProfileSuite {
       // construction; artifact builds / collects / fixpoints land here),
       // plan = analysis+optimization+physical planning (toRdd), exec = the
       // count job(s).
-      def once(): (Double, Double, Double, Double) = {
+      def once(): (Double, Double, Double, Double, String) = {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
@@ -95,15 +95,21 @@ object ProfileSuite {
         val t2 = System.nanoTime()
         rdd.count()
         val t3 = System.nanoTime()
+        // catalyst phase durations for THIS QueryExecution (ms): analysis,
+        // optimization, physical planning. AQE stage execution (inside
+        // toRdd for an adaptive plan) is the remainder of the plan column.
+        val ph = df.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}" }
+          .toSeq.sorted.mkString(",")
         resetState()
-        ((t3 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+        ((t3 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, ph)
       }
       try {
         val w1 = once()._1
         jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0; shufR = 0; shufW = 0; input = 0
-        val (w2, b2, p2, e2) = once()
+        val (w2, b2, p2, e2, ph2) = once()
         Thread.sleep(120) // let listener drain
-        println(f"$name%-28s $w1%7.2f $w2%7.2f $b2%6.2f $p2%6.2f $e2%6.2f $jobs%5d $stages%5d $tasks%6d ${taskTimeMs / 1e3}%7.2f ${shufR / 1e6}%7.2f ${shufW / 1e6}%7.2f ${input / 1e6}%7.2f")
+        println(f"$name%-28s $w1%7.2f $w2%7.2f $b2%6.2f $p2%6.2f $e2%6.2f $jobs%5d $stages%5d $tasks%6d ${taskTimeMs / 1e3}%7.2f ${shufR / 1e6}%7.2f ${shufW / 1e6}%7.2f ${input / 1e6}%7.2f  $ph2")
       } catch {
         case e: Throwable =>
           println(f"$name%-28s FAILED ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}")

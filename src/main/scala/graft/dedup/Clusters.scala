@@ -69,10 +69,19 @@ object Clusters {
       .select(col("e.src"), col("e.dst"))
       .distinct()
       .localCheckpoint(true)
-    // one groupBy off the checkpointed edges — shallow lineage, no need
-    // for its own checkpoint job
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // SEEDED first round (optimization round 14, guide §2.4 "remove
+    // shuffles outright"): starting from identity labels, round 1 always
+    // computes least(id, min(neighbor id)) — exactly one groupBy over the
+    // checkpointed edges. Seed the labels with that value directly, so
+    // the fixpoint loop starts at what used to be round 1's output and
+    // every run saves one full round (join + checkpoint + convergence
+    // count — worth 3-4 jobs per fixpoint across the d5/d6/d8/d14/d16/
+    // d18/x7/x8/c1/c7/c11 family). Symmetric edges put every node in the
+    // dst column, so coverage is identical to the old distinct(src) seed,
+    // and the fixpoint (hence every label) is unchanged.
+    var labels = edges.groupBy(col("dst")).agg(min(col("src")).as("__mn"))
+      .select(col("dst").as("id"),
+        least(col("__mn"), col("dst")).as("cluster_id"))
     var converged = false
     var i = 0
     var lastChanged = 0L

@@ -57,7 +57,7 @@ object MinHash {
     // no extra distinct shuffle; a within-doc hash collision would merge
     // two shingles identically on engine and oracle
     shingles.select(col(idCol),
-      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
+      graft.plans.Md5Long60Expr.md5Long60(col("shingle")).as("shash"))
 
   /** Per-document minhash signature columns h0..h{k-1}, computed from the
     * hashed-shingle rows (x = shash mod ShingleMod) so the md5 per shingle
@@ -183,7 +183,7 @@ object MinHash {
   def hashedShingleArray(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol),
       transform(TextAnalysis.shingles(col(textCol), n),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sharr"))
+        s => graft.plans.Md5Long60Expr.md5Long60(s)).as("sharr"))
 
   /** [[hashedShingleArray]] over an already-tokenized array column — the
     * shared-tokenize-pass entry point (identical values: shingling from
@@ -192,7 +192,7 @@ object MinHash {
                                    toksCol: String, n: Int): DataFrame =
     toksDf.select(col(idCol),
       transform(TextAnalysis.shinglesFromTokens(col(toksCol), n),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("sharr"))
+        s => graft.plans.Md5Long60Expr.md5Long60(s)).as("sharr"))
 
   /** Signature columns h0..h{k-1} computed map-side from the shingle array:
     * h_i = min over shingles of (a_i·(shash mod ShingleMod) + b_i) mod P.
@@ -289,13 +289,11 @@ object MinHash {
     }
 
     /** First 15 md5 hex chars as a 60-bit long — the Column form's
-      * `conv(substring(md5(s), 1, 15), 16, 10)`. */
-    def hashShingle(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16)
-    }
+      * `conv(substring(md5(s), 1, 15), 16, 10)`, via the shared native
+      * kernel (digest bytes directly, no hex-string format/parse). */
+    def hashShingle(s: String): Long =
+      graft.plans.Md5Long60Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 15)
 
     def hashedShingles(text: String, n: Int): Array[Long] =
       shingles(text, n).map(hashShingle)

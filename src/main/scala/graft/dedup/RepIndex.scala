@@ -243,8 +243,12 @@ object RepIndex {
       if (b.isEmpty)
         b.write.mode("overwrite").parquet(s"$dir/bands")
       else
-        b.withColumn("pbucket",
-            pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int"))
+        // clustered by the partition keys: one file per (band, pbucket)
+        // directory instead of one per task×directory (StoreWrite, §6)
+        graft.ops.StoreWrite.clusterByDirs(
+            b.withColumn("pbucket",
+              pmod(col("band_hash"), lit(MinHash.ProbeBuckets.toLong)).cast("int")),
+            col("band_hash"), col("band"), col("pbucket"))
           .write.mode("overwrite").partitionBy("band", "pbucket")
           .parquet(s"$dir/bands")
     } finally b.unpersist()

@@ -288,8 +288,7 @@ object Multimodal {
       }
     }.toDF()
       .select(col("media_id"),
-        conv(substring(md5(concat_ws(",", col("lumas").cast("array<string>"))),
-          1, 15), 16, 10).cast("long").as("fp"))
+        graft.plans.Md5Long60Expr.md5Long60(concat_ws(",", col("lumas").cast("array<string>"))).as("fp"))
   }
 
   /** Perceptual AUDIO fingerprint: the [[audioFeatures]] RMS segments
@@ -303,11 +302,10 @@ object Multimodal {
     audioFeatures(ds, dim).toDF()
       .filter(exists(col("feature"), f => f =!= 0.0f))
       .select(col("media_id"),
-        conv(substring(md5(concat_ws(",",
+        graft.plans.Md5Long60Expr.md5Long60(concat_ws(",",
           transform(col("feature"), f =>
             round((exp(f.cast("double")) - 1.0d) * 32768.0d / 100.0d)
-              .cast("int").cast("string")))), 1, 15), 16, 10)
-          .cast("long").as("fp"))
+              .cast("int").cast("string")))).as("fp"))
 
   /** Fingerprint-equality dedup decision over [[imageFingerprints]] rows:
     * the member with the smallest id represents each visual-duplicate

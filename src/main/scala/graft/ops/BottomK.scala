@@ -29,8 +29,7 @@ object BottomK {
     * in-repo caller keys on a primary id). */
   def sample(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.withColumn("__bk",
-        conv(substring(md5(concat(col(idCol).cast("string"), lit(Salt))),
-          1, 15), 16, 10).cast("long"))
+        graft.plans.Md5Long60Expr.md5Long60(concat(col(idCol).cast("string"), lit(Salt))))
       .orderBy(col("__bk")).limit(k)
       .drop("__bk")
 

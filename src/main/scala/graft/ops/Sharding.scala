@@ -21,8 +21,7 @@ import org.apache.spark.sql.functions._
 object Sharding {
 
   def shardCol(id: Column, nShards: Int, salt: String = ":graft-shard-v1"): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
-      .cast("long"), lit(nShards.toLong))
+    pmod(graft.plans.Md5Long60Expr.md5Long60(concat(id.cast("string"), lit(salt))), lit(nShards.toLong))
 
   /** Per-shard manifest over (id, text) rows: one output row per shard at
     * any corpus size. */
@@ -32,7 +31,7 @@ object Sharding {
         shardCol(col(idCol), nShards).as("shard"),
         size(filter(graft.text.TextAnalysis.tokens(col(textCol)),
           t => t =!= "")).cast("long").as("n_toks"),
-        conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long").as("fp"))
+        graft.plans.Md5Long60Expr.md5Long60(col(textCol)).as("fp"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),

@@ -71,8 +71,8 @@ object TextQueries extends QueryPack {
     //      smallest salted hash (reproducible "random", no RNG state; the
     //      per-stratum top-k is one window over the stratum key)
     "t9_stratified_sample" -> ((s, dir) => {
-      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":graft-sample-v1"))), 1, 15), 16, 10).cast("long")
+      val h = graft.plans.Md5Long60Expr.md5Long60(concat(col("doc_id").cast("string"),
+        lit(":graft-sample-v1")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
         .orderBy(col("h").asc, col("doc_id").asc)
       Tables.documents(s, dir)
@@ -183,8 +183,8 @@ object TextQueries extends QueryPack {
     "t12_weighted_sample" -> ((s, dir) => {
       val k = 5
       // u ∈ (0,1]: (h+1)/2^60 over the 60-bit md5-derived hash
-      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":graft-wsample-v1"))), 1, 15), 16, 10).cast("long")
+      val h = graft.plans.Md5Long60Expr.md5Long60(concat(col("doc_id").cast("string"),
+        lit(":graft-wsample-v1")))
       val u = (h.cast("double") + 1.0) / lit(1152921504606846976.0) // 2^60
       val wgt = TextAnalysis.tokenCount(col("text")).cast("double")
       val key = pow(u, lit(1.0) / greatest(wgt, lit(1.0)))
@@ -209,7 +209,7 @@ object TextQueries extends QueryPack {
       val sh = Tables.documents(s, dir)
         .select(col("lang"),
           explode(TextAnalysis.shingles(col("text"), 2)).as("shingle"))
-      val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+      val h = graft.plans.Md5Long60Expr.md5Long60(col("shingle"))
       sh.select(col("lang"), h.as("h"))
         .groupBy(col("lang"))
         .agg(round(graft.plans.KmvSketchAgg.kmvDistinct(col("h"), 256), 6)
@@ -250,8 +250,8 @@ object TextQueries extends QueryPack {
     //      of mergeable state per language, map-side combined.
     "t29_grouped_quantiles" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("lang"),
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(graft.ops.BottomK.Salt))), 1, 15), 16, 10).cast("long").as("bk"),
+        graft.plans.Md5Long60Expr.md5Long60(concat(col("doc_id").cast("string"),
+          lit(graft.ops.BottomK.Salt))).as("bk"),
         size(filter(graft.text.TextAnalysis.tokens(col("text")),
           t => t =!= "")).cast("long").as("n_toks"))
       docs.groupBy(col("lang"))
@@ -273,8 +273,8 @@ object TextQueries extends QueryPack {
     //      per-shard states union without re-reading old data.
     "t30_sample_union" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("lang"), col("source"),
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(graft.ops.BottomK.Salt))), 1, 15), 16, 10).cast("long").as("bk"),
+        graft.plans.Md5Long60Expr.md5Long60(concat(col("doc_id").cast("string"),
+          lit(graft.ops.BottomK.Salt))).as("bk"),
         size(filter(graft.text.TextAnalysis.tokens(col("text")),
           t => t =!= "")).cast("long").as("n_toks"))
       docs.groupBy(col("lang"), col("source"))
@@ -308,12 +308,11 @@ object TextQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = toks.agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
-        countDistinct(conv(substring(md5(col("text")), 1, 15), 16, 10)
-          .cast("long")).as("n_distinct"))
+        countDistinct(graft.plans.Md5Long60Expr.md5Long60(col("text"))).as("n_distinct"))
       val vocab = docs
         .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
-        .select(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        .select(graft.plans.Md5Long60Expr.md5Long60(col("w")).as("h"))
         .agg(round(graft.plans.KmvSketchAgg.kmvDistinct(col("h"), 256), 6)
           .as("vocab_est"))
       val quant = graft.ops.BottomK.sample(toks, "doc_id", 1024).agg(
@@ -395,7 +394,7 @@ object TextQueries extends QueryPack {
         .select(explode(filter(TextAnalysis.tokens(col("text")),
           t => t =!= "")).as("token"))
         .withColumn("h",
-          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+          graft.plans.Md5Long60Expr.md5Long60(col("token")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = tok
         .agg(graft.plans.MisraGriesAgg.mgSummary(col("h"), 256).as("mg"))
@@ -421,7 +420,7 @@ object TextQueries extends QueryPack {
       val sh = Tables.documents(s, dir)
         .select(col("lang"), col("source"),
           explode(TextAnalysis.shingles(col("text"), 2)).as("shingle"))
-      val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+      val h = graft.plans.Md5Long60Expr.md5Long60(col("shingle"))
       sh.select(col("lang"), col("source"), h.as("h"))
         .groupBy(col("lang"), col("source"))
         .agg(graft.plans.KmvSketchAgg.kmvState(col("h"), 256).as("sketch"))

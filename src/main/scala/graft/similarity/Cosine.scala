@@ -515,7 +515,11 @@ object Cosine {
         if (lists.isEmpty)
           lists.write.mode("overwrite").parquet(s"$dir/lists")
         else
-          lists.withColumn("pcell", col(cellCol).cast("string"))
+          // clustered by the partition key: one file per pcell directory
+          // instead of one per task×directory (StoreWrite, guide §6)
+          graft.ops.StoreWrite.clusterByDirs(
+              lists.withColumn("pcell", col(cellCol).cast("string")),
+              col(idCol), col("pcell"))
             .write.mode("overwrite").partitionBy("pcell")
             .parquet(s"$dir/lists")
         lists.count()
@@ -706,8 +710,8 @@ object Cosine {
                             centroids: DataFrame, cellCol: String,
                             m: Int): DataFrame = {
     val assigned = assignToCentroids(corpus, idCol, vecCol, centroids, cellCol)
-    val draw = pmod(conv(substring(md5(concat(col(idCol).cast("string"),
-      lit(":graft-bal-v1"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
+    val draw = pmod(graft.plans.Md5Long60Expr.md5Long60(concat(col(idCol).cast("string"),
+      lit(":graft-bal-v1"))), lit(1000000L))
     val part = Window.partitionBy(col("assigned_cell"))
     assigned
       .withColumn("draw", draw)
@@ -1383,8 +1387,12 @@ object Cosine {
     if (rows.isEmpty)
       rows.write.mode("overwrite").parquet(s"$dir/vectors")
     else
-      rows.withColumn("pbucket",
-          pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int"))
+      // clustered by the partition key: one file per pbucket directory
+      // instead of one per task×directory (StoreWrite, guide §6)
+      graft.ops.StoreWrite.clusterByDirs(
+          rows.withColumn("pbucket",
+            pmod(col(idCol), lit(PrefixBuckets.toLong)).cast("int")),
+          col(idCol), col("pbucket"))
         .write.mode("overwrite").partitionBy("pbucket")
         .parquet(s"$dir/vectors")
   }
@@ -2364,7 +2372,11 @@ object Cosine {
         if (codes.isEmpty)
           codes.write.mode("overwrite").parquet(s"$dir/codes")
         else
-          codes.withColumn("pcell", col(cellCol).cast("string"))
+          // clustered by the partition key: one file per pcell directory
+          // instead of one per task×directory (StoreWrite, guide §6)
+          graft.ops.StoreWrite.clusterByDirs(
+              codes.withColumn("pcell", col(cellCol).cast("string")),
+              col(idCol), col("pcell"))
             .write.mode("overwrite").partitionBy("pcell")
             .parquet(s"$dir/codes")
         codes.count()

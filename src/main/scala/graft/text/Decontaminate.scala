@@ -107,7 +107,7 @@ object Decontaminate {
         explode(shinglesExpr).as("shingle"))
       .filter(col("__is_train") || col("__is_test"))
       .select(col(idCol), col("__is_train"), col("__is_test"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shash"))
+        graft.plans.Md5Long60Expr.md5Long60(col("shingle")).as("shash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The stop-shingle defense shared by both variants. */

@@ -40,7 +40,7 @@ object Dsir {
     * every cross-engine hash in this engine (TextAnalysis.splitBucket),
     * NOT xxhash64, which the oracle engine lacks. */
   def tokenBucket(t: Column, buckets: Int = Buckets): Column =
-    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+    pmod(graft.plans.Md5Long60Expr.md5Long60(t),
       lit(buckets.toLong))
 
   /** Per-doc hashed-bucket term frequencies — (idCol, carry…, b, tf).
@@ -195,8 +195,7 @@ object Dsir {
     * so the oracle engine reproduces it exactly (the mixtureWeights
     * draw recipe, pushed through the Gumbel CDF inverse). */
   def gumbelMicro(id: Column, salt: String = ":graft-dsir-v1"): Column = {
-    val h = pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))),
-      1, 15), 16, 10).cast("long"), lit(1000000L))
+    val h = pmod(graft.plans.Md5Long60Expr.md5Long60(concat(id.cast("string"), lit(salt))), lit(1000000L))
     val u = (h.cast("double") + 0.5d) / 1000000.0d
     round(-log(-log(u)) * 1000000, 0).cast("long")
   }

@@ -92,7 +92,7 @@ object TextAnalysis {
     * for the polynomial fingerprints below. */
   def tokenHashes(text: Column, p: Long): Column =
     transform(tokens(text),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % p)
+      t => graft.plans.Md5Long60Expr.md5Long60(t) % p)
 
   /** Document fingerprint as a Rabin-Karp-style polynomial rolling hash
     * over token hashes: h = fold(0, (acc, x) => (acc·b + x) mod p). All
@@ -113,13 +113,16 @@ object TextAnalysis {
                           p: Long = 1000000007L): Column =
     winnowedFromHashes(tokenHashes(text, p), w, b, p)
 
-  /** The window fold over an ALREADY-COMPUTED hash array column. */
+  /** The window fold over an ALREADY-COMPUTED hash array column. The hash
+    * array is let-bound ([[letBind]]) so the per-window `slice` reads a
+    * bound variable instead of re-evaluating `th` — with an expensive
+    * `th` tree (the [[winnowedFingerprint]] composition) that was
+    * O(tokens × windows) md5 calls per document. */
   def winnowedFromHashes(th: Column, w: Int, b: Long = 1009L,
-                         p: Long = 1000000007L): Column = {
-    val nWin = greatest(size(th) - w + 1, lit(1))
-    array_min(transform(sequence(lit(1), nWin),
-      i => aggregate(slice(th, i, lit(w)), lit(0L), (acc, x) => (acc * b + x) % p)))
-  }
+                         p: Long = 1000000007L): Column =
+    letBind(th, t =>
+      array_min(transform(sequence(lit(1), greatest(size(t) - w + 1, lit(1))),
+        i => aggregate(slice(t, i, lit(w)), lit(0L), (acc, x) => (acc * b + x) % p))))
 
   /** Frame-level winnowed fingerprints with the token-hash array
     * MATERIALIZED once per row before the per-window folds. The pure
@@ -196,16 +199,32 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Let-binding for Column expressions: evaluates `v` ONCE per row and
+    * hands the body a bound lambda variable. Higher-order functions run
+    * interpreted with no subexpression elimination, so an expensive tree
+    * CAPTURED inside a lambda re-evaluates on every element access —
+    * measured on the sf0.1 corpus: the 8-gram shingle pass fell 1.9 s →
+    * 0.1 s (19×) when the token split stopped re-running n× per window
+    * (optimization guide §1.2 per-task work; the winnowedFingerprints
+    * scaladoc documents the same hazard it used to work around
+    * frame-side). Values are untouched — the body is the same expression
+    * over the same value, bound instead of inlined. */
+  def letBind(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** [[shingles]] over an ALREADY-TOKENIZED array — the entry point for
     * callers sharing one tokenize pass across several shingle consumers
     * (the c7/c11 curation chains persist one token frame feeding the
-    * 2-gram dup gate and the 8-gram novelty gate). */
+    * 2-gram dup gate and the 8-gram novelty gate). The token array is
+    * let-bound so per-window accesses are O(1) even when `toks` is an
+    * expensive expression (see [[letBind]]). */
   def shinglesFromTokens(toks: Column, n: Int): Column =
     // try_element_at: ANSI mode (Spark 4 default) makes element_at throw
     // past the end; short docs (< n tokens) yield one partial shingle
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => try_element_at(toks, i + k + 1)): _*)))
+    letBind(toks, tk =>
+      array_distinct(
+        transform(sequence(lit(0), greatest(size(tk) - n, lit(0))),
+          i => concat_ws(" ", (0 until n).map(k => try_element_at(tk, i + k + 1)): _*))))
 
   /** The dataset-split bucket in [0, 100): salted md5 of the id,
     * RNG-free. ONE definition shared by the split query (t7), curation
@@ -213,8 +232,7 @@ object TextAnalysis {
     * "flags overlap against the split t7 reports", which only holds if
     * they compute the same bucket. */
   def splitBucket(id: Column, salt: String = ":graft-split-v1"): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
-      16, 10).cast("long"), lit(100))
+    pmod(graft.plans.Md5Long60Expr.md5Long60(concat(id.cast("string"), lit(salt))), lit(100))
 
   /** Email/URL patterns shared by pattern counting (t10) and redaction
     * (t15) — and mirrored verbatim in their oracle SQL. */
@@ -357,15 +375,18 @@ object TextAnalysis {
                    stride: Int): org.apache.spark.sql.DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val toks = tokens(col(textCol))
-    val nChunks = greatest(ceil((org.apache.spark.sql.functions.size(toks) - size)
-      .cast("double") / stride).cast("long"), lit(0L)) + 1
-    val chunks = transform(sequence(lit(0L), nChunks - 1), i =>
-      struct(i.as("chunk_idx"),
-        concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(size))).as("chunk"),
-        least(lit(size.toLong),
-          org.apache.spark.sql.functions.size(toks).cast("long") - i * stride)
-          .as("n_tokens")))
+    // token array let-bound: the per-chunk slice/size read a bound
+    // variable instead of re-running the split per chunk (see letBind)
+    val chunks = letBind(tokens(col(textCol)), toks => {
+      val nChunks = greatest(ceil((org.apache.spark.sql.functions.size(toks) - size)
+        .cast("double") / stride).cast("long"), lit(0L)) + 1
+      transform(sequence(lit(0L), nChunks - 1), i =>
+        struct(i.as("chunk_idx"),
+          concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(size))).as("chunk"),
+          least(lit(size.toLong),
+            org.apache.spark.sql.functions.size(toks).cast("long") - i * stride)
+            .as("n_tokens")))
+    })
     docs.select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
   }
@@ -549,8 +570,8 @@ object TextAnalysis {
     // multiplicity: floor(factor) + 1 with probability frac(factor),
     // decided by a salted hash of the doc id in [0, 1e6)
     val frac = round((col("factor") - floor(col("factor"))) * 1000000, 0)
-    val draw = pmod(conv(substring(md5(concat(col(idCol).cast("string"),
-      lit(":graft-mix-v1"))), 1, 15), 16, 10).cast("long"), lit(1000000))
+    val draw = pmod(graft.plans.Md5Long60Expr.md5Long60(concat(col(idCol).cast("string"),
+      lit(":graft-mix-v1"))), lit(1000000))
     perDoc.join(org.apache.spark.sql.functions.broadcast(factors), sourceCol)
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("factor"),
         (floor(col("factor")).cast("long") +
