@@ -354,8 +354,19 @@ object MinHash {
                             rowsPerBand: Int = RowsPerBand): DataFrame = {
     val shOld = hashedShingleArray(oldDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nearDuplicatesAgainstIndex(newDocs, snapshotIndex(shOld, idCol, rowsPerBand),
-      idCol, textCol, n, threshold, rowsPerBand)
+    // the NORMALIZED layout directly (band rows and arrays as separate
+    // frames): when both halves are derived fresh from shOld, building
+    // the denormalized [[snapshotIndex]] only to split it again paid a
+    // bands×sharr join (shuffling each doc's array once per band) plus a
+    // dropDuplicates shuffle — values identical by construction, the
+    // denormalized frame IS this pair joined (round-14 optimization;
+    // callers holding a STORED index still go through
+    // [[nearDuplicatesAgainstIndex]]).
+    nearDuplicatesArraysAgainstBands(
+      hashedShingleArray(newDocs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      bandRows(signaturesFromArray(shOld, idCol), idCol, rowsPerBand),
+      shOld, idCol, threshold, rowsPerBand)
   }
 
   /** The persisted form of a snapshot's dedup index: one row per document

@@ -88,19 +88,23 @@ object Dsir {
     * trains on the target docs, raw LM on the raw pool itself (the
     * paper's raw featurization). Returns (idCol, n_tokens, lr_micro).
     *
-    * This INLINE form trains and scores in one lazy plan, so the
-    * tokenize subtree appears in three lineages (two LMs + the scoring
-    * tail) — the gate/oracle shape, where the optimizer cannot share
-    * subtrees across join branches. Production splits the phases:
-    * [[writeModel]] trains with ONE persisted tokenize pass,
+    * This INLINE form trains and scores in one call; the shared tf frame
+    * is persisted (the optimizer cannot share subtrees across join
+    * branches, so a lazy tf would re-tokenize the corpus once per LM and
+    * once for the scoring tail). Production still splits the phases:
+    * [[writeModel]] trains once and persists the artifact,
     * [[importanceStored]] scores each batch with one pass against the
     * fixed artifact. */
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
     // the source rides THROUGH bucketTf (carry) — a corpus-sized
     // (tf ⋈ docs) re-join here would both shuffle twice per lineage and
-    // double-count LM mass for any repeated doc id
+    // double-count LM mass for any repeated doc id. Persisted: tf fans
+    // into both LMs, their totals, and the scoring tail — four lineages
+    // re-tokenizing the corpus when lazy (guide §1.2; caller-owned
+    // cache, the Bm25.topK convention)
     val tf = bucketTf(docs, idCol, textCol, Buckets, Seq(sourceCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTarget = col(sourceCol) === targetSource
     // both LMs are Buckets-row count frames — broadcast at any scale
     val tgt = tf.filter(isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_t"))

@@ -310,8 +310,12 @@ object TextAnalysis {
         explode(zip_with(slice(toks, lit(1), nm1), slice(toks, lit(2), nm1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col(idCol), col("p.w1"), col("p.w2"))
+    // persisted: tf2 fans into the bigram LM chain (lm2 → lm1/uni →
+    // totals) AND the scoring join — five lineages re-tokenizing the
+    // corpus when lazy (guide §1.2; caller-owned cache as above)
     val tf2 = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTrain = splitBucket(col(idCol)) < trainBucketBelow
     // bigram LM: train-split transition counts
     val lm2 = tf2.filter(isTrain).groupBy(col("w1"), col("w2"))
@@ -625,8 +629,13 @@ object TextAnalysis {
   private def unigramLogProbCore(tokRows: org.apache.spark.sql.DataFrame,
                                  idCol: String,
                                  trainBucketBelow: Int): org.apache.spark.sql.DataFrame = {
+    // persisted: tf fans into three lineages (the LM, its totals, and the
+    // scoring join) — unpersisted, the corpus tokenize + groupBy ran once
+    // per branch (optimization guide §1.2; caller-owned cache, the
+    // Bm25.topK convention — the bench resets state between queries)
     val tf = tokRows
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the LM: token counts over the train split of the SAME t7 hash split
     // the rest of the pipeline uses (splitBucket is the shared definition)
     val vocab = tf.filter(splitBucket(col(idCol)) < trainBucketBelow)
