@@ -112,7 +112,9 @@ object ProfileSuite {
         println(f"$name%-28s $w1%7.2f $w2%7.2f $b2%6.2f $p2%6.2f $e2%6.2f $jobs%5d $stages%5d $tasks%6d ${taskTimeMs / 1e3}%7.2f ${shufR / 1e6}%7.2f ${shufW / 1e6}%7.2f ${input / 1e6}%7.2f  $ph2")
       } catch {
         case e: Throwable =>
-          println(f"$name%-28s FAILED ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}")
+          // String.valueOf: a null message (NPE's default) must not throw a
+          // second NPE out of the catch and abort the remaining queries
+          println(f"$name%-28s FAILED ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.stop()

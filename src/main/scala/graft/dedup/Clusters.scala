@@ -26,7 +26,14 @@ object Clusters {
     * (algorithm, iterations, rows still changing at exit). Exposed as a
     * metric instead of a debug print: monitoring reads it after a run;
     * a rising iteration count on stable data is the early signal of a
-    * growing graph diameter (time to switch to [[connectedComponentsLSS]]). */
+    * growing graph diameter (time to switch to [[connectedComponentsLSS]]).
+    *
+    * COUNTING NOTE (since the round-14 seeded first round): min-label's
+    * `iterations` counts LOOP rounds only — the seed absorbs what used to
+    * be round 1, so a graph that formerly reported N reports N−1, and
+    * `maxIterations`/`switchAfter` now bound propagation DEPTH−1 (adaptive's
+    * switchAfter=8 tolerates depth-9 graphs). Kept this way deliberately:
+    * re-baselining the counter would silently shift every caller's bound. */
   final case class FixpointStats(algorithm: String, iterations: Int, lastChanged: Long)
   private val lastStatsRef =
     new java.util.concurrent.atomic.AtomicReference[Option[FixpointStats]](None)

@@ -347,7 +347,13 @@ object MinHash {
     * the batch plus a join against the index, proportional to batch size
     * and bucket collisions — re-scanning (or re-pairing) the historical
     * corpus never happens. Verification re-attaches both sides' shingle
-    * arrays by id (AQE broadcasts the candidate side). */
+    * arrays by id (AQE broadcasts the candidate side).
+    *
+    * PRECONDITION: `idCol` is unique within each input (the d1 exact-dedup
+    * contract every caller here already satisfies). A duplicated old-side
+    * id would emit one verified pair PER copy — the pre-round-14 path
+    * hid that with a dropDuplicates(id) it paid on every call; the
+    * normalized layout asserts the contract instead of re-paying it. */
   def nearDuplicatesAgainst(newDocs: DataFrame, oldDocs: DataFrame,
                             idCol: String, textCol: String,
                             n: Int = 2, threshold: Double = 0.7,

@@ -34,8 +34,12 @@ object StoreWrite {
     * `filesPerDir` files per directory instead of one per task×directory. */
   def clusterByDirs(rows: DataFrame, saltCol: Column,
                     partCols: Column*): DataFrame = {
-    val fpd = rows.sparkSession.conf.get(FilesPerDirConf, "1").toInt
-    if (fpd <= 1) rows.repartition(partCols: _*)
+    val raw = rows.sparkSession.conf.get(FilesPerDirConf, "1")
+    val fpd = scala.util.Try(raw.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"$FilesPerDirConf must be an integer >= 1, got '$raw'"))
+    require(fpd >= 1, s"$FilesPerDirConf must be >= 1, got $fpd")
+    if (fpd == 1) rows.repartition(partCols: _*)
     else rows.repartition(partCols :+
       pmod(xxhash64(saltCol), lit(fpd.toLong)).as("__salt"): _*)
   }

@@ -46,9 +46,17 @@ object LifecycleQueries extends QueryPack {
     //      fallback, exactly the reference's digging order.
     "p6_price_extract" -> ((s, dir) => {
       val currency = when(col("o_orderkey") % 7 === 0, lit("EUR")).otherwise(lit("USD"))
-      val terms = format_string(
-        """{"OnDemand":{"sku.%d":{"priceDimensions":{"dim.%d":{"pricePerUnit":{"%s":"%s"}}}}}}""",
-        col("o_orderkey"), col("o_orderkey"), currency, col("o_totalprice"))
+      // the document is assembled with concat instead of format_string:
+      // byte-identical (checked exhaustively at sf0.1 — %d on a long and
+      // %s on a double are String.valueOf, exactly Spark's cast-to-string
+      // for these types), but codegen-friendly where java.util.Formatter
+      // cost ~0.3 s/run of pure per-row overhead (optimization guide §1.2
+      // per-task work; round 15)
+      val terms = concat(
+        lit("""{"OnDemand":{"sku."""), col("o_orderkey"),
+        lit("""":{"priceDimensions":{"dim."""), col("o_orderkey"),
+        lit("""":{"pricePerUnit":{""""), currency, lit("\":\""),
+        col("o_totalprice").cast("string"), lit("\"}}}}}}"))
       val schema = "map<string,map<string,struct<priceDimensions:map<string,struct<pricePerUnit:map<string,string>>>>>>"
       // spread: the JSON parse is the heavy per-row stage and orders
       // arrives as one split at harness scale (see Tables.spread) — the
@@ -61,12 +69,20 @@ object LifecycleQueries extends QueryPack {
             .getField("priceDimensions").as("dims"))
         .select(col("o_orderkey"),
           try_element_at(map_values(col("dims")), lit(1)).getField("pricePerUnit").as("ppu"))
-      parsed.select(
+        .select(
           col("o_orderkey"),
           try_element_at(map_keys(col("ppu")), lit(1)).as("currency"),
           coalesce(try_element_at(col("ppu"), lit("USD")),
             try_element_at(map_values(col("ppu")), lit(1))).cast("double").as("price"))
-        .orderBy(col("o_orderkey"))
+        // persisted (caller-owned cache, the LM-frame convention): the
+        // final ORDER BY is a range exchange whose partitioner SAMPLES its
+        // child — unpersisted, the whole interpreted from_json pass ran
+        // TWICE per run (sampling job + map stage; measured 16 s of task
+        // time for 150k rows at sf0.1, the single most expensive query of
+        // the r14 driver bench at 12.4 s on a contended host). Cached, the
+        // parse runs once and both sort passes read 3 narrow columns.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      parsed.orderBy(col("o_orderkey"))
     }),
 
     // ---- K3/W1 end-to-end: sync → SCD-append → current-view round-trip.

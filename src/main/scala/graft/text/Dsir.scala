@@ -95,8 +95,18 @@ object Dsir {
     * [[writeModel]] trains once and persists the artifact,
     * [[importanceStored]] scores each batch with one pass against the
     * fixed artifact. */
+  // one log per JVM from the 3rd call on (the Bm25.topK convention): each
+  // inline call persists a tf frame only the session can release
+  private val importanceCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
+    if (importanceCalls.incrementAndGet() == 3L)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        "Dsir.importance called repeatedly in this JVM: each call persists " +
+          "an internal tf frame the caller cannot release directly — train " +
+          "once with writeModel and score via importanceStored, or " +
+          "spark.catalog.clearCache() between batches")
     // the source rides THROUGH bucketTf (carry) — a corpus-sized
     // (tf ⋈ docs) re-join here would both shuffle twice per lineage and
     // double-count LM mass for any repeated doc id. Persisted: tf fans

@@ -302,6 +302,7 @@ object TextAnalysis {
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, lambda: Double = 0.7,
                     trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame = {
+    warnRepeatedLmCalls()
     val toks = tokens(lower(col(textCol)))
     // map-side adjacent pairs: (w1, w2) per position; docs with < 2
     // tokens contribute zero transitions here
@@ -626,9 +627,23 @@ object TextAnalysis {
         explode(transform(col(toksCol), t => lower(t))).as("token")),
       idCol, trainBucketBelow)
 
+  // one log per JVM from the 3rd call on (the Bm25.topK convention): each
+  // inline-LM call persists a tf frame only the caller's session can
+  // release — long-lived sessions doing repeated scoring should train once
+  // (Dsir.writeModel-style) or clearCache between batches (ADVICE r14)
+  private val lmCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def warnRepeatedLmCalls(): Unit =
+    if (lmCalls.incrementAndGet() == 3L)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        "unigramLogProb/bigramLogProb called repeatedly in this JVM: each " +
+          "call persists an internal tf frame the caller cannot release " +
+          "directly — long-lived sessions should spark.catalog.clearCache() " +
+          "between batches or move to a stored-model scoring path")
+
   private def unigramLogProbCore(tokRows: org.apache.spark.sql.DataFrame,
                                  idCol: String,
                                  trainBucketBelow: Int): org.apache.spark.sql.DataFrame = {
+    warnRepeatedLmCalls()
     // persisted: tf fans into three lineages (the LM, its totals, and the
     // scoring join) — unpersisted, the corpus tokenize + groupBy ran once
     // per branch (optimization guide §1.2; caller-owned cache, the
