@@ -45,14 +45,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val calPre = calibrate() // before ANY Spark/JVM-warmup work
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // cap threads below the host's CPU count: on the contended driver host
-    // 32 threads × tiny tasks oversubscribe the box (ROUNDLOG r02/r03 —
-    // the scheduler + GC threads starve the heartbeat thread itself).
+    // honor the requested thread count EXACTLY (round-15, VERDICT r14 #3):
+    // rounds 2-14 silently clamped it at 16 as a contention defense, which
+    // made the driver's "32-core vs 8-core" scaling comparison actually
+    // 16-vs-8 while the JSON echoed the requested value. The clamp is gone:
+    // measured on the same code at matched calibration (round 15, sf0.1),
+    // the full suite reads 180.0 s at local[32] vs 172.1 s at local[16] —
+    // local mode pays more tiny-shuffle file I/O per thread (thread dumps
+    // show map tasks in shuffle-file open/copy), but the ~5% total delta
+    // is inside this host's noise envelope and a truthful thread count is
+    // worth more than it: the driver's scaling block was unusable while
+    // the clamp silently rewrote the request. `cpus_eff` in the output
+    // line records what the session really ran.
     // Parse defensively: a non-integer value (e.g. "*") passes through to
-    // the master URL uncapped rather than crashing the bench (ADVICE r04).
+    // the master URL rather than crashing the bench (ADVICE r04).
     val rawCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim
     val cpus = scala.util.Try(rawCpus.toInt).toOption
-      .map(n => math.min(n, 16).toString).getOrElse(rawCpus)
+      .map(_.toString).getOrElse(rawCpus)
     val shufflePartitions = scala.util.Try(cpus.toInt).getOrElse(16)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -336,28 +345,39 @@ object Bench {
       val qs = entries.map { case (k, r) => "\"" + key(k) + "\":" + ms(r.sec) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfLabel",${diag(key)}""" +
+        s""""cpus_req":"$rawCpus","cpus_eff":"$cpus","sf":"$sfLabel",${diag(key)}""" +
         (if (detail) s",$runsBlock}" else "}")
     }
-    // STDOUT line diet (judge r9 #8): at 170+ queries the full map
-    // overflows the driver's ~2000-byte tail capture. The stdout line
-    // keeps 2-decimal precision and omits sub-0.25 s queries (their count
-    // and summed seconds stay, so the total still reconciles; 0.15 left
-    // the 174-query line at 2029 bytes — 0.25 buys headroom to ~200+
-    // queries); the in-repo BENCH_LOCAL.json carries every query at
-    // full precision.
+    // STDOUT line diet (judge r9 #8, r14 #2): the driver keeps only the
+    // last ~2000 bytes of stdout (minus sbt's [success] trailer), and at
+    // 196 queries the fixed 0.25 s omission threshold left a ~2.4 KB line
+    // that truncated mid-map in BOTH the r13 and r14 driver runs
+    // (parsed=null ⇒ empty PERF per-query/scaling blocks). The threshold
+    // is now ADAPTIVE: the smallest rung whose line fits the budget wins,
+    // so the line stays parseable at any future query count. Omitted
+    // queries still reconcile (count + summed seconds are kept), and the
+    // in-repo BENCH_LOCAL.json carries every query at full precision.
     def stdoutLine = {
       def s2(v: Double) = {
         val b = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .underlying.stripTrailingZeros
         if (b.scale < 0) b.setScale(0) else b
       }
-      val (kept, tiny) = sorted.partition { case (_, r) => !r.ok || r.sec >= 0.25 }
-      val qs = kept.map { case (k, r) => "\"" + finalKey(k) + "\":" + s2(r.sec) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-        s""""omitted":${tiny.size},"omitted_sec":${s2(tiny.map(_._2.sec).sum)},""" +
-        s""""sf":"$sfLabel",${diag(finalKey)}}"""
+      def lineAt(thr: Double): String = {
+        val (kept, tiny) = sorted.partition { case (_, r) => !r.ok || r.sec >= thr }
+        val qs = kept.map { case (k, r) => "\"" + finalKey(k) + "\":" + s2(r.sec) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+          s""""omitted":${tiny.size},"omitted_sec":${s2(tiny.map(_._2.sec).sum)},""" +
+          s""""cpus_req":"$rawCpus","cpus_eff":"$cpus",""" +
+          s""""sf":"$sfLabel",${diag(finalKey)}}"""
+      }
+      // 1600 bytes leaves ~400 of headroom inside the ~2000-byte window
+      // for the sbt trailer and any log line that sneaks in after ours
+      val rungs = Seq(0.25, 0.35, 0.5, 0.75, 1.0, 1.5, 2.5, 5.0, 10.0)
+      rungs.iterator.map(lineAt)
+        .find(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1600)
+        .getOrElse(lineAt(Double.MaxValue))
     }
     println(stdoutLine)
     // full-name line (with per-run arrays) lands in the repo so per-query

@@ -28,16 +28,28 @@ object Tables {
   /** `events.parquet` stores TIMESTAMP(NANOS), which Spark 4 refuses by
     * default. Read nanos as long (legacy conf, runtime-settable) and convert
     * to a microsecond TimestampType column — the generator's values are
-    * µs-grained, so the conversion is lossless. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer DIV: `/` on longs promotes to double and loses µs precision
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
-  }
+    * µs-grained, so the conversion is lossless.
+    *
+    * The frame is MEMOIZED per (session, dir) (round 15): 14 query paths
+    * call this, and each un-memoized call re-ran the driver-side parquet
+    * schema inference plus the nanos probe before rebuilding an identical
+    * cast plan. The memo holds a logical plan only — no data is cached,
+    * so bench/oracle runs still compute everything from the parquet. */
+  private val eventsMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsMemo.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(dir, { _ =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = apply(spark, dir, "events")
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          // integer DIV: `/` on longs promotes to double and loses µs precision
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        else df
+      })
   def documents(spark: SparkSession, dir: String): DataFrame =
     spread(apply(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =

@@ -22,20 +22,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * directory-listing order (futures are collected in input order). */
 object PartitionSample {
 
-  private def overlapped[A, B](xs: Seq[A])(f: A => Seq[B]): Seq[B] = {
-    if (xs.isEmpty) Nil
-    else if (xs.size == 1) f(xs.head)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, xs.size))
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(Future.sequence(xs.map(x => Future(f(x)))),
-          scala.concurrent.duration.Duration.Inf).flatten
-      } finally pool.shutdown()
-    }
-  }
+  private def overlapped[A, B](xs: Seq[A])(f: A => Seq[B]): Seq[B] =
+    Overlap.map(xs)(f).flatten
 
   def firstRows(spark: SparkSession, base: String, partCol: String)(
       project: DataFrame => DataFrame): Seq[(String, Row)] = {

@@ -255,11 +255,20 @@ object SimilarityQueries extends QueryPack {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding"))
+      // NOT persisted although it fans into three branches: AQE's
+      // exchange reuse already shares the truth subtree across the
+      // union (measured round 15: persisting it ADDED 8 jobs and ~2 s
+      // of task time for flat wall)
       val exact = Cosine.topK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val pdir = GateArtifacts.pqIndexDir(s, dir)
-      X28bProbes.map { np =>
+      // the three probe widths are INDEPENDENT stored searches whose
+      // frame construction each materializes a probe frame (a collect
+      // job) — overlapped, the harness pays ~one probe latency instead
+      // of three (guide §2.6; the calls themselves are unchanged — the
+      // curve still prices the real ivfAdcMultiprobeStored per width)
+      graft.ops.Overlap.map(X28bProbes) { np =>
         val approx = Cosine.ivfAdcMultiprobeStored(s, queries, pdir,
             "vec_id", "embedding", "label", k = 5, nProbe = np)
           .select(col("query_id"), col("neighbor_id"))
@@ -287,12 +296,14 @@ object SimilarityQueries extends QueryPack {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding"))
+      // not persisted — AQE exchange reuse shares it (see x28b)
       val exact = Cosine.topK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val rdir = GateArtifacts.residualPqIndexDir(s, dir)
       stashResidualArtifacts(s, rdir)
-      X28bProbes.map { np =>
+      // same §2.6 overlap as x28b: three independent stored searches
+      graft.ops.Overlap.map(X28bProbes) { np =>
         val approx = Cosine.ivfAdcMultiprobeStored(s, queries, rdir,
             "vec_id", "embedding", "cell", k = 5, nProbe = np)
           .select(col("query_id"), col("neighbor_id"))
@@ -397,7 +408,11 @@ object SimilarityQueries extends QueryPack {
       val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val tdir = GateArtifacts.trainedPqIndexDir(s, dir)
-      lastTrainedPqBook = readCellVecs(s, s"$tdir/codebook")
+      // memoized on the immutable artifact dir (the residual-stash rule)
+      if (stashedTrainedPqDir != tdir) {
+        lastTrainedPqBook = readCellVecs(s, s"$tdir/codebook")
+        stashedTrainedPqDir = tdir
+      }
       val approx = Cosine.pqTopKStored(s, queries, tdir,
           "vec_id", "embedding", k = 5, kShort = 20)
         .select(col("query_id"), col("neighbor_id"))
@@ -534,7 +549,11 @@ object SimilarityQueries extends QueryPack {
       val exact = Cosine.topK(queries, emb, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val rdir = GateArtifacts.rotatedPrefixDir(s, dir)
-      lastPrefixRotation = Cosine.readRotation(s, rdir)
+      // memoized on the immutable artifact dir (the residual-stash rule)
+      if (stashedRotationDir != rdir) {
+        lastPrefixRotation = Cosine.readRotation(s, rdir)
+        stashedRotationDir = rdir
+      }
       val approx = Cosine.prefixTopKStored(s, queries, rdir,
           "vec_id", "embedding", k = 5, kShort = 20)
         .select(col("query_id"), col("neighbor_id"))
@@ -852,6 +871,7 @@ object SimilarityQueries extends QueryPack {
     * the gate run so the oracle replays stage 1 under the EXACT trained
     * basis — the [[lastX8Config]] pattern at matrix size. */
   @volatile private var lastPrefixRotation: Seq[Seq[Double]] = Nil
+  @volatile private var stashedRotationDir: String = null
 
   /** x27b's trained PQ codebook ((cell, codeword) rows read back from
     * the stored artifact), stashed so the oracle replays code assignment
@@ -859,6 +879,7 @@ object SimilarityQueries extends QueryPack {
     * [[lastPrefixRotation]] pattern at codebook size
     * (nSub·2^nPlanes·subDim = 1024 doubles). */
   @volatile private var lastTrainedPqBook: Seq[(Long, Seq[Double])] = Nil
+  @volatile private var stashedTrainedPqDir: String = null
 
   /** x28c's stored coarse k-means centroids (cell → dim-vector) and its
     * trained RESIDUAL codebook, stashed by the gate run so the oracle
@@ -879,11 +900,18 @@ object SimilarityQueries extends QueryPack {
 
   /** Stash the residual tier's stored coarse centroids + trained book
     * for the oracle — shared by x27c and x28c (either may run alone
-    * under SPARK_GRAFT_ONLY; the assignment is idempotent). */
-  private def stashResidualArtifacts(s: org.apache.spark.sql.SparkSession, rdir: String): Unit = {
-    lastResidualCentroids = readCellVecs(s, s"$rdir/centroids")
-    lastResidualBook = readCellVecs(s, s"$rdir/codebook")
-  }
+    * under SPARK_GRAFT_ONLY; the assignment is idempotent). Memoized on
+    * the artifact directory: the artifact is immutable once built (the
+    * GateArtifacts contract), so re-running the gate re-reads nothing —
+    * the two collect jobs per run were pure job-floor cost (guide §2.6
+    * neighborhood: fewer driver-side actions per query). */
+  @volatile private var stashedResidualDir: String = null
+  private def stashResidualArtifacts(s: org.apache.spark.sql.SparkSession, rdir: String): Unit =
+    if (stashedResidualDir != rdir) {
+      lastResidualCentroids = readCellVecs(s, s"$rdir/centroids")
+      lastResidualBook = readCellVecs(s, s"$rdir/codebook")
+      stashedResidualDir = rdir
+    }
 
   /** The x29 family's stage 1, generated to the exact
     * bqCodes/bqHamming arithmetic: sign-bit words (two 32-bit words at

@@ -95,26 +95,17 @@ object Dsir {
     * [[writeModel]] trains once and persists the artifact,
     * [[importanceStored]] scores each batch with one pass against the
     * fixed artifact. */
-  // one log per JVM from the 3rd call on (the Bm25.topK convention): each
-  // inline call persists a tf frame only the session can release
-  private val importanceCalls = new java.util.concurrent.atomic.AtomicLong(0L)
-
   def importance(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, targetSource: String): DataFrame = {
-    if (importanceCalls.incrementAndGet() == 3L)
-      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-        "Dsir.importance called repeatedly in this JVM: each call persists " +
-          "an internal tf frame the caller cannot release directly — train " +
-          "once with writeModel and score via importanceStored, or " +
-          "spark.catalog.clearCache() between batches")
     // the source rides THROUGH bucketTf (carry) — a corpus-sized
     // (tf ⋈ docs) re-join here would both shuffle twice per lineage and
-    // double-count LM mass for any repeated doc id. Persisted: tf fans
-    // into both LMs, their totals, and the scoring tail — four lineages
-    // re-tokenizing the corpus when lazy (guide §1.2; caller-owned
-    // cache, the Bm25.topK convention)
+    // double-count LM mass for any repeated doc id. NOT persisted
+    // although tf fans into four lineages: all four live in one plan,
+    // where AQE exchange reuse serves the tf shuffle to every branch —
+    // the round-14 persist measured as a regression at sf0.1 (see the
+    // unigramLogProbCore note; removing it also closed the ADVICE r14
+    // unreleasable-cache finding for this path).
     val tf = bucketTf(docs, idCol, textCol, Buckets, Seq(sourceCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTarget = col(sourceCol) === targetSource
     // both LMs are Buckets-row count frames — broadcast at any scale
     val tgt = tf.filter(isTarget).groupBy(col("b")).agg(sum(col("tf")).as("cnt_t"))

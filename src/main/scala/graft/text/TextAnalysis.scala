@@ -302,7 +302,11 @@ object TextAnalysis {
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, lambda: Double = 0.7,
                     trainBucketBelow: Int = 80): org.apache.spark.sql.DataFrame = {
-    warnRepeatedLmCalls()
+    // Tokenized ONCE per lineage, map-side (not shared via a cached
+    // token-array frame: round 15 measured that persisting the arrays to
+    // share one split between the pairs fan-out and the unigram fallback
+    // cost MORE than the second regex split — wall 2.6 → 3.7 s at sf0.1;
+    // wide deserialized array rows are expensive to cache and re-scan).
     val toks = tokens(lower(col(textCol)))
     // map-side adjacent pairs: (w1, w2) per position; docs with < 2
     // tokens contribute zero transitions here
@@ -311,12 +315,20 @@ object TextAnalysis {
         explode(zip_with(slice(toks, lit(1), nm1), slice(toks, lit(2), nm1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col(idCol), col("p.w1"), col("p.w2"))
-    // persisted: tf2 fans into the bigram LM chain (lm2 → lm1/uni →
-    // totals) AND the scoring join — five lineages re-tokenizing the
-    // corpus when lazy (guide §1.2; caller-owned cache as above)
+    // NOT dictionary-encoded (round 15): encoding (w1, w2) as dense int
+    // ids from an in-plan broadcast vocab WAS implemented and measured —
+    // shuffle read dropped 12.0 → 8.8 MB at sf0.1, but the vocab
+    // distinct + two broadcast joins cost more than the narrower shuffle
+    // saved (wall 2.6 → 3.9 s, task time 24 → 32 s, +6 jobs). The string
+    // keys stay; at a scale where the transition shuffle dominates the
+    // vocab pass, revisit (the encode is value-identical by bijection).
+    // NOT persisted: the five tf2 consumers share one plan, where AQE
+    // exchange reuse serves the aggregation's shuffle output to every
+    // branch — the round-14 persist measured as a regression (see the
+    // unigramLogProbCore note; t21 2.33 s unpersisted vs ~3.4 s persisted
+    // at matched calibration, round 15)
     val tf2 = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTrain = splitBucket(col(idCol)) < trainBucketBelow
     // bigram LM: train-split transition counts
     val lm2 = tf2.filter(isTrain).groupBy(col("w1"), col("w2"))
@@ -627,30 +639,20 @@ object TextAnalysis {
         explode(transform(col(toksCol), t => lower(t))).as("token")),
       idCol, trainBucketBelow)
 
-  // one log per JVM from the 3rd call on (the Bm25.topK convention): each
-  // inline-LM call persists a tf frame only the caller's session can
-  // release — long-lived sessions doing repeated scoring should train once
-  // (Dsir.writeModel-style) or clearCache between batches (ADVICE r14)
-  private val lmCalls = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def warnRepeatedLmCalls(): Unit =
-    if (lmCalls.incrementAndGet() == 3L)
-      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-        "unigramLogProb/bigramLogProb called repeatedly in this JVM: each " +
-          "call persists an internal tf frame the caller cannot release " +
-          "directly — long-lived sessions should spark.catalog.clearCache() " +
-          "between batches or move to a stored-model scoring path")
-
   private def unigramLogProbCore(tokRows: org.apache.spark.sql.DataFrame,
                                  idCol: String,
                                  trainBucketBelow: Int): org.apache.spark.sql.DataFrame = {
-    warnRepeatedLmCalls()
-    // persisted: tf fans into three lineages (the LM, its totals, and the
-    // scoring join) — unpersisted, the corpus tokenize + groupBy ran once
-    // per branch (optimization guide §1.2; caller-owned cache, the
-    // Bm25.topK convention — the bench resets state between queries)
+    // NOT persisted although tf fans into three lineages (LM, totals,
+    // scoring join): all three consumers live in ONE plan, where AQE's
+    // runtime exchange reuse already serves the tf aggregation's shuffle
+    // output to every branch — the round-14 persist paid the cache
+    // write/read on top of that and measured as a REAL regression
+    // (matched-calibration A/B, round 15: t18 1.06 s unpersisted vs
+    // 1.37 s persisted at sf0.1; the r14 driver bench saw the same
+    // 1.02 → 1.35). Cross-ACTION sharing is a different story — callers
+    // that materialize twice should persist at their own level.
     val tf = tokRows
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the LM: token counts over the train split of the SAME t7 hash split
     // the rest of the pipeline uses (splitBucket is the shared definition)
     val vocab = tf.filter(splitBucket(col(idCol)) < trainBucketBelow)

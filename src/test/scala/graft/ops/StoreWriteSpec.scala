@@ -58,4 +58,20 @@ class StoreWriteSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("invalid filesPerDir values fail loudly, naming the conf key") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    for (bad <- Seq("zero-ish", "0", "-3")) {
+      spark.conf.set(StoreWrite.FilesPerDirConf, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          StoreWrite.clusterByDirs(rows, col("k"), col("v")).count()
+        }
+        assert(e.getMessage.contains(StoreWrite.FilesPerDirConf),
+          s"error for '$bad' must name the conf key: ${e.getMessage}")
+      } finally spark.conf.unset(StoreWrite.FilesPerDirConf)
+    }
+  }
 }
