@@ -19,9 +19,18 @@ object ProfileSuite {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt min 16
-    val spark = SparkSession.builder()
+    // same RAM-backed local-dir probe as Bench so profiles match the
+    // bench session's I/O shape (see Bench.scala)
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft-local").toString)
+      else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
